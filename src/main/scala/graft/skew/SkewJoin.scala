@@ -1,0 +1,191 @@
+package graft.skew
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.sketch.CmsOps
+
+/** Fragment-replicate (Pig-style) skewed equi-join.
+  *
+  * Re-expression of the reference's flagship operator
+  * (`src/main/scala/org/anish/spark/skew/dfimplicits.scala:31-125`):
+  * a Count-Min Sketch per side estimates each key's frequency; hot keys on a
+  * skewed side are *fragmented* (rows salted uniformly across
+  * `replication(key)` fragments) while the other side's rows for that key are
+  * *replicated* to every fragment, so the ordinary shuffle join parallelizes
+  * the hot key across `replication(key)` reducers instead of one.
+  *
+  * Differences from the reference (deliberate correctness fixes, see
+  * SURVEY.md §2.1 C1–C6):
+  *
+  *  - '''C1''' joins on the original `usingColumns` (plus salts), never on a
+  *    concatenated key string, so `("ab","c")` can't collide with `("a","bc")`;
+  *    the concatenated key feeds only the CMS.
+  *  - '''C2''' outer joins are decomposed into (salted inner) ∪ (anti-join
+  *    unmatched rows, null-padded) — the reference would emit one null-padded
+  *    row *per replica* for unmatched rows under replication.
+  *  - '''C3''' semi/anti joins fall back to Spark's plain join (replication
+  *    changes probe-side multiplicity and would corrupt their semantics);
+  *    unknown join types are rejected.
+  *  - '''C4''' salts come from `rand(seed)` columns instead of broadcast
+  *    `java.util.Random` instances — no PRNG state serialization, plan stays
+  *    declarative.
+  *  - '''C5''' the replication formula is preserved verbatim:
+  *    `max(min((freq × replicationFactor).toInt, cap), 1)` with
+  *    `cap = spark.sql.shuffle.partitions` (`dfimplicits.scala:68,76,87`).
+  *  - '''C6''' the sketch is queried per-row inside an executor-side function
+  *    against the broadcast CMS — no driver-side hot-key list ever
+  *    materializes, so the operator scales to arbitrarily many hot keys.
+  *
+  * 100-TB design notes: per-side CMS is a single partial+final aggregate over
+  * only the key columns (column-pruned parquet scan); the broadcast payload is
+  * KB-scale regardless of data size; fan-out is capped at the shuffle
+  * parallelism; no collect() anywhere.
+  */
+object SkewJoin {
+
+  private[graft] val SaltL = "__graft_salt_l"
+  private[graft] val SaltR = "__graft_salt_r"
+  /** Unit separator between key parts fed to the CMS (avoids C1-style
+    * concat ambiguity in frequency estimates too). */
+  private[graft] val KeSep = ""
+
+  implicit class SkewJoinOps(val left: DataFrame) extends AnyVal {
+
+    /** Single-column sugar (reference `dfimplicits.scala:26-28`). */
+    def skewJoin(right: DataFrame, usingColumn: String): DataFrame =
+      skewJoin(right, Seq(usingColumn))
+
+    /** Skew-aware equi-join on `usingColumns`; output row multiset and schema
+      * equal `left.join(right, usingColumns, joinType)`.
+      */
+    def skewJoin(
+        right: DataFrame,
+        usingColumns: Seq[String],
+        joinType: String = "inner",
+        skewJoinConf: SkewJoinConf = SkewJoinConf()): DataFrame = {
+      require(usingColumns.nonEmpty, "skewJoin requires at least one join column")
+      normalize(joinType) match {
+        case "inner" =>
+          saltedInner(left, right, usingColumns, skewJoinConf)
+        case "left_outer" =>
+          saltedInner(left, right, usingColumns, skewJoinConf)
+            .unionByName(antiPad(left, right, usingColumns))
+        case "right_outer" =>
+          saltedInner(left, right, usingColumns, skewJoinConf)
+            .unionByName(antiPad(right, left, usingColumns, padLeft = true))
+        case "full_outer" =>
+          saltedInner(left, right, usingColumns, skewJoinConf)
+            .unionByName(antiPad(left, right, usingColumns))
+            .unionByName(antiPad(right, left, usingColumns, padLeft = true))
+        case jt @ ("left_semi" | "left_anti") =>
+          // C3: replication would change probe multiplicity; the plain join is
+          // already shuffle-light for semi/anti (output ≤ left).
+          left.join(right, usingColumns, jt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"skewJoin does not support joinType '$other' " +
+              "(supported: inner, left/right/full outer, left_semi, left_anti)")
+      }
+    }
+  }
+
+  private def normalize(joinType: String): String =
+    joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "") match {
+      case "inner"                       => "inner"
+      case "left" | "leftouter"          => "left_outer"
+      case "right" | "rightouter"        => "right_outer"
+      case "full" | "fullouter" | "outer" => "full_outer"
+      case "leftsemi" | "semi"           => "left_semi"
+      case "leftanti" | "anti"           => "left_anti"
+      case other                         => other
+    }
+
+  /** The fragment-replicate core: salted inner equi-join.
+    *
+    * Left rows get `SaltL = uniform(0, repL(key))` and are exploded over all
+    * `repR(key)` right-fragment ids as `SaltR`; right rows mirror. Joining on
+    * `usingColumns ++ (SaltL, SaltR)` pairs every left fragment with every
+    * right replica exactly once (reference salting layout,
+    * `dfimplicits.scala:110-116`).
+    */
+  private def saltedInner(
+      left: DataFrame,
+      right: DataFrame,
+      usingColumns: Seq[String],
+      conf: SkewJoinConf): DataFrame = {
+    val spark = left.sparkSession
+    val cap = conf.maxReplication
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+    def keyOf(df: DataFrame): Column =
+      concat_ws(KeSep, usingColumns.map(c => df.col(c).cast("string")): _*)
+    val key = concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
+    val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
+
+    // One aggregate job per *skewed* side; sketches are KB-scale broadcasts.
+    def sketch(df: DataFrame): Broadcast[CountMinSketch] =
+      spark.sparkContext.broadcast(
+        CmsOps.cmsOf(df, keyOf(df), conf.CMSeps, conf.CMSdelta, conf.CMSseed))
+    val cmsL = if (conf.skewType.left) Some(sketch(left)) else None
+    val cmsR = if (conf.skewType.right) Some(sketch(right)) else None
+
+    val rf = conf.replicationFactor
+    def repUdf(bc: Broadcast[CountMinSketch]) = udf { (k: String) =>
+      // C5 formula, C6 per-row sketch lookup.
+      if (k == null) 1
+      else math.max(math.min((bc.value.estimateCount(k) * rf).toInt, cap), 1)
+    }
+    // repL = fragment count of the left side for this key; repR mirror. Both
+    // sides must compute identical values per key (same sketch, same formula)
+    // so fragment ids and replica ids range over the same domain.
+    val repL = cmsL.map(bc => when(keyIsNull, lit(1)).otherwise(repUdf(bc)(key)))
+      .getOrElse(lit(1))
+    val repR = cmsR.map(bc => when(keyIsNull, lit(1)).otherwise(repUdf(bc)(key)))
+      .getOrElse(lit(1))
+
+    val seed = conf.CMSseed.toLong
+    val ls = left
+      .withColumn("__graft_rep_l", repL)
+      .withColumn("__graft_rep_r", repR)
+      .withColumn(SaltL, floor(rand(seed) * col("__graft_rep_l")).cast("int"))
+      .withColumn(SaltR, explode(sequence(lit(0), col("__graft_rep_r") - 1)))
+      .drop("__graft_rep_l", "__graft_rep_r")
+    val rs = right
+      .withColumn("__graft_rep_l", repL)
+      .withColumn("__graft_rep_r", repR)
+      .withColumn(SaltR, floor(rand(seed + 1) * col("__graft_rep_r")).cast("int"))
+      .withColumn(SaltL, explode(sequence(lit(0), col("__graft_rep_l") - 1)))
+      .drop("__graft_rep_l", "__graft_rep_r")
+
+    ls.join(rs, usingColumns ++ Seq(SaltL, SaltR), "inner")
+      .drop(SaltL, SaltR)
+  }
+
+  /** Rows of `keep` whose key has no match in `other`, padded with nulls for
+    * `other`'s non-key columns — the outer-join complement of the salted
+    * inner part. `other.select(keys).distinct` shrinks the build side
+    * massively at scale (AQE can then broadcast it).
+    */
+  private def antiPad(
+      keep: DataFrame,
+      other: DataFrame,
+      usingColumns: Seq[String],
+      padLeft: Boolean = false): DataFrame = {
+    val otherKeys = other.select(usingColumns.map(col): _*).distinct()
+    val unmatched = keep.join(otherKeys, usingColumns, "left_anti")
+    val padCols = other.schema.fields.toSeq
+      .filterNot(f => usingColumns.contains(f.name))
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    val keepCols = keep.columns.toSeq.map(col)
+    val cols = if (padLeft) {
+      // `keep` is the right side: emit using cols + padded left cols + right others
+      val usingSel = usingColumns.map(col)
+      val keepOthers = keep.columns.toSeq.filterNot(usingColumns.contains).map(col)
+      usingSel ++ padCols ++ keepOthers
+    } else keepCols ++ padCols
+    unmatched.select(cols: _*)
+  }
+}

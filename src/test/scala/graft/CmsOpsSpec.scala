@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.CmsOps
+
+class CmsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("CMS estimates are never under the true count and bounded above (Zipf keys)") {
+    import spark.implicits._
+    // Zipf-ish: key i appears ~ N/i times.
+    val rows = (1 to 50).flatMap(i => Seq.fill(2000 / i)(s"key_$i"))
+    val df = rows.toDF("k").repartition(8)
+    val n = rows.size
+    val cms = CmsOps.cmsOf(df, col("k"), eps = 0.005, delta = 1e-8, seed = 1)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, cnt) =>
+      val est = cms.estimateCount(k)
+      assert(est >= cnt, s"CMS under-counted $k: est=$est < $cnt")
+      assert(est <= cnt + math.ceil(0.005 * n).toLong + 1,
+        s"CMS over-counted $k beyond eps bound: est=$est, exact=$cnt, n=$n")
+    }
+  }
+
+  test("java String lookups agree with sketch built from a string column") {
+    import spark.implicits._
+    val df = Seq.fill(100)("hot").toDF("k")
+    val cms = CmsOps.cmsOf(df, col("k"))
+    assert(cms.estimateCount("hot") == 100L)
+    assert(cms.totalCount() == 100L)
+  }
+
+  test("per-group sketches via cmsAgg") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "v")
+    val rows = df.groupBy("g").agg(CmsOps.cmsAgg(col("v")).as("cms")).collect()
+    val byG = rows.map(r => r.getString(0) -> CmsOps.fromBytes(r.getAs[Array[Byte]](1))).toMap
+    assert(byG("a").estimateCount("x") == 2L)
+    assert(byG("a").estimateCount("y") == 1L)
+    assert(byG("b").estimateCount("z") == 1L)
+  }
+
+  test("reference-parity implicits getCMS / getCmsForKey") {
+    import spark.implicits._
+    import CmsOps._
+    val ds = Seq("a", "a", "b").toDS()
+    assert(ds.getCMS().estimateCount("a") == 2L)
+    val pairs = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
+    assert(pairs.getCmsForKey().estimateCount("k1") == 2L)
+  }
+}

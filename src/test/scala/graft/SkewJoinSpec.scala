@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.skew.SkewJoin._
+import graft.skew.{CrossSkew, LeftSkew, RightSkew, SkewJoinConf}
+import graft.testkit.DatasetComparisons._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+  private def orders = spark.read.parquet(s"$sf/orders.parquet")
+  private def customer = spark.read.parquet(s"$sf/customer.parquet")
+
+  // Aggressive replication so the machinery engages at tiny scale.
+  private val conf = SkewJoinConf(replicationFactor = 0.05)
+
+  private val joinTypes =
+    Seq("inner", "left_outer", "right_outer", "full_outer", "left_semi", "left_anti")
+
+  test("skewJoin ≡ plain join for every joinType (lineitem ⋈ orders)") {
+    val o = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    joinTypes.foreach { jt =>
+      val got = li.skewJoin(o, Seq("l_orderkey"), jt, conf)
+      val want = li.join(o, Seq("l_orderkey"), jt)
+      withClue(s"joinType=$jt: ") { got.ensureDatasetEquals(want) }
+    }
+  }
+
+  test("skewJoin ≡ plain join when unmatched rows exist on both sides") {
+    // customer ⋈ orders on custkey: some customers have no orders; also
+    // filter orders so some orders lose their customer → both anti legs used.
+    val o = orders.withColumnRenamed("o_custkey", "c_custkey")
+    val c = customer.filter(col("c_custkey") % 3 =!= 0)
+    Seq("left_outer", "right_outer", "full_outer").foreach { jt =>
+      val got = c.skewJoin(o, Seq("c_custkey"), jt, conf)
+      val want = c.join(o, Seq("c_custkey"), jt)
+      withClue(s"joinType=$jt: ") { got.ensureDatasetEquals(want) }
+    }
+  }
+
+  test("skewJoin ≡ plain join on multi-column keys (C1 regression)") {
+    import spark.implicits._
+    // Keys crafted so string-concat would collide: ("ab","c") vs ("a","bc").
+    val a = Seq(("ab", "c", 1), ("a", "bc", 2), ("x", "y", 3))
+      .toDF("k1", "k2", "va")
+    val b = Seq(("ab", "c", 10), ("a", "bc", 20), ("z", "w", 30))
+      .toDF("k1", "k2", "vb")
+    val got = a.skewJoin(b, Seq("k1", "k2"), "inner", conf)
+    val want = a.join(b, Seq("k1", "k2"), "inner")
+    got.ensureDatasetEquals(want)
+    assert(got.count() == 2) // concat-collision would yield 4
+  }
+
+  test("skewJoin handles null join keys like plain join") {
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n1"), (2L, "b"))
+      .toDF("k", "va")
+    val b = Seq[(java.lang.Long, String)]((1L, "x"), (null, "n2"), (3L, "y"))
+      .toDF("k", "vb")
+    Seq("inner", "left_outer", "full_outer").foreach { jt =>
+      withClue(s"joinType=$jt: ") {
+        a.skewJoin(b, Seq("k"), jt, conf).ensureDatasetEquals(a.join(b, Seq("k"), jt))
+      }
+    }
+  }
+
+  test("skewJoin ≡ plain join under extreme single-key skew, all SkewTypes") {
+    import spark.implicits._
+    val hot = (1 to 20000).map(i => (1L, s"h$i")) ++ (1 to 500).map(i => (i.toLong + 1, s"u$i"))
+    val lhs = hot.toDF("k", "lv").repartition(8)
+    val rhs = ((1 to 50).map(i => (1L, s"r$i")) ++ (1 to 500).map(i => (i.toLong + 1, s"w$i")))
+      .toDF("k", "rv")
+    Seq(CrossSkew, LeftSkew, RightSkew).foreach { st =>
+      val cfg = SkewJoinConf(replicationFactor = 0.005, skewType = st)
+      withClue(s"skewType=$st: ") {
+        lhs.skewJoin(rhs, Seq("k"), "inner", cfg)
+          .ensureDatasetEquals(lhs.join(rhs, Seq("k"), "inner"))
+      }
+    }
+  }
+
+  test("skewJoin rejects unsupported join types") {
+    val o = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    intercept[IllegalArgumentException] {
+      li.skewJoin(o, Seq("l_orderkey"), "cross", conf)
+    }
+  }
+
+  test("output schema matches plain join column order and names") {
+    val o = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    val got = li.skewJoin(o, Seq("l_orderkey"), "inner", conf)
+    val want = li.join(o, Seq("l_orderkey"), "inner")
+    assert(got.columns.toSeq == want.columns.toSeq)
+  }
+}
