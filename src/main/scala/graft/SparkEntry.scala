@@ -18,6 +18,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS): read as nanos-long (`ts_ns`,
+    * exact — matches DuckDB's TIMESTAMP_NS ordering bit-for-bit) plus a
+    * microsecond-truncated proper timestamp (`ts`). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+
   /** Flagship: skew join lineitem ⋈ orders + aggregate. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("skewjoin_inner")(spark, "/root/testdata/sf0.001")
@@ -106,6 +115,147 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
     }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      // joins + agg + deterministic top-k (sort/limit surface)
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      val agg = t(s, dir, "lineitem")
+        .join(o, Seq("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(sum("l_quantity").as("sum_qty"))
+      val w = Window.orderBy(col("sum_qty").desc, col("l_orderkey"))
+      agg.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    }),
+
+    "cms_heavyhitters" -> ((s, dir) => {
+      // sketch-prefiltered exact heavy hitters: CMS never undercounts, so the
+      // estimate>=T filter keeps every true heavy key; the exact re-count
+      // drops sketch overcounts — output is exactly the keys with freq >= 8.
+      val li = t(s, dir, "lineitem")
+      val cms = graft.sketch.CmsOps.cmsOf(
+        li, col("l_orderkey").cast("string"), eps = 1e-4, delta = 1e-8, seed = 1)
+      val bc = s.sparkContext.broadcast(cms)
+      val estimate = udf((k: String) => bc.value.estimateCount(k))
+      li.filter(estimate(col("l_orderkey").cast("string")) >= 8)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 8)
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__norm", graft.llm.TextStats.normalizeText(col("text")))
+      graft.llm.Dedup.exactDedup(docs, Seq("__norm"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      // 32 hashes / 16 bands of 2: detect prob at j=0.5 is 1-(1-0.25)^16≈0.99,
+      // and the observed near-dups sit at j>=0.8 (miss prob ~1e-7) — so the
+      // LSH recall is exact on this data and the exact-Jaccard oracle holds.
+      graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      graft.llm.Dedup.simHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    "dedup_ngram" -> ((s, dir) => {
+      graft.llm.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+    }),
+
+    "text_stats" -> ((s, dir) => {
+      import graft.llm.TextStats._
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(punctCount(col("text")).cast("long")).as("sum_punct"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_pred", graft.llm.TextStats.langId(col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.llm.TextStats.fingerprint(col("text")).as("fp"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      graft.llm.TextStats.qualityFeatures(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "text")
+        .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+          "stopword_ratio", "punct_ratio")
+    }),
+
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      graft.llm.Multimodal.documentMediaFeatures(s, t(s, dir, "documents"))
+        .select("media_id", "kind", "n_bytes")
+    }),
+
+    "events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("value").as("min_v"),
+          max("value").as("max_v"))
+    }),
+
+    "events_top_user_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+    }),
+
+    "partition_diag" -> ((s, dir) => {
+      // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
+      // are an execution property, not a data property).
+      t(s, dir, "lineitem")
+        .repartition(16, col("l_orderkey"))
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_partitions"),
+          sum("n").as("total_records"),
+          min("n").as("min_per_partition"),
+          max("n").as("max_per_partition"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,5 +303,140 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderpriority, sum_qty, rank FROM (
+        |  SELECT l_orderkey, o_orderpriority, sum(l_quantity) AS sum_qty,
+        |         row_number() OVER (ORDER BY sum(l_quantity) DESC, l_orderkey) AS rank
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, o_orderpriority)
+        |WHERE rank <= 10""".stripMargin,
+
+    "cms_heavyhitters" ->
+      """SELECT l_orderkey, count(*) AS n FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) >= 8""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lang, count(*) AS n FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 GROUP BY lang""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN
+        |    range(1, greatest(len(tk)-2, 1)+1)]) AS gr
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.gr, b.gr))::DOUBLE
+        |    / len(list_distinct(a.gr || b.gr)) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
+        |    / len(list_distinct(a.gr || b.gr)) >= 0.3""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0))) AS sum_tokens,
+        |  sum(length(text)) AS sum_chars,
+        |  sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |    AS sum_punct
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('le','la','les','et','un','une','est'))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('el','los','las','y','un','una','es'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ein','ist','von'))) AS s_de,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    length(text) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN cjk*10 > n*3 THEN 'zh'
+        |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+        |    WHEN s_de > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred,
+        |  count(*) AS n_docs
+        |FROM scored GROUP BY lang, lang_pred""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |    AS n_punct,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t IN ('the','and','of','to','in','is','le','la','les','et','un',
+        |      'une','est','el','los','las','y','una','es','der','die','das','und',
+        |      'ein','ist','von'))) AS n_stopwords,
+        |  CASE WHEN n_tokens > 0 THEN n_stopwords::DOUBLE / n_tokens
+        |    ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, cv) AS cos
+        |  FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS kind,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY hour, event_type""".stripMargin,
+
+    "events_top_user_event" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
   )
 }

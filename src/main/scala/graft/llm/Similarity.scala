@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * North-star extension surface (SURVEY.md §2.4):
+  *  - brute-force cosine top-k as the exact baseline (broadcast the query
+  *    set, scan the corpus once — the right plan when |queries| ≪ |corpus|);
+  *  - random-hyperplane LSH bucketing as the 100-TB path (candidates come
+  *    from an equi-join on bucket ids, never a cross join).
+  *
+  * Vector math uses `zip_with`/`aggregate` higher-order functions — sequential
+  * left-to-right double accumulation, deterministic and engine-portable.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSim(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k nearest corpus vectors per query vector, by cosine.
+    *
+    * Plan shape: broadcast(queries) × corpus scan → per-(query,corpus) cosine
+    * → window top-k on query id. The broadcast keeps the corpus scan
+    * shuffle-free; the only shuffle is the final top-k by query id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is ±1 derived
+    * from a splitmix-style integer mix of the seed — reproducible across
+    * runs and executors, tiny enough to inline as literals. */
+  private[llm] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { d =>
+        var z = seed + (p.toLong * 1048573L + d.toLong) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-LSH bucket id (one long per table) for an embedding column. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = typedLit(plane)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: bucket corpus and queries with `numTables`
+    * independent sign-LSH tables, take exact cosine only within matching
+    * buckets. Recall grows with tables; cost stays linear in bucket sizes.
+    */
+  def lshTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val tables = (0 until numTables).map { t =>
+        struct(lit(t).as("table_id"),
+          lshBucket(col(vecAs), numPlanes, dim, seed + t).as("bucket"))
+      }
+      df.select(col(idAs), col(vecAs), explode(array(tables: _*)).as("tb"))
+        .select(col(idAs), col(vecAs),
+          col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    }
+    val q = bucketed(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")), "query_id", "qv")
+    val c = bucketed(
+      corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv")), "neighbor_id", "cv")
+    val cand = q.join(c, Seq("table_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("qv").as("qv"), first("cv").as("cv"))
+      .withColumn("cosine", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

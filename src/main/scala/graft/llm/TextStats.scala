@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All of these are pure `org.apache.spark.sql.functions` compositions
+  * (whole-stage-codegen friendly, no UDFs) so they stay inside Tungsten at
+  * 100 TB. The reference has no text operators — this implements the
+  * north-star extension surface (SURVEY.md §2.4).
+  */
+object TextStats {
+
+  /** Whitespace tokens, empty-safe (`""` → 0 tokens, not 1). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word unit count: alphanumeric runs + each punctuation mark
+    * counts as its own token (a cheap, deterministic proxy for a real
+    * tokenizer's token count). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Stopword-profile language scores. Deterministic fixed-precedence
+    * argmax (en > fr > es > de) so the result is reproducible and
+    * SQL-replicable; CJK character presence short-circuits to zh.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "von"))
+
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    val wordSet = words.map(lit(_))
+    size(filter(split(lower(text), "\\s+"), t => t.isin(wordSet: _*)))
+  }
+
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** n-gram/stopword heuristic language ID → 'en'|'fr'|'es'|'de'|'zh'|'und'. */
+  def langId(text: Column): Column = {
+    val scores = stopwordProfiles.map { case (l, ws) => l -> stopwordCount(text, ws) }.toMap
+    val Seq(en, fr, es, de) = Seq("en", "fr", "es", "de").map(scores)
+    when(cjkCount(text) * 10 > length(text) * 3, "zh")
+      .when(en >= fr && en >= es && en >= de && en > 0, "en")
+      .when(fr >= es && fr >= de && fr > 0, "fr")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Normalization used for fingerprints / exact dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Content fingerprint of the normalized text (md5 hex — portable across
+    * engines, so it doubles as an oracle-checkable exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Rolling-hash winnowing fingerprints: min xxhash64 per window of k-gram
+    * hashes (MOSS-style). Used as near-dup keys; xxhash64 keeps it codegen'd. */
+  def winnowFingerprint(text: Column, k: Int = 8, windows: Int = 4): Column = {
+    val norm = normalizeText(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(k))))
+    // cheap emulation: partition the gram-hash stream into `windows` stripes
+    // and take the min of each — stable under small edits at the stripe level.
+    transform(sequence(lit(0), lit(windows - 1)), w =>
+      array_min(filter(grams, (g: Column, idx: Column) => idx % windows === w)))
+  }
+
+  /** Quality features per document. Ratios are single IEEE divisions of
+    * exact integer counts → bit-reproducible across engines. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_punct", punctCount(t).cast("long"))
+      .withColumn("n_stopwords",
+        stopwordCount(t, stopwordProfiles.flatMap(_._2)).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          col("n_stopwords").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0,
+          col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exactDedup keeps exactly one deterministic representative per key") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "b"), (4L, "c"))
+      .toDF("id", "k")
+    val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 4L)))
+  }
+
+  test("minhash LSH finds identical and near-identical docs, not unrelated ones") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                             // identical
+      (3L, base + " with a tiny suffix"),     // near-dup
+      (4L, "completely different content about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedupPairs(df, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash of identical docs is equal; hamming pairs found") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(df, "doc_id", "text").collect()
+    assert(sigs.map(_.getLong(1)).distinct.length == 1)
+    val pairs = Dedup.simHashDedupPairs(df, "doc_id", "text")
+    assert(pairs.count() == 1)
+    assert(pairs.head().getInt(2) == 0)
+  }
+
+  test("jaccard expression matches hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("cosineSim is 1 for identical, 0 for orthogonal vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosineSim(col("a"), col("b")),
+      Similarity.cosineSim(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("lshTopK finds exact-duplicate vectors (identical vector ⇒ same bucket in every table)") {
+    import spark.implicits._
+    // corpus = real embeddings plus a clone of each query vector at id+10000
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clones)
+    val q = emb.filter(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+    val top1 = lsh.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 5L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000),
+        s"query $qid: expected clone ${qid + 10000} as top-1, got ${top1.get(qid)}")
+    }
+    lsh.collect().foreach { r =>
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+  }
+
+  test("langId is deterministic and falls in the expected label set") {
+    val preds = docs.select(TextStats.langId(col("text")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "fr", "es", "de", "zh", "und")))
+  }
+
+  test("quality features: counts match a hand-checked sample") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat, the hat!")).toDF("id", "text")
+    val r = TextStats.qualityFeatures(df, "text").head()
+    assert(r.getAs[Long]("n_chars") == 17L)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_punct") == 2L)  // , and !
+    assert(r.getAs[Long]("n_stopwords") == 2L) // 'the' twice (lowercased)
+  }
+
+  test("multimodal pipeline: deterministic stub features, stable across repartition") {
+    val out1 = Multimodal.documentMediaFeatures(spark, docs)
+    val out2 = Multimodal.documentMediaFeatures(spark, docs.repartition(7))
+    val a = out1.select("media_id", "checksum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = out2.select("media_id", "checksum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    val f = out1.filter(col("media_id") === 0).head()
+    assert(f.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    assert(f.getAs[Long]("n_bytes") > 0)
+  }
+}
