@@ -243,6 +243,38 @@ object SparkEntry {
         .select("user_id", "event_id", "event_type")
     }),
 
+    "stream_hourly" -> ((s, dir) => {
+      // real Structured Streaming run (file source → windowed agg → memory
+      // sink, complete mode), then projected for the batch oracle.
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.windowedCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
+        "graft_stream_hourly")
+      out.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("min_v"), col("max_v"))
+    }),
+
+    "stream_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.sessionCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
+        "graft_stream_sessions")
+      out.groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+    }),
+
+    "stream_skewjoin" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
+      val joined = StreamOps.streamStaticSkewJoin(
+        StreamOps.eventsStream(s, s"$dir/events.parquet"), cust, Seq("user_id"))
+      val agg = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      StreamOps.runToMemory(s, agg, "graft_stream_skewjoin")
+    }),
+
     "partition_diag" -> ((s, dir) => {
       // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
       // are an execution property, not a data property).
@@ -438,5 +470,31 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "stream_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY hour, event_type""".stripMargin,
+
+    // Session semantics: a new session starts when the gap to the previous
+    // event is >= 30 min (session_window's window is [start, last+gap)).
+    // Compare on integer microseconds to match Spark's truncated timestamps.
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |         >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |FROM marked GROUP BY user_id""".stripMargin,
+
+    "stream_skewjoin" ->
+      """SELECT c_mktsegment, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }
