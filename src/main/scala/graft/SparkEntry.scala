@@ -31,9 +31,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("skewjoin_inner")(spark, "/root/testdata/sf0.001")
 
-  // A tighter replication factor than the 1e-3 default so the skew machinery
-  // actually engages at test scale (hot keys have freq ~10..10k there, not 2000+).
-  private val testConf = SkewJoinConf(replicationFactor = 0.05)
+  // Tighter CMS (eps·N debias stays below real frequencies) and a larger
+  // replication factor than the 1e-3 default, so the skew machinery actually
+  // engages at test scale (hot keys have freq ~10..20 there, not 2000+).
+  private val testConf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.5)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
@@ -117,16 +118,19 @@ object SparkEntry {
     }),
 
     "q3_top_orders" -> ((s, dir) => {
-      // joins + agg + deterministic top-k (sort/limit surface)
+      // joins + agg + deterministic top-k. Distributed TakeOrderedAndProject
+      // does the top-10 (no global-window single-task sort); the rank window
+      // then runs over just 10 rows.
       import org.apache.spark.sql.expressions.Window
       val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
-      val agg = t(s, dir, "lineitem")
+      val top = t(s, dir, "lineitem")
         .join(o, Seq("l_orderkey"))
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(sum("l_quantity").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("l_orderkey"))
+        .limit(10)
       val w = Window.orderBy(col("sum_qty").desc, col("l_orderkey"))
-      agg.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     "cms_heavyhitters" -> ((s, dir) => {

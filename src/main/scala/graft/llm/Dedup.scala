@@ -27,21 +27,34 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Distinct character k-shingles of the normalized text. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = normalizeText(text)
+  /** Distinct character k-shingles of the normalized text.
+    *
+    * IMPORTANT: `text` must be an already-materialized column (not an
+    * expression tree) — anything passed here is inlined into the per-element
+    * transform lambda and would re-evaluate once per shingle position.
+    * [[shingleDocs]] handles the materialization.
+    */
+  def charShingles(norm: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => norm.substr(i, lit(k))))
-  }
 
-  /** Distinct word n-grams. */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = TextStats.tokens(normalizeText(text))
+  /** Distinct word n-grams over a materialized token array (see
+    * [[charShingles]]'s inlining caveat). */
+  def wordNgrams(toks: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** (id, shingle-set) per doc: normalization evaluated once per doc, docs
+    * spread across tasks before the per-doc signature work (a lone small
+    * parquet file otherwise puts all shingling in one scan task). */
+  private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
+      .repartition(col("id"))
+      // sorted so pair verification can use the linear-merge SortedJaccard
+      .select(col("id"), array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -50,7 +63,8 @@ object Dedup {
         size(array_union(a, b)))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min `xxhash64(shingle, seed)` over the shingle set. */
+    * min `xxhash64(shingle, seed)` over the shingle set. NB: pass a
+    * materialized array column — see [[charShingles]]'s inlining caveat. */
   def minHashSignature(shingles: Column, numHashes: Int = 16): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingles, s => xxhash64(s, h))))
@@ -60,6 +74,76 @@ object Dedup {
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** (id, band_idx, band_key) rows for LSH banding over a set column.
+    *
+    * Built as `numHashes` *separate* min-hash columns rather than one array
+    * expression: a single-array formulation lets Catalyst's CollapseProject
+    * inline the set column into the per-hash lambda and the signature into
+    * the per-band lambda, re-evaluating the shingling numHashes×bands times
+    * per document. Multiple references to the set attribute in one projection
+    * block the collapse, so shingling and each min-hash run exactly once.
+    */
+  private def signedDocs(docs: DataFrame, setCol: String, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map { h =>
+      array_min(transform(col(setCol), s => xxhash64(s, lit(h)))).as(s"__m$h")
+    }
+    docs.select(col("id") +: sigCols: _*)
+  }
+
+  private def bandRows(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val stripe = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i"))
+      xxhash64(stripe :+ lit(b): _*)
+    }
+    signed.select(col("id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Shared LSH pipeline: band → candidate pairs → signature-agreement
+    * prefilter → exact-Jaccard verification.
+    *
+    * The prefilter estimates Jaccard as the fraction of agreeing min-hash
+    * positions (32 longs per doc) and only sends near-threshold pairs to the
+    * exact set verification, which dominates cost otherwise (full
+    * array_union/intersect per pair). `minAgree` is set ≥ rows-per-band
+    * (candidates always agree on one whole band) and low enough that a true
+    * pair at exactly `threshold` is dropped with probability < 1e-5
+    * (binomial tail at 0.3·threshold·numHashes agreements).
+    */
+  private def lshVerifiedPairs(docs: DataFrame, setCol: String,
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val signed = signedDocs(docs, setCol, numHashes)
+    val cand = candidatePairs(bandRows(signed, numHashes, bands),
+      Seq("band_idx", "band_key"), maxBucketSize)
+    val minAgree = math.max(rowsPerBand, (numHashes * threshold * 0.3).floor.toInt)
+    // candidates agree on ≥ rowsPerBand positions by construction; only join
+    // the signature arrays in when the cutoff actually discriminates
+    val prefiltered = if (minAgree <= rowsPerBand) cand else {
+      val sigArr = signed.select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sigv"))
+      cand
+        .join(sigArr.select(col("id").as("id_a"), col("sigv").as("sig_a")), Seq("id_a"))
+        .join(sigArr.select(col("id").as("id_b"), col("sigv").as("sig_b")), Seq("id_b"))
+        .withColumn("__agree",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+        .filter(col("__agree") >= minAgree)
+        .select("id_a", "id_b")
+    }
+    prefiltered
+      .join(docs.select(col("id").as("id_a"), col(setCol).as("set_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col(setCol).as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // custom linear-merge expression: the generic array_intersect/union
+        // form builds two hash sets per pair and dominated the profile
+        graft.functions.SetSimilarity.sortedJaccard(col("set_a"), col("set_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** Candidate near-dup pairs (idA < idB) via MinHash LSH banding, verified
     * with exact shingle-Jaccard ≥ `threshold`.
@@ -75,27 +159,36 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       shingleSize: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val banded = df
-      .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    lshVerifiedPairs(docs, "sh", numHashes, bands, threshold, maxBucketSize)
+  }
 
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+  /** Distinct candidate id pairs from bucketed rows (`id` + bucket key cols).
+    *
+    * Two scale guards that a naive bucket self-join lacks:
+    *  - buckets larger than `maxBucketSize` are dropped *before* pairing — a
+    *    bucket shared by thousands of docs is not discriminative (it would
+    *    contribute O(m²) pairs of mostly-unrelated docs) and any real
+    *    near-dup pair inside it still collides in its other, rarer buckets;
+    *  - pairs are deduped *before* any expensive verification, so a pair
+    *    colliding in k buckets is verified once, not k times.
+    */
+  private[graft] def candidatePairs(
+      bucketed: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val sized = bucketed
+      .repartition(keys: _*) // parallelize pairing even for tiny inputs
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+      .filter(col("__bucket_n") <= maxBucketSize)
+    val a = sized.select(keys :+ col("id").as("id_a"): _*)
+    val b = sized.select(keys :+ col("id").as("id_b"): _*)
+    a.join(b, bucketCols)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(first("jaccard").as("jaccard"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** 64-bit SimHash over word tokens, built with a vectorized explode +
@@ -130,21 +223,18 @@ object Dedup {
     val chunkCols = (0 until chunks).map { ci =>
       shiftright(col("simhash"), ci * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
     }
-    val chunked = sigs.select(col("id"), col("simhash"),
+    val chunked = sigs.select(col("id"),
       posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = candidatePairs(chunked, Seq("chunk_idx", "chunk_val"),
+      maxBucketSize = 1024) // hamming verify is cheap; cap bounds the m² pairing
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b")
-      .agg(first("hamming").as("hamming"))
   }
 
   /** Candidate pairs by word-n-gram Jaccard ≥ threshold, using MinHash LSH
@@ -155,21 +245,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("gr"))
+    val docs = df
+      .select(col(idCol).as("id"),
+        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      .repartition(col("id"))
+      .select(col("id"), array_sort(wordNgrams(col("__toks"), n)).as("gr"))
       .filter(size(col("gr")) > 0)
-      .withColumn("sig", minHashSignature(col("gr"), 16))
-      .select(col("id"), col("gr"), posexplode(bandKeys(col("sig"), 8, 2)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
-    val a = docs.select(col("band_idx"), col("band_key"),
-      col("id").as("id_a"), col("gr").as("gr_a"))
-    val b = docs.select(col("band_idx"), col("band_key"),
-      col("id").as("id_b"), col("gr").as("gr_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("gr_a"), col("gr_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(first("jaccard").as("jaccard"))
+    lshVerifiedPairs(docs, "gr", numHashes = 16, bands = 8,
+      threshold = threshold, maxBucketSize = 256)
   }
 }

@@ -69,9 +69,10 @@ object TextStats {
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
   /** Rolling-hash winnowing fingerprints: min xxhash64 per window of k-gram
-    * hashes (MOSS-style). Used as near-dup keys; xxhash64 keeps it codegen'd. */
-  def winnowFingerprint(text: Column, k: Int = 8, windows: Int = 4): Column = {
-    val norm = normalizeText(text)
+    * hashes (MOSS-style). Used as near-dup keys; xxhash64 keeps it codegen'd.
+    * Pass a *materialized* normalized-text column — an expression tree here
+    * would be inlined into the lambda and re-evaluated per gram position. */
+  def winnowFingerprint(norm: Column, k: Int = 8, windows: Int = 4): Column = {
     val grams = transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => xxhash64(norm.substr(i, lit(k))))

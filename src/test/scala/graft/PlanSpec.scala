@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.skew.SkewJoin._
+import graft.skew.SkewJoinConf
+
+/** Plan-shape assertions: the properties that keep these operators fast at
+  * 100 TB — pushdown, pruning, broadcast, no pathological single-task stages.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = li.select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 40)
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"missing pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more columns than projected:\n$p")
+  }
+
+  test("CMS build scans only the key columns") {
+    // the sketch aggregate must column-prune: lineitem has 11 columns, the
+    // CMS input projects exactly one.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keyed = li.select(concat_ws("", col("l_orderkey").cast("string")).as("k"))
+    val p = plan(keyed)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"CMS key projection did not prune the scan:\n$p")
+  }
+
+  test("skewJoin inner plan: shuffles on key+salts, no cartesian, codegen present") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val q = li.skewJoin(o, Seq("l_orderkey"), "inner", SkewJoinConf())
+    // execute this exact DataFrame (count() would plan a separate query) so
+    // AQE finalizes and the executed plan shows real operators
+    q.collect()
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
+    assert(p.contains("__graft_salt_l"), s"salts missing from join keys:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no hash/sort-merge join:\n$p")
+    // codegen stages print as "WholeStageCodegen (n)" in formatted mode and
+    // as "*(n) Op" markers in the tree string
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen spans:\n$p")
+  }
+
+  test("broadcast join is chosen for a small dimension") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val q = cust.join(nation, cust("c_nationkey") === nation("n_nationkey"))
+    assert(plan(q).contains("BroadcastHashJoin"), s"small dim not broadcast:\n${plan(q)}")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
