@@ -165,6 +165,12 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
+    "dedup_embedding" -> ((s, dir) => {
+      graft.llm.Dedup.embeddingDedupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+        .select("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       graft.llm.Dedup.simHashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -390,6 +396,12 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
         |    / len(list_distinct(a.gr || b.gr)) >= 0.3""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -191,6 +191,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-dup pairs (idA < idB) with cosine ≥ `threshold`.
+    *
+    * Exact all-pairs form: broadcast one side, stream the other — the right
+    * plan up to ~10⁵ vectors and the verification baseline beyond. At corpus
+    * scale, bucket first with [[Similarity.lshTopK]]'s sign-LSH tables and
+    * verify only within buckets (same candidate-then-verify shape as the
+    * text paths above).
+    */
+  def embeddingDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineSim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** 64-bit SimHash over word tokens, built with a vectorized explode +
     * groupBy (map-side partial aggregation; no per-row nested loops). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,7 +1,7 @@
 package graft.skew
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -70,16 +70,19 @@ object SkewJoin {
       normalize(joinType) match {
         case "inner" =>
           saltedInner(left, right, usingColumns, skewJoinConf)
+        // positional unions: both sides may share non-key column names (legal
+        // in a using-join), so name-based union would reject the schema;
+        // antiPad emits the exact using-join column order
         case "left_outer" =>
           saltedInner(left, right, usingColumns, skewJoinConf)
-            .unionByName(antiPad(left, right, usingColumns))
+            .union(antiPad(left, right, usingColumns))
         case "right_outer" =>
           saltedInner(left, right, usingColumns, skewJoinConf)
-            .unionByName(antiPad(right, left, usingColumns, padLeft = true))
+            .union(antiPad(right, left, usingColumns, padLeft = true))
         case "full_outer" =>
           saltedInner(left, right, usingColumns, skewJoinConf)
-            .unionByName(antiPad(left, right, usingColumns))
-            .unionByName(antiPad(right, left, usingColumns, padLeft = true))
+            .union(antiPad(left, right, usingColumns))
+            .union(antiPad(right, left, usingColumns, padLeft = true))
         case jt @ ("left_semi" | "left_anti") =>
           // C3: replication would change probe multiplicity; the plain join is
           // already shuffle-light for semi/anti (output ≤ left).
@@ -89,6 +92,53 @@ object SkewJoin {
             s"skewJoin does not support joinType '$other' " +
               "(supported: inner, left/right/full outer, left_semi, left_anti)")
       }
+    }
+  }
+
+  /** Typed variant — the reference's own unshipped TODO ("Add API for
+    * Datasets", README.md:27, and the "use JoinWith instead" comment at
+    * dfimplicits.scala:50): `joinWith`-shaped output over the same
+    * fragment-replicate machinery. Inner and outer join types; outer slots
+    * are null like `Dataset.joinWith`. */
+  implicit class SkewJoinTypedOps[T](val left: Dataset[T]) {
+
+    def skewJoinWith[U](
+        right: Dataset[U],
+        usingColumns: Seq[String],
+        joinType: String = "inner",
+        skewJoinConf: SkewJoinConf = SkewJoinConf())(
+        implicit te: Encoder[T], ue: Encoder[U]): Dataset[(T, U)] = {
+      val jt = normalize(joinType)
+      require(jt == "inner" || jt.endsWith("_outer"),
+        s"skewJoinWith supports inner/outer join types, got '$joinType'")
+      val lCols = left.columns.toSeq
+      val rCols = right.columns.toSeq
+      // joinWith keeps both sides whole, so the right side's non-key columns
+      // are prefixed to stay addressable; presence markers (true on every
+      // input row, null only where the outer decomposition padded) identify
+      // unmatched sides without relying on data columns being non-null
+      val rKeyed = right.toDF(rCols.map("__graft_r_" + _): _*)
+        .withColumn("__graft_r_present", lit(true))
+      val rJoinable = usingColumns.foldLeft(rKeyed) { (df, c) =>
+        df.withColumnRenamed("__graft_r_" + c, c)
+      }
+      val lDf = left.toDF().withColumn("__graft_l_present", lit(true))
+      val joined = new SkewJoinOps(lDf)
+        .skewJoin(rJoinable, usingColumns, jt, skewJoinConf)
+      val leftStruct = struct(lCols.map(col): _*)
+      val rightStruct = struct(rCols.map { c =>
+        (if (usingColumns.contains(c)) col(c) else col("__graft_r_" + c)).as(c)
+      }: _*)
+      val lVal =
+        if (jt == "right_outer" || jt == "full_outer")
+          when(col("__graft_l_present").isNull, lit(null)).otherwise(leftStruct)
+        else leftStruct
+      val rVal =
+        if (jt == "left_outer" || jt == "full_outer")
+          when(col("__graft_r_present").isNull, lit(null)).otherwise(rightStruct)
+        else rightStruct
+      joined.select(lVal.as("_1"), rVal.as("_2"))
+        .as[(T, U)](Encoders.tuple(te, ue))
     }
   }
 
@@ -180,6 +230,10 @@ object SkewJoin {
     * `other`'s non-key columns — the outer-join complement of the salted
     * inner part. `other.select(keys).distinct` shrinks the build side
     * massively at scale (AQE can then broadcast it).
+    *
+    * Column order matches Spark's using-join output exactly (using columns
+    * first, then left non-key, then right non-key) so the caller can union
+    * positionally even when side column names overlap.
     */
   private def antiPad(
       keep: DataFrame,
@@ -191,13 +245,11 @@ object SkewJoin {
     val padCols = other.schema.fields.toSeq
       .filterNot(f => usingColumns.contains(f.name))
       .map(f => lit(null).cast(f.dataType).as(f.name))
-    val keepCols = keep.columns.toSeq.map(col)
-    val cols = if (padLeft) {
-      // `keep` is the right side: emit using cols + padded left cols + right others
-      val usingSel = usingColumns.map(col)
-      val keepOthers = keep.columns.toSeq.filterNot(usingColumns.contains).map(col)
-      usingSel ++ padCols ++ keepOthers
-    } else keepCols ++ padCols
+    val usingSel = usingColumns.map(col)
+    val keepOthers = keep.columns.toSeq.filterNot(usingColumns.contains).map(col)
+    val cols =
+      if (padLeft) usingSel ++ padCols ++ keepOthers // keep is the right side
+      else usingSel ++ keepOthers ++ padCols
     unmatched.select(cols: _*)
   }
 }

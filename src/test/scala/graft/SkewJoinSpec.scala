@@ -95,6 +95,35 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("fragmentation spreads a hot key across reducers (skew-effect regression)") {
+    import spark.implicits._
+    import graft.skew.PartitionStats._
+    // one key carrying 95% of the rows
+    val hot = ((1 to 40000).map(_ => (1L, "h")) ++ (1 to 2000).map(i => (i.toLong + 1, "u")))
+      .toDF("k", "lv").repartition(8)
+    val rhs = ((1 to 4).map(i => (1L, s"r$i")) ++ (1 to 2000).map(i => (i.toLong + 1, "w")))
+      .toDF("k", "rv")
+    val cfg = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.001)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force a shuffle join: with a broadcastable build side there is no
+    // reducer skew to begin with (that's the cheap fix when it applies)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = hot.skewJoin(rhs, Seq("k"), "inner", cfg)
+      val plain = hot.join(rhs, Seq("k"), "inner")
+      assert(salted.count() == plain.count())
+      val saltedRatio = salted.partitionSkewRatio
+      val plainRatio = plain.partitionSkewRatio
+      assert(saltedRatio * 3 < plainRatio,
+        s"expected ≥3x skew improvement: salted=$saltedRatio plain=$plainRatio")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("skewJoin rejects unsupported join types") {
     val o = orders.withColumnRenamed("o_orderkey", "l_orderkey")
     intercept[IllegalArgumentException] {
