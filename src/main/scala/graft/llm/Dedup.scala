@@ -201,11 +201,21 @@ object Dedup {
     */
   def embeddingDedupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms are computed once per vector on each side of the join (the join
+    // boundary stops CollapseProject from inlining them into the per-pair
+    // expression, where they'd be re-evaluated 3× per pair); the streamed
+    // side is repartitioned so a single-file input doesn't serialize the
+    // O(n²) pair scoring into one task
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        Similarity.l2Norm(col(vecCol)).as("norm_a"))
+      .repartition(col("id_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      Similarity.l2Norm(col(vecCol)).as("norm_b"))
+    val denom = col("norm_a") * col("norm_b")
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineSim(col("va"), col("vb")).as("cosine"))
+        when(denom === 0, 0.0)
+          .otherwise(Similarity.dot(col("va"), col("vb")) / denom).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

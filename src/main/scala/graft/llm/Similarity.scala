@@ -19,7 +19,14 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Double-precision dot product via the custom [[graft.functions.VectorDot]]
+    * expression (one tight loop per row; the equivalent
+    * `aggregate(zip_with(...))` HOF form allocates and runs two lambdas per
+    * element, which dominated brute-force similarity profiles). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.dot(a, b)
+
+  /** The HOF formulation, kept for reference/validation. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

@@ -175,12 +175,31 @@ object SkewJoin {
     val key = concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
 
-    // One aggregate job per *skewed* side; sketches are KB-scale broadcasts.
+    // Sketches for the gated side(s), broadcast (KB-to-MB scale). When both
+    // sides are gated (CrossSkew) the two sketches come from ONE job — a
+    // tagged union aggregated per side — so the scans run concurrently
+    // instead of as two sequential jobs (the reference ran one job per side).
     def sketch(df: DataFrame): Broadcast[CountMinSketch] =
       spark.sparkContext.broadcast(
         CmsOps.cmsOf(df, keyOf(df), conf.CMSeps, conf.CMSdelta, conf.CMSseed))
-    val cmsL = if (conf.skewType.left) Some(sketch(left)) else None
-    val cmsR = if (conf.skewType.right) Some(sketch(right)) else None
+    val (cmsL, cmsR) =
+      if (conf.skewType.left && conf.skewType.right) {
+        val tagged = left.select(keyOf(left).as("__graft_k"), lit("l").as("__graft_side"))
+          .union(right.select(keyOf(right).as("__graft_k"), lit("r").as("__graft_side")))
+        val rows = tagged.groupBy("__graft_side")
+          .agg(CmsOps.cmsAgg(col("__graft_k"),
+            conf.CMSeps, conf.CMSdelta, conf.CMSseed).as("cms"))
+          .collect()
+        val bySide = rows.map(r =>
+          r.getString(0) -> CmsOps.fromBytes(r.getAs[Array[Byte]](1))).toMap
+        // a side absent from the union (empty input) gets an empty sketch
+        def get(side: String) = spark.sparkContext.broadcast(
+          bySide.getOrElse(side,
+            CountMinSketch.create(conf.CMSeps, 1.0 - conf.CMSdelta, conf.CMSseed)))
+        (Some(get("l")), Some(get("r")))
+      } else (
+        if (conf.skewType.left) Some(sketch(left)) else None,
+        if (conf.skewType.right) Some(sketch(right)) else None)
 
     val rf = conf.replicationFactor
     def repUdf(bc: Broadcast[CountMinSketch]) = {

@@ -55,6 +55,16 @@ class LlmSpec extends AnyFunSuite {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("VectorDot matches the HOF dot bit-for-bit on real embeddings") {
+    val pairs = emb.limit(50).crossJoin(
+      emb.limit(50).select(col("embedding").as("e2")))
+    val diff = pairs.select(
+      (Similarity.dot(col("embedding"), col("e2")) -
+        Similarity.dotHof(col("embedding"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"custom expression diverged from HOF by $diff")
+  }
+
   test("cosineSim is 1 for identical, 0 for orthogonal vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
