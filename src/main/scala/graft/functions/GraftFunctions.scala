@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the library's custom Catalyst expressions, so
+  * `spark.sql("... sorted_jaccard(a, b) ...")` works alongside the Column
+  * API. Two registration paths:
+  *
+  *  - [[GraftFunctions.register]] on an existing session;
+  *  - [[GraftExtensions]] via
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or the
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` conf.
+  */
+object GraftFunctions {
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+    f(exprs(0), exprs(1))
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "sorted_jaccard" -> two("sorted_jaccard")(SortedJaccard(_, _)),
+    "vector_dot" -> two("vector_dot")(VectorDot(_, _)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

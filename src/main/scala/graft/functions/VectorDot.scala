@@ -33,6 +33,7 @@ case class VectorDot(left: Expression, right: Expression)
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
+    case ArrayType(t: DecimalType, _) => Some(t) // SQL numeric literals
     case _ => None
   }
 
@@ -51,6 +52,7 @@ case class VectorDot(left: Expression, right: Expression)
     case DoubleType  => a.getDouble(i)
     case IntegerType => a.getInt(i).toDouble
     case LongType    => a.getLong(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other       => throw new IllegalStateException(s"unexpected $other")
   }
 

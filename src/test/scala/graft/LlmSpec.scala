@@ -65,6 +65,16 @@ class LlmSpec extends AnyFunSuite {
     assert(diff == 0.0, s"custom expression diverged from HOF by $diff")
   }
 
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_jaccard(array('a','b'), array('b','c')) AS j,
+        |       vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-15)
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("cosineSim is 1 for identical, 0 for orthogonal vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
