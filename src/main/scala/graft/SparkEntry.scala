@@ -403,12 +403,14 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
 
+    // ::BIGINT casts: DuckDB sum(BIGINT) returns HUGEINT; Spark returns
+    // BIGINT, and the driver's hash is type-sensitive (values identical).
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |    t -> len(t) > 0))) AS sum_tokens,
-        |  sum(length(text)) AS sum_chars,
-        |  sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |    t -> len(t) > 0)))::BIGINT AS sum_tokens,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT
         |    AS sum_punct
         |FROM documents GROUP BY lang""".stripMargin,
 
@@ -504,7 +506,7 @@ object SparkEntry {
         |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
         |         >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e)
-        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
 
     "stream_skewjoin" ->
