@@ -23,9 +23,10 @@ import graft.sketch.CmsOps
   *  - '''C1''' joins on the original `usingColumns` (plus salts), never on a
   *    concatenated key string, so `("ab","c")` can't collide with `("a","bc")`;
   *    the concatenated key feeds only the CMS.
-  *  - '''C2''' outer joins are decomposed into (salted inner) ∪ (anti-join
-  *    unmatched rows, null-padded) — the reference would emit one null-padded
-  *    row *per replica* for unmatched rows under replication.
+  *  - '''C2''' outer joins run as ONE salted outer join: presence markers
+  *    identify null-padded rows, and a replica-count window keeps exactly one
+  *    padded row per genuinely-unmatched input row — the reference would emit
+  *    one null-padded row *per replica* for unmatched rows under replication.
   *  - '''C3''' semi/anti joins fall back to Spark's plain join (replication
   *    changes probe-side multiplicity and would corrupt their semantics);
   *    unknown join types are rejected.
@@ -48,6 +49,13 @@ object SkewJoin {
 
   private[graft] val SaltL = "__graft_salt_l"
   private[graft] val SaltR = "__graft_salt_r"
+  // outer-join bookkeeping: per-input-row ids, presence markers, replica counts
+  private val Lid = "__graft_lid"
+  private val Rid = "__graft_rid"
+  private val Lm = "__graft_lm"
+  private val Rm = "__graft_rm"
+  private val RepL = "__graft_rep_l"
+  private val RepR = "__graft_rep_r"
   /** Unit separator between key parts fed to the CMS (avoids C1-style
     * concat ambiguity in frequency estimates too). */
   private[graft] val KeSep = ""
@@ -68,21 +76,8 @@ object SkewJoin {
         skewJoinConf: SkewJoinConf = SkewJoinConf()): DataFrame = {
       require(usingColumns.nonEmpty, "skewJoin requires at least one join column")
       normalize(joinType) match {
-        case "inner" =>
-          saltedInner(left, right, usingColumns, skewJoinConf)
-        // positional unions: both sides may share non-key column names (legal
-        // in a using-join), so name-based union would reject the schema;
-        // antiPad emits the exact using-join column order
-        case "left_outer" =>
-          saltedInner(left, right, usingColumns, skewJoinConf)
-            .union(antiPad(left, right, usingColumns))
-        case "right_outer" =>
-          saltedInner(left, right, usingColumns, skewJoinConf)
-            .union(antiPad(right, left, usingColumns, padLeft = true))
-        case "full_outer" =>
-          saltedInner(left, right, usingColumns, skewJoinConf)
-            .union(antiPad(left, right, usingColumns))
-            .union(antiPad(right, left, usingColumns, padLeft = true))
+        case jt @ ("inner" | "left_outer" | "right_outer" | "full_outer") =>
+          saltedJoin(left, right, usingColumns, skewJoinConf, jt)
         case jt @ ("left_semi" | "left_anti") =>
           // C3: replication would change probe multiplicity; the plain join is
           // already shuffle-light for semi/anti (output ≤ left).
@@ -153,19 +148,36 @@ object SkewJoin {
       case other                         => other
     }
 
-  /** The fragment-replicate core: salted inner equi-join.
+  /** The fragment-replicate core: salted equi-join, all join types in ONE
+    * pass over each input.
     *
     * Left rows get `SaltL = uniform(0, repL(key))` and are exploded over all
     * `repR(key)` right-fragment ids as `SaltR`; right rows mirror. Joining on
     * `usingColumns ++ (SaltL, SaltR)` pairs every left fragment with every
     * right replica exactly once (reference salting layout,
     * `dfimplicits.scala:110-116`).
+    *
+    * Outer semantics without re-scanning the inputs: the join itself runs as
+    * the requested outer type; presence markers (`lit(true)` columns, null
+    * only where the outer join padded) identify null-padded rows, and ONE
+    * count-over-owner window keeps a padded row only when ALL of its
+    * replicas went unmatched (a row of a matched key can still produce
+    * padded replicas — a salt cell the other side happened not to draw).
+    * The owner key is the padded row's input-row id, and a unique
+    * (left-id, right-id) pair for matched rows, so every matched row sits in
+    * its own singleton window partition and the count only gates padded
+    * rows. A union-of-filtered-legs formulation was rejected: the optimizer
+    * specializes each leg (outer-join elimination, per-leg null filters), the
+    * legs' exchanges stop canonicalizing equal, and every leg re-scans both
+    * inputs — the single window costs one uniform (never skewed) shuffle of
+    * the join output instead, and each input is scanned exactly once.
     */
-  private def saltedInner(
+  private def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       usingColumns: Seq[String],
-      conf: SkewJoinConf): DataFrame = {
+      conf: SkewJoinConf,
+      joinType: String): DataFrame = {
     val spark = left.sparkSession
     val cap = conf.maxReplication
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
@@ -228,47 +240,58 @@ object SkewJoin {
       .getOrElse(lit(1))
 
     val seed = conf.CMSseed.toLong
-    val ls = left
-      .withColumn("__graft_rep_l", repL)
-      .withColumn("__graft_rep_r", repR)
-      .withColumn(SaltL, floor(rand(seed) * col("__graft_rep_l")).cast("int"))
-      .withColumn(SaltR, explode(sequence(lit(0), col("__graft_rep_r") - 1)))
-      .drop("__graft_rep_l", "__graft_rep_r")
-    val rs = right
-      .withColumn("__graft_rep_l", repL)
-      .withColumn("__graft_rep_r", repR)
-      .withColumn(SaltR, floor(rand(seed + 1) * col("__graft_rep_r")).cast("int"))
-      .withColumn(SaltL, explode(sequence(lit(0), col("__graft_rep_l") - 1)))
-      .drop("__graft_rep_l", "__graft_rep_r")
+    val outer = joinType != "inner"
 
-    ls.join(rs, usingColumns ++ Seq(SaltL, SaltR), "inner")
-      .drop(SaltL, SaltR)
-  }
+    // Outer joins carry per-input-row ids (shared by all replicas of a row),
+    // presence markers, and the row's replica count, so padded rows can be
+    // resolved in one pass after the join.
+    val ls = {
+      val base =
+        if (outer)
+          left.withColumn(Lid, monotonically_increasing_id()).withColumn(Lm, lit(true))
+        else left
+      val salted = base
+        .withColumn(RepL, repL)
+        .withColumn(RepR, repR)
+        .withColumn(SaltL, floor(rand(seed) * col(RepL)).cast("int"))
+        .withColumn(SaltR, explode(sequence(lit(0), col(RepR) - 1)))
+      if (outer) salted.drop(RepL) else salted.drop(RepL, RepR)
+    }
+    val rs = {
+      val base =
+        if (outer)
+          right.withColumn(Rid, monotonically_increasing_id()).withColumn(Rm, lit(true))
+        else right
+      val salted = base
+        .withColumn(RepL, repL)
+        .withColumn(RepR, repR)
+        .withColumn(SaltR, floor(rand(seed + 1) * col(RepR)).cast("int"))
+        .withColumn(SaltL, explode(sequence(lit(0), col(RepL) - 1)))
+      if (outer) salted.drop(RepR) else salted.drop(RepL, RepR)
+    }
 
-  /** Rows of `keep` whose key has no match in `other`, padded with nulls for
-    * `other`'s non-key columns — the outer-join complement of the salted
-    * inner part. `other.select(keys).distinct` shrinks the build side
-    * massively at scale (AQE can then broadcast it).
-    *
-    * Column order matches Spark's using-join output exactly (using columns
-    * first, then left non-key, then right non-key) so the caller can union
-    * positionally even when side column names overlap.
-    */
-  private def antiPad(
-      keep: DataFrame,
-      other: DataFrame,
-      usingColumns: Seq[String],
-      padLeft: Boolean = false): DataFrame = {
-    val otherKeys = other.select(usingColumns.map(col): _*).distinct()
-    val unmatched = keep.join(otherKeys, usingColumns, "left_anti")
-    val padCols = other.schema.fields.toSeq
-      .filterNot(f => usingColumns.contains(f.name))
-      .map(f => lit(null).cast(f.dataType).as(f.name))
-    val usingSel = usingColumns.map(col)
-    val keepOthers = keep.columns.toSeq.filterNot(usingColumns.contains).map(col)
-    val cols =
-      if (padLeft) usingSel ++ padCols ++ keepOthers // keep is the right side
-      else usingSel ++ keepOthers ++ padCols
-    unmatched.select(cols: _*)
+    val joined = ls.join(rs, usingColumns ++ Seq(SaltL, SaltR), joinType)
+    val helperCols = Seq(SaltL, SaltR, Lid, Rid, Lm, Rm, RepL, RepR)
+    if (!outer) return joined.drop(helperCols: _*)
+
+    // A padded row for key k appears once per replica whose salt cell the
+    // other side left empty. Keep it only if EVERY replica went unmatched
+    // (count over the row id == replica count), and then only the salt-0
+    // copy. Matched rows get a unique (left-id, right-id) owner — singleton
+    // partitions, count unused — so one window serves all cases.
+    val isLeftNull = col(Rm).isNull   // left row present, right side padded
+    val isRightNull = col(Lm).isNull  // right row present, left side padded
+    // owner = (left row id or -1, right row id or -1): padded rows group with
+    // their sibling replicas (the missing side's id is null → -1), matched
+    // rows get a unique pair (ids are non-negative, so -1 never collides)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col(Lid), lit(-1L)), coalesce(col(Rid), lit(-1L)))
+    joined
+      .withColumn("__graft_miss", count(lit(1)).over(w))
+      .filter(
+        (!isLeftNull && !isRightNull) ||
+          (isLeftNull && col("__graft_miss") === col(RepR) && col(SaltR) === 0) ||
+          (isRightNull && col("__graft_miss") === col(RepL) && col(SaltL) === 0))
+      .drop(helperCols :+ "__graft_miss": _*)
   }
 }

@@ -56,6 +56,31 @@ class PlanSpec extends AnyFunSuite {
       s"no codegen spans:\n$p")
   }
 
+  test("outer skewJoin scans each input once (exchanges reused across legs)") {
+    // the full-outer decomposition used to re-scan both inputs 3×; the
+    // single-pass design must plan one FileScan per table, with the
+    // matched/null legs sharing the salted exchanges via ReusedExchange
+    // pin the at-scale shape: with broadcast off (100-TB sides are never
+    // broadcast) every leg plans the same salted shuffle join and the
+    // exchanges canonicalize equal
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val p = spark.read.parquet(s"$sf/part.parquet")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      val q = li.skewJoin(p, Seq("l_partkey"), "full_outer", SkewJoinConf())
+      q.collect()
+      // AQE toString prints "== Final Plan ==" and "== Initial Plan ==";
+      // count scans only in the final executed section
+      val planStr = plan(q).split("== Initial Plan ==")(0)
+      def scansOf(table: String): Int =
+        s"FileScan parquet[^\\n]*$table\\.parquet".r.findAllIn(planStr).length
+      assert(scansOf("lineitem") <= 1, s"lineitem scanned more than once:\n$planStr")
+      assert(scansOf("part") <= 1, s"part scanned more than once:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("broadcast join is chosen for a small dimension") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val nation = spark.read.parquet(s"$sf/nation.parquet")
