@@ -193,13 +193,43 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (idA < idB) with cosine ≥ `threshold`.
     *
-    * Exact all-pairs form: broadcast one side, stream the other — the right
-    * plan up to ~10⁵ vectors and the verification baseline beyond. At corpus
-    * scale, bucket first with [[Similarity.lshTopK]]'s sign-LSH tables and
-    * verify only within buckets (same candidate-then-verify shape as the
-    * text paths above).
+    * Two plans, chosen by corpus size:
+    *
+    *  - ≤ `broadcastLimit` rows: exact all-pairs — broadcast one side,
+    *    stream the other. Right answer and right plan for small corpora
+    *    (the pair count is n²/2; at 10⁵ rows that is already 5·10⁹ pairs).
+    *  - above it: sign-LSH bucketing ([[Similarity.lshBucket]], `numTables`
+    *    independent tables) → [[candidatePairs]] (bucket-size cap +
+    *    pair-dedup) → exact-cosine verification of candidates only. Same
+    *    candidate-then-verify shape as the text paths above; the shuffle is
+    *    an equi-join on bucket ids, never an all-pairs product.
+    *
+    * The LSH path is approximate: a pair is found iff it shares one of
+    * `numTables` buckets, P ≈ 1-(1-p^numPlanes)^numTables with
+    * p = 1 - acos(cos)/π. Recall is high for tightly-clustered near-dups
+    * (cos ≥ ~0.9) and necessarily degrades toward the random-pair cosine
+    * range — the driver's synthetic embeddings have qualifying pairs at
+    * cosine 0.45-0.60 *with no gap below the threshold* (max non-pair
+    * 0.4497 vs min pair 0.4501 at sf0.01), where no LSH parameterization
+    * can be both complete and selective, so exact verification of LSH
+    * candidates is the only honest contract at any scale.
     */
   def embeddingDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      broadcastLimit: Long = 100000L,
+      numPlanes: Int = 8, numTables: Int = 8, dim: Int = 64, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
+    // adaptive plan choice: one cheap column-pruned count against the limit
+    // (pass broadcastLimit = 0 or Long.MaxValue to force a path without it)
+    val useExact = broadcastLimit > 0 &&
+      (broadcastLimit == Long.MaxValue || df.select(idCol).count() <= broadcastLimit)
+    if (useExact) embeddingDedupPairsExact(df, idCol, vecCol, threshold)
+    else embeddingDedupPairsLsh(df, idCol, vecCol, threshold,
+      numPlanes, numTables, dim, seed, maxBucketSize)
+  }
+
+  /** Exact all-pairs variant: broadcast one side, stream the other. */
+  def embeddingDedupPairsExact(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     // norms are computed once per vector on each side of the join (the join
     // boundary stops CollapseProject from inlining them into the per-pair
@@ -213,6 +243,37 @@ object Dedup {
       Similarity.l2Norm(col(vecCol)).as("norm_b"))
     val denom = col("norm_a") * col("norm_b")
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, 0.0)
+          .otherwise(Similarity.dot(col("va"), col("vb")) / denom).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Sign-LSH bucketed variant: the 100-TB path. Candidates from an
+    * equi-join on (table, bucket), verified with exact cosine. */
+  def embeddingDedupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int, numTables: Int, dim: Int, seed: Long,
+      maxBucketSize: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.lshBucket(col("v"), numPlanes, dim, seed + t).as("b"))
+    }
+    val bucketed = docs
+      .select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("table_id"), col("tb.b").as("bucket"))
+    val cand = candidatePairs(bucketed, Seq("table_id", "bucket"), maxBucketSize)
+    // candidates carry only ids; vectors re-join for verification, so the
+    // bucket shuffle and pair-dedup move 16 bytes/row, not dim× floats
+    val vecs = docs.select(col("id"), col("v"),
+      Similarity.l2Norm(col("v")).as("nrm"))
+    val denom = col("norm_a") * col("norm_b")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("norm_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(denom === 0, 0.0)
           .otherwise(Similarity.dot(col("va"), col("vb")) / denom).as("cosine"))
@@ -266,7 +327,14 @@ object Dedup {
   }
 
   /** Candidate pairs by word-n-gram Jaccard ≥ threshold, using MinHash LSH
-    * over the n-gram space for candidate generation (never all-pairs). */
+    * over the n-gram space for candidate generation (never all-pairs).
+    *
+    * 48 hashes / 16 bands (3 rows per band): detection ≥ 1-1e-5 for pairs at
+    * j ≥ 0.8 (where real near-dups live), and — unlike the previous 16/8
+    * parameterization, whose `minAgree` collapsed to rows-per-band — the
+    * signature-agreement prefilter actually engages (minAgree 4 > 3), so
+    * most spurious band collisions are dropped on 48-long signatures before
+    * the full n-gram-set verification. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -279,7 +347,7 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), array_sort(wordNgrams(col("__toks"), n)).as("gr"))
       .filter(size(col("gr")) > 0)
-    lshVerifiedPairs(docs, "gr", numHashes = 16, bands = 8,
+    lshVerifiedPairs(docs, "gr", numHashes = 48, bands = 16,
       threshold = threshold, maxBucketSize = 256)
   }
 }

@@ -107,6 +107,51 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram LSH prefilter engages and pairs match exact Jaccard verification") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                  // identical (j = 1)
+      (3L, base + " thirteen fourteen"),           // near-dup (high j)
+      (4L, "unrelated words entirely different content no overlap at all"))
+      .toDF("doc_id", "text")
+    val q = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.3)
+    // the signature-agreement prefilter (dead at the old 16/8 parameters)
+    // must appear in the plan: it filters on the __agree count column
+    val planStr = q.queryExecution.analyzed.toString
+    assert(planStr.contains("__agree"),
+      s"signature prefilter branch not planned:\n$planStr")
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding dedup: LSH path ≡ exact path on clustered vectors, no all-pairs join") {
+    import spark.implicits._
+    // 20 clusters of 5 near-identical vectors (within-cluster cosine ≈ 0.999,
+    // cross-cluster ≈ orthogonal): the regime the LSH path is built for
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 20).map(_ => Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      (b, c) <- bases.zipWithIndex
+      m <- 0 until 5
+    } yield ((c * 100 + m).toLong, b.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDedupPairsExact(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Dedup.embeddingDedupPairs(df, "vec_id", "embedding", 0.9,
+      broadcastLimit = 0, dim = dim)
+    val lsh = lshDf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact,
+      s"LSH pairs diverged: missing=${exact -- lsh}, extra=${lsh -- exact}")
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH path planned an all-pairs join:\n$plan")
+  }
+
   test("langId is deterministic and falls in the expected label set") {
     val preds = docs.select(TextStats.langId(col("text")).as("p"))
       .distinct().collect().map(_.getString(0)).toSet
