@@ -137,6 +137,27 @@ object SkewJoin {
     }
   }
 
+  /** Per-key replication factor as an executor-side sketch probe (C5 formula
+    * on a debiased estimate, C6 no driver key list). CMS estimates carry up
+    * to eps·N additive collision noise; without debiasing, once rf·eps·N ≥ 1
+    * *every* key looks hot and both sides explode by the cap — a uniform
+    * fan-out catastrophe at scale (the reference formula has this
+    * pathology). Subtracting the eps·N bound keeps est' ≤ true freq, so only
+    * genuinely hot keys fragment and under-replication can never affect
+    * correctness (any rep ≥ 1 is valid). Shared with the streaming
+    * stream-static skew join. */
+  private[graft] def replicationUdf(
+      bc: Broadcast[CountMinSketch], eps: Double, rf: Double, cap: Int) = {
+    val bias = math.ceil(eps * bc.value.totalCount()).toLong
+    udf { (k: String) =>
+      if (k == null) 1
+      else {
+        val est = math.max(bc.value.estimateCount(k) - bias, 0L)
+        math.max(math.min((est * rf).toInt, cap), 1)
+      }
+    }
+  }
+
   private def normalize(joinType: String): String =
     joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "") match {
       case "inner"                       => "inner"
@@ -214,23 +235,7 @@ object SkewJoin {
         if (conf.skewType.right) Some(sketch(right)) else None)
 
     val rf = conf.replicationFactor
-    def repUdf(bc: Broadcast[CountMinSketch]) = {
-      // CMS estimates carry up to eps·N additive collision noise; without
-      // debiasing, once rf·eps·N ≥ 1 *every* key looks hot and both sides
-      // explode by the cap — a uniform fan-out catastrophe at scale (the
-      // reference formula has this pathology). Subtracting the eps·N bound
-      // keeps est' ≤ true freq, so only genuinely hot keys fragment and
-      // under-replication can never affect correctness (any rep ≥ 1 is valid).
-      val bias = math.ceil(conf.CMSeps * bc.value.totalCount()).toLong
-      udf { (k: String) =>
-        // C5 formula on the debiased estimate, C6 per-row sketch lookup.
-        if (k == null) 1
-        else {
-          val est = math.max(bc.value.estimateCount(k) - bias, 0L)
-          math.max(math.min((est * rf).toInt, cap), 1)
-        }
-      }
-    }
+    def repUdf(bc: Broadcast[CountMinSketch]) = replicationUdf(bc, conf.CMSeps, rf, cap)
     // repL = fragment count of the left side for this key; repR mirror. Both
     // sides must compute identical values per key (same sketch, same formula)
     // so fragment ids and replica ids range over the same domain.

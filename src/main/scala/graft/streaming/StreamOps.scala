@@ -63,24 +63,59 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Salted stream-static equi-join: static side replicated `saltBuckets`
-    * times, stream rows salted uniformly — hot keys in the stream spread
-    * across `saltBuckets` tasks instead of hammering one. Row multiset
-    * equals the plain stream-static join for any key cardinalities (each
-    * stream row meets exactly one replica of every matching static row).
+  /** CMS-gated salted stream-static equi-join: only HOT keys are salted.
+    *
+    * A Count-Min Sketch over `hotKeySource` (default: the static side; pass
+    * a historical sample of the stream when stream-side hotness is the
+    * concern) drives a per-key replication factor via the same debiased
+    * formula as the batch [[graft.skew.SkewJoin]]. Static rows for a key are
+    * replicated `rep(key)` times; stream rows are salted uniformly into
+    * `[0, rep(key))`, so a hot key's join work spreads across `rep(key)`
+    * tasks. Cold keys get rep = 1 — no replication, no extra shuffle volume
+    * (the previous design replicated the ENTIRE static side 8×
+    * unconditionally, turning a 1-TB dimension into 8 TB of shuffle whether
+    * or not any key was hot). Row multiset equals the plain stream-static
+    * join for any rep values: each stream row meets exactly one replica of
+    * every matching static row.
     */
   def streamStaticSkewJoin(
       stream: DataFrame,
       static: DataFrame,
       usingColumns: Seq[String],
-      saltBuckets: Int = 8,
+      conf: graft.skew.SkewJoinConf = graft.skew.SkewJoinConf(),
+      hotKeySource: Option[DataFrame] = None,
       seed: Long = 1L): DataFrame = {
+    val repCol = replicationCol(static, usingColumns, conf, hotKeySource)
     val salted = stream.withColumn("__graft_salt",
-      floor(rand(seed) * saltBuckets).cast("int"))
+      floor(rand(seed) * repCol).cast("int"))
     val replicated = static.withColumn("__graft_salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
+      explode(sequence(lit(0), repCol - 1)))
     salted.join(replicated, usingColumns :+ "__graft_salt", "inner")
       .drop("__graft_salt")
+  }
+
+  /** Per-key replication column for the gated stream-static join: a CMS over
+    * `hotKeySource` (default: the static side), probed per row with the
+    * debiased batch formula. Evaluates to 1 for cold and null keys. */
+  private[graft] def replicationCol(
+      static: DataFrame,
+      usingColumns: Seq[String],
+      conf: graft.skew.SkewJoinConf,
+      hotKeySource: Option[DataFrame]): Column = {
+    import graft.skew.SkewJoin
+    val spark = static.sparkSession
+    val cap = conf.maxReplication
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val src = hotKeySource.getOrElse(static)
+    val srcKey = concat_ws(SkewJoin.KeSep,
+      usingColumns.map(c => src.col(c).cast("string")): _*)
+    val cms = spark.sparkContext.broadcast(
+      graft.sketch.CmsOps.cmsOf(src, srcKey, conf.CMSeps, conf.CMSdelta, conf.CMSseed))
+    val rep = SkewJoin.replicationUdf(cms, conf.CMSeps, conf.replicationFactor, cap)
+    val key = concat_ws(SkewJoin.KeSep,
+      usingColumns.map(c => col(c).cast("string")): _*)
+    val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
+    when(keyIsNull, lit(1)).otherwise(rep(key))
   }
 
   /** Run a (bounded) streaming DataFrame to completion through a memory sink

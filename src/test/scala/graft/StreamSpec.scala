@@ -35,6 +35,50 @@ class StreamSpec extends AnyFunSuite {
     assert(sessions.filter(col("n_events") <= 0).isEmpty)
   }
 
+  test("stream-static join replicates nothing on uniform keys, only hot keys on skew") {
+    import spark.implicits._
+    import graft.skew.SkewJoinConf
+    import graft.streaming.StreamOps.replicationCol
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.5)
+    // uniform: every key once → rep must be 1 everywhere (< 2× input)
+    val uniform = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+    val uniReplicated = uniform
+      .withColumn("__rep", replicationCol(uniform, Seq("k"), conf, None))
+      .agg(sum("__rep")).head().getLong(0)
+    assert(uniReplicated < 2 * 500,
+      s"uniform static side replicated $uniReplicated rows from 500")
+    assert(uniReplicated == 500, s"expected zero replication, got $uniReplicated")
+    // skewed: one key with 100 rows → only that key replicates
+    val skewed = ((1L to 400L).map(k => (k, s"v$k")) ++
+      (1 to 100).map(i => (999L, s"hot$i"))).toDF("k", "v")
+    val reps = skewed
+      .withColumn("__rep", replicationCol(skewed, Seq("k"), conf, None))
+      .select("k", "__rep").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (hot, cold) = reps.partition(_._1 == 999L)
+    assert(hot.forall(_._2 > 1), s"hot key not replicated: ${hot.take(3).toSeq}")
+    assert(cold.forall(_._2 == 1), s"cold keys replicated: ${cold.filter(_._2 > 1).take(3).toSeq}")
+  }
+
+  test("stream-static skew join with a hot key equals the plain batch join") {
+    import spark.implicits._
+    import graft.skew.SkewJoinConf
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.5)
+    // static side with a 50-row hot key → replication engages in the join
+    val static = ((1L to 50L).map(k => (k, s"dim$k")) ++
+      (1 to 50).map(i => (7L, s"hotdim$i"))).toDF("user_id", "dim")
+    val streamIn = batchEvents.filter(col("user_id") <= 60)
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.streamStaticSkewJoin(
+        StreamOps.eventsStream(spark, s"$sf/events.parquet")
+          .filter(col("user_id") <= 60),
+        static, Seq("user_id"), conf)
+        .groupBy("user_id").agg(count(lit(1)).as("n")),
+      "t_stream_hotjoin")
+    val batch = streamIn.join(static, Seq("user_id"), "inner")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    streamed.ensureDatasetEquals(batch)
+  }
+
   test("salted stream-static join equals the plain batch join") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
       .withColumnRenamed("c_custkey", "user_id")
