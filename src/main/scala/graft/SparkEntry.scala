@@ -172,8 +172,13 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
+      // portable 60-bit md5-based hash instead of xxhash64 so the ENTIRE
+      // simhash pipeline (token hash → bit majority → hamming pairs) is
+      // bit-identically replicable in the DuckDB oracle
       graft.llm.Dedup.simHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        hashFn = graft.llm.Dedup.portableTokenHash, numBits = 60)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     "dedup_ngram" -> ((s, dir) => {
@@ -300,7 +305,75 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB expression replicating [[graft.llm.Similarity.lshBucket]]
+    * bit-for-bit: the hyperplane entries are ±1, so each dot product is a
+    * left-associated chain of `± v[i]` double additions — exactly
+    * VectorDot's sequential accumulation — and the sign decisions (hence
+    * buckets) match across engines exactly. */
+  private def lshBucketSql(vec: String, numPlanes: Int, dim: Int, seed: Long): String = {
+    val planes = graft.llm.Similarity.hyperplanes(numPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, i) =>
+      val terms = plane.zipWithIndex.map { case (s, d) =>
+        (if (s > 0) " + " else " - ") + s"$vec[${d + 1}]"
+      }.mkString
+      s"(CASE WHEN (0.0$terms) >= 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+  }
+
+  /** Generated oracle for `ann_lsh`: replays the sign-LSH pipeline (bucket
+    * per table → candidate equi-join → pair dedup → exact cosine → top-k)
+    * in DuckDB with the same deterministic hyperplanes inlined as ±v[i]
+    * chains. An approximate operator gets an EXACT oracle because the
+    * approximation itself is deterministic and engine-portable. */
+  private def annLshSql(numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64,
+      seed: Long = 42L, k: Int = 3): String = {
+    val qb = (0 until numTables).map { t =>
+      s"SELECT query_id, $t AS table_id, ${lshBucketSql("qv", numPlanes, dim, seed + t)} AS bucket FROM q"
+    }.mkString("\nUNION ALL\n")
+    val cb = (0 until numTables).map { t =>
+      s"SELECT neighbor_id, $t AS table_id, ${lshBucketSql("cv", numPlanes, dim, seed + t)} AS bucket FROM c"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+       |qb AS ($qb),
+       |cb AS ($cb),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |  FROM qb JOIN cb USING (table_id, bucket)
+       |  WHERE neighbor_id <> query_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qv, cv) AS cos
+       |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for `dedup_simhash` on the portable md5-based 60-bit
+    * token hash: per-bit majority vote and hamming-distance pairs, all in
+    * exact integer arithmetic — bit-identical across engines. */
+  private def simhashSql(numBits: Int = 60, maxHamming: Int = 3): String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    val bitSums = (0 until numBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val sig = (0 until numBits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex($norm, '\\s+'),
+       |    t -> len(t) > 0)) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS s FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.s, b.s))::BIGINT AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" -> annLshSql(),
+
+    "dedup_simhash" -> simhashSql(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS n_rows, max(l_extendedprice) AS max_price,

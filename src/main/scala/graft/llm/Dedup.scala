@@ -280,35 +280,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens, built with a vectorized explode +
-    * groupBy (map-side partial aggregation; no per-row nested loops). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Portable token hash: first 15 hex chars of md5 parsed as a 60-bit int.
+    * Bit-identical across engines (DuckDB: `('0x'||substr(md5(t),1,15))::
+    * BIGINT`), so simhash pipelines built on it are exactly replicable in
+    * SQL — the correctness-oracle hash. xxhash64 stays the throughput
+    * default. */
+  def portableTokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** `numBits`-bit SimHash over word tokens, built with a vectorized explode
+    * + groupBy (map-side partial aggregation; no per-row nested loops). */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = xxhash64(_), numBits: Int = 64): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextStats.tokens(normalizeText(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit contribution: +1 if bit set else -1; 64 parallel sums
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", hashFn(col("tok")))
+    // per-bit contribution: +1 if bit set else -1; numBits parallel sums
+    val bitSums = (0 until numBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until numBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sig.as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ `maxHamming`, found by the
-    * pigeonhole trick: split the 64-bit simhash into `maxHamming + 1`
+    * pigeonhole trick: split the `numBits`-bit simhash into `maxHamming + 1`
     * chunks — any pair within the distance agrees on ≥ 1 whole chunk, so
     * candidates come from an equi-join on (chunk index, chunk value). */
   def simHashDedupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      hashFn: Column => Column = xxhash64(_),
+      numBits: Int = 64): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val sigs = simHash(df, idCol, textCol)
+    val bitsPer = numBits / chunks
+    val sigs = simHash(df, idCol, textCol, hashFn, numBits)
     val chunkCols = (0 until chunks).map { ci =>
       shiftright(col("simhash"), ci * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
     }

@@ -62,7 +62,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component (p, d) is ±1 derived
     * from a splitmix-style integer mix of the seed — reproducible across
     * runs and executors, tiny enough to inline as literals. */
-  private[llm] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
     (0 until numPlanes).map { p =>
       (0 until dim).map { d =>
         var z = seed + (p.toLong * 1048573L + d.toLong) * 0x9E3779B97F4A7C15L
@@ -90,27 +90,32 @@ object Similarity {
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int, numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // bucket rows carry only (id, table, bucket) — candidate generation and
+    // pair-dedup shuffle 24 bytes/row; vectors re-join once per UNIQUE pair
+    // for scoring instead of riding through the bucket join and the dedup
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val tables = (0 until numTables).map { t =>
         struct(lit(t).as("table_id"),
           lshBucket(col(vecAs), numPlanes, dim, seed + t).as("bucket"))
       }
-      df.select(col(idAs), col(vecAs), explode(array(tables: _*)).as("tb"))
-        .select(col(idAs), col(vecAs),
+      df.select(col(idAs), explode(array(tables: _*)).as("tb"))
+        .select(col(idAs),
           col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     }
-    val q = bucketed(
-      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")), "query_id", "qv")
-    val c = bucketed(
-      corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv")), "neighbor_id", "cv")
-    val cand = q.join(c, Seq("table_id", "bucket"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val cv = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val cand = bucketed(qv, "query_id", "qv")
+      .join(bucketed(cv, "neighbor_id", "cv"), Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(first("qv").as("qv"), first("cv").as("cv"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .withColumn("cosine", cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
