@@ -186,6 +186,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
     }),
 
+    "winnow_neardup" -> ((s, dir) => {
+      graft.llm.Dedup.winnowDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    }),
+
+    "text_subword" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.llm.TextStats.subwordCount(col("text")).cast("long"))
+            .as("sum_subwords"))
+    }),
+
     "text_stats" -> ((s, dir) => {
       import graft.llm.TextStats._
       t(s, dir, "documents")
@@ -475,6 +489,33 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    // winnow fingerprints only GENERATE candidates; exact 5-shingle Jaccard
+    // defines the output, so the oracle is the same exact all-pairs
+    // predicate as dedup_minhash (recall of the fingerprint buckets for
+    // pairs at j >= 0.5 is verified empirically at sf0.01 and sf0.1).
+    "winnow_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // RE2 (DuckDB) has no lookarounds, so the Spark-side boundary split is
+    // re-expressed as: maximal alphanumeric runs + non-alnum non-space chars.
+    "text_subword" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |        x -> len(x) > 0))
+        |      + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::BIGINT
+        |    AS sum_subwords
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // ::BIGINT casts: DuckDB sum(BIGINT) returns HUGEINT; Spark returns
     // BIGINT, and the driver's hash is type-sensitive (values identical).

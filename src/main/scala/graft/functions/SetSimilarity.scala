@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
 @ExpressionDescription(
   usage = "sorted_jaccard(a, b) - Jaccard similarity of two sorted distinct string arrays.")
 case class SortedJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -65,6 +65,42 @@ case class SortedJaccard(left: Expression, right: Expression)
     val union = na + nb - inter
     inter.toDouble / union
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val c = ctx.freshName("c")
+      val utf8 = classOf[UTF8String].getName
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |if ($na == 0 && $nb == 0) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  int $i = 0; int $j = 0; int $inter = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    $utf8 $x = $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |    $utf8 $y = $b.isNullAt($j) ? null : $b.getUTF8String($j);
+         |    int $c;
+         |    if ($x == null || $y == null) {
+         |      $c = ($x == null && $y == null) ? 0 : ($x == null ? -1 : 1);
+         |    } else {
+         |      $c = $x.compareTo($y);
+         |    }
+         |    if ($c == 0) { $inter++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; }
+         |    else { $j++; }
+         |  }
+         |  ${ev.value} = ((double) $inter) / ($na + $nb - $inter);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedJaccard =

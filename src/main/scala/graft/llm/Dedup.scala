@@ -280,6 +280,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-dup pairs via winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * the MOSS algorithm: sliding-window minima of the rolling k-gram hash
+    * stream) for candidate generation, verified with exact char-shingle
+    * Jaccard ≥ `threshold`.
+    *
+    * Same candidate-then-verify shape as [[minHashDedupPairs]]: docs sharing
+    * any selected fingerprint are candidates — an equi-join on the
+    * fingerprint value, never all-pairs — and only candidates pay the exact
+    * verification. The winnowing guarantee (common substring of ≥
+    * `window + k - 1` chars ⇒ common fingerprint) makes candidate recall for
+    * real near-dups position-independent and deterministic — a
+    * stripe-partitioned variant missed pairs exactly because one insertion
+    * shifts every downstream gram's stripe.
+    *
+    * Plan shape: posexplode the gram stream (evaluated once per doc behind
+    * the repartition barrier) → per-doc sliding `min` window over positions
+    * (docs are already partitioned by id; the window sort is per-doc) →
+    * distinct (id, fingerprint) → bucket join. */
+  def winnowDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 8,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
+      .repartition(col("id"))
+    val docs = base.select(col("id"),
+      array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
+    val wdw = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val fpRows = base
+      .select(col("id"), posexplode(TextStats.gramHashes(col("__norm"), k)))
+      .withColumn("fp_val", min(col("col")).over(wdw))
+      .select("id", "fp_val")
+      .distinct()
+    val cand = candidatePairs(fpRows, Seq("fp_val"), maxBucketSize)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("set_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SetSimilarity.sortedJaccard(col("set_a"), col("set_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Portable token hash: first 15 hex chars of md5 parsed as a 60-bit int.
     * Bit-identical across engines (DuckDB: `('0x'||substr(md5(t),1,15))::
     * BIGINT`), so simhash pipelines built on it are exactly replicable in

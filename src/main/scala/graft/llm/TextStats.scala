@@ -68,19 +68,20 @@ object TextStats {
     * engines, so it doubles as an oracle-checkable exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
-  /** Rolling-hash winnowing fingerprints: min xxhash64 per window of k-gram
-    * hashes (MOSS-style). Used as near-dup keys; xxhash64 keeps it codegen'd.
-    * Pass a *materialized* normalized-text column — an expression tree here
-    * would be inlined into the lambda and re-evaluated per gram position. */
-  def winnowFingerprint(norm: Column, k: Int = 8, windows: Int = 4): Column = {
-    val grams = transform(
+  /** Rolling k-gram hash stream of a normalized text. Pass a *materialized*
+    * column — an expression tree here would be inlined into the lambda and
+    * re-evaluated per gram position. */
+  def gramHashes(norm: Column, k: Int = 8): Column =
+    transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => xxhash64(norm.substr(i, lit(k))))
-    // cheap emulation: partition the gram-hash stream into `windows` stripes
-    // and take the min of each — stable under small edits at the stripe level.
-    transform(sequence(lit(0), lit(windows - 1)), w =>
-      array_min(filter(grams, (g: Column, idx: Column) => idx % windows === w)))
-  }
+
+  // Winnowing fingerprints (the MOSS algorithm) live in
+  // [[Dedup.winnowDedupPairs]] as a posexplode + sliding-window-min plan: an
+  // expression-level formulation (transform over positions of
+  // array_min(slice(grams, p, w))) nests the gram stream inside a
+  // per-position lambda, and CollapseProject inlining re-evaluates the
+  // normalization + hashing per position — O(n²) regexes per document.
 
   /** Quality features per document. Ratios are single IEEE divisions of
     * exact integer counts → bit-reproducible across engines. */
