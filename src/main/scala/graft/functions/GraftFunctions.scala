@@ -33,11 +33,15 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // df.hint("skew").join(...) → fragment-replicate rewrite (SURVEY §4)
+    ext.injectResolutionRule(graft.skew.ResolveSkewHint(_))
+    ext.injectOptimizerRule(graft.skew.StripSkewHintMarkers(_))
+  }
 }

@@ -1,0 +1,149 @@
+package graft.skew
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, UnaryNode, UnresolvedHint}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.Bridge
+
+/** Resolved placeholder for a consumed `skew` hint. Datasets are analyzed
+  * eagerly, so `df.hint("skew")` is resolved (and, untreated, the unknown
+  * hint discarded) BEFORE the join above it ever exists; this marker is what
+  * survives from that first analysis pass into the join's pass, where
+  * [[ResolveSkewHint]] consumes it. Never reaches the optimizer on the
+  * supported paths; [[StripSkewHintMarkers]] is the safety net. */
+case class SkewHintMarker(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): SkewHintMarker =
+    copy(child = newChild)
+}
+
+/** Optimizer-side cleanup: a `skew` hint that never met a supported join
+  * (e.g. buried under other operators) degrades to a no-op with a warning. */
+case class StripSkewHintMarkers(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case SkewHintMarker(child) =>
+      logWarning("skew hint ignored: not directly under a supported join")
+      child
+  }
+}
+
+import graft.skew.SkewJoin.SkewJoinOps
+
+/** Analyzer rule: rewrite `df.hint("skew").join(...)` into the
+  * fragment-replicate skew join (SURVEY §4 stretch goal; semantics from the
+  * reference `dfimplicits.scala:31-125`, machinery from [[SkewJoin]]).
+  *
+  * Injected via [[graft.functions.GraftExtensions]] as a RESOLUTION rule,
+  * not a hint-resolution rule: hint-batch rules run before the children are
+  * resolved, and this rewrite needs resolved inputs (the CMS sketches are
+  * built from them when the plan is constructed). Unrecognized hints are
+  * only discarded by the analyzer's final "Remove Unresolved Hints" batch,
+  * so the `skew` hint is still present when resolution reaches fixpoint.
+  *
+  * Supported shapes (hint on either or both join inputs):
+  *  - `l.hint("skew").join(r, Seq(cols...))` — using-join form; replaced by
+  *    the skewJoin plan directly (same output shape by construction);
+  *  - `l.hint("skew").join(r, l("k") === r("k") [&& ...])` — raw inner
+  *    equi-join on same-name columns; the skewJoin using-plan is wrapped in
+  *    a Project that restores `l.output ++ r.output` with the original
+  *    expression ids (right key columns re-aliased from the join keys).
+  *
+  * Anything else (outer joins, non-equi or renamed-key conditions) keeps
+  * plain join semantics: the hint is stripped with a warning. Building the
+  * replacement runs the CMS sketch jobs at analysis time — once per query,
+  * the price of an adaptive rewrite decided before execution.
+  */
+case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val hintNames = Set("skew", "skewjoin", "skew_join")
+
+  private def peel(p: LogicalPlan): (LogicalPlan, Boolean) = p match {
+    case UnresolvedHint(name, Nil, child)
+        if hintNames(name.toLowerCase(Locale.ROOT)) =>
+      (child, true)
+    case SkewHintMarker(child) => (child, true)
+    case other => (other, false)
+  }
+
+  /** Decompose a conjunctive same-side equi-join condition into
+    * (left attr, right attr) pairs; None if any conjunct is anything else. */
+  private def equiPairs(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) => split(a) ++ split(b)
+      case other => Seq(other)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => Some((a, b))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => Some((a, b))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
+  private def skewJoined(l: LogicalPlan, r: LogicalPlan, cols: Seq[String]): LogicalPlan =
+    new SkewJoinOps(Bridge.ofRows(spark, l))
+      .skewJoin(Bridge.ofRows(spark, r), cols, "inner")
+      .queryExecution.analyzed
+
+  /** Raw-condition form: run the using-join skew plan, then restore the
+    * original `l.output ++ r.output` attribute list (right keys re-aliased
+    * from the surviving left keys — equal under an inner equi-join). */
+  private def rewriteRaw(l: LogicalPlan, r: LogicalPlan,
+      pairs: Seq[(AttributeReference, AttributeReference)]): LogicalPlan = {
+    val out = skewJoined(l, r, pairs.map(_._1.name))
+    val byId = out.output.map(a => a.exprId -> a).toMap
+    val keyByRightId = pairs.map { case (la, ra) => ra.exprId -> la }.toMap
+    val leftCols: Seq[NamedExpression] = l.output.map(a => byId(a.exprId))
+    val rightCols: Seq[NamedExpression] = r.output.map { a =>
+      keyByRightId.get(a.exprId) match {
+        case Some(la) => Alias(byId(la.exprId), a.name)(exprId = a.exprId)
+        case None     => byId(a.exprId)
+      }
+    }
+    Project(leftCols ++ rightCols, out)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // a skew hint being analyzed on its own (no join above yet — Datasets
+    // analyze eagerly): park it as a resolved marker for the join's pass
+    case UnresolvedHint(name, Nil, child)
+        if hintNames(name.toLowerCase(Locale.ROOT)) && child.resolved =>
+      SkewHintMarker(child)
+    case j @ Join(jl, jr, joinType, cond, hint) =>
+      val (l, hintL) = peel(jl)
+      val (r, hintR) = peel(jr)
+      if (!(hintL || hintR) || !l.resolved || !r.resolved) j
+      else (joinType, cond) match {
+        case (UsingJoin(Inner, cols), None) =>
+          skewJoined(l, r, cols)
+        case (Inner, Some(c)) if c.resolved =>
+          equiPairs(c, l, r) match {
+            case Some(pairs) if pairs.nonEmpty &&
+                pairs.forall { case (a, b) => a.name == b.name } =>
+              rewriteRaw(l, r, pairs)
+            case _ =>
+              logWarning("skew hint ignored: join condition is not a " +
+                "same-name equi-join; falling back to the plain join")
+              Join(l, r, joinType, cond, hint)
+          }
+        case (Inner, None) =>
+          // Dataset.join(right, usingColumns) internally pre-analyzes a
+          // condition-less inner join of the two inputs just to
+          // disambiguate attributes, then rebuilds the real UsingJoin from
+          // its analyzed children — keep the marker alive through that
+          // pass so the real join's analysis still sees it
+          j
+        case _ =>
+          logWarning(s"skew hint ignored: unsupported join type $joinType; " +
+            "falling back to the plain join")
+          Join(l, r, joinType, cond, hint)
+      }
+  }
+}

@@ -1,18 +1,24 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 
-/** Column ⇄ Expression bridge.
+/** Column ⇄ Expression and LogicalPlan ⇄ DataFrame bridges.
   *
   * Spark 4's Column is Connect-agnostic and no longer exposes its Expression;
-  * the classic converter (`ExpressionUtils`) is `private[sql]`. Extension
-  * libraries defining custom Catalyst expressions need exactly these two
-  * calls, so this shim lives under the `org.apache.spark.sql` namespace to
-  * reach them — it contains no Spark code, only forwarding.
+  * the classic converters (`ExpressionUtils`, `Dataset.ofRows`) are
+  * `private[sql]`. Extension libraries defining custom Catalyst expressions
+  * and analyzer rules need exactly these calls, so this shim lives under the
+  * `org.apache.spark.sql` namespace to reach them — it contains no Spark
+  * code, only forwarding.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Wrap an analyzed/analyzable logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 }

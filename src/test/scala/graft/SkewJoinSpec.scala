@@ -16,6 +16,7 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
 
