@@ -302,11 +302,16 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
+      // k=12: short grams (k=8) of same-vocabulary corpora are globally
+      // common, so fingerprint buckets grow huge (max ~3.7k docs at sf0.1)
+      // and the bucket join dominates; 12-char grams are rare enough that
+      // buckets stay discriminative at unchanged recall (guarantee: common
+      // substring of ≥ window+k-1 = 19 chars ⇒ common fingerprint)
+      k: Int = 12,
       window: Int = 8,
       shingleSize: Int = 5,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 256): DataFrame = {
+      maxBucketSize: Int = 128): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
       .repartition(col("id"))
