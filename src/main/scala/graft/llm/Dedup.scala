@@ -85,10 +85,17 @@ object Dedup {
     * block the collapse, so shingling and each min-hash run exactly once.
     */
   private def signedDocs(docs: DataFrame, setCol: String, numHashes: Int): DataFrame = {
+    // hash every set element ONCE as a string, then derive the numHashes
+    // independent functions by re-hashing the resulting longs with the seed:
+    // XXH64 over 8 bytes instead of numHashes full string passes (string
+    // decode dominated the signature stage). Base-hash collisions would
+    // correlate the derived functions only at 2^-64 rates.
+    val hashed = docs.select(col("id"),
+      transform(col(setCol), s => xxhash64(s)).as("__h0"))
     val sigCols = (0 until numHashes).map { h =>
-      array_min(transform(col(setCol), s => xxhash64(s, lit(h)))).as(s"__m$h")
+      array_min(transform(col("__h0"), x => xxhash64(x, lit(h)))).as(s"__m$h")
     }
-    docs.select(col("id") +: sigCols: _*)
+    hashed.select(col("id") +: sigCols: _*)
   }
 
   private def bandRows(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -406,12 +413,19 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // the empty-doc filter must run on __toks BEFORE the repartition
+    // barrier: a trailing filter(size(gr) > 0) gets predicate-pushed below
+    // the barrier, substituting the whole ngram expression — with the
+    // tokenization inlined into its per-position lambda — into the filter,
+    // which re-normalizes and re-tokenizes the text once per ngram
+    // position (~20 s of the query at sf0.1). Non-empty tokens ⇒ ≥1 ngram,
+    // so the predicates are equivalent.
     val docs = df
       .select(col(idCol).as("id"),
         TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
       .select(col("id"), array_sort(wordNgrams(col("__toks"), n)).as("gr"))
-      .filter(size(col("gr")) > 0)
     lshVerifiedPairs(docs, "gr", numHashes = 48, bands = 16,
       threshold = threshold, maxBucketSize = 256)
   }
