@@ -46,15 +46,20 @@ object Dedup {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** (id, shingle-set) per doc: normalization evaluated once per doc, docs
-    * spread across tasks before the per-doc signature work (a lone small
-    * parquet file otherwise puts all shingling in one scan task). */
+  /** (id, shingle-set) per doc. The shingle arrays are computed BEFORE the
+    * repartition so they travel inside the exchange: the three consumers of
+    * this frame (signature pipeline + both verification joins) then reuse
+    * one computed payload instead of re-shingling per branch — trading one
+    * shuffle of the sets for two recomputation passes. The inner projection
+    * keeps normalization evaluated once per doc (the multiple `__norm`
+    * references block CollapseProject from inlining it into the per-shingle
+    * lambda). */
   private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
-      .repartition(col("id"))
       // sorted so pair verification can use the linear-merge SortedJaccard
       .select(col("id"), array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
+      .repartition(col("id"))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -319,6 +324,10 @@ object Dedup {
       shingleSize: Int = 5,
       threshold: Double = 0.5,
       maxBucketSize: Int = 128): DataFrame = {
+    // base carries only the normalized text through the exchange: deriving
+    // shingles AND gram hashes before the repartition was tried and
+    // regressed 6× — the shingle arrays rode through the gram explode into
+    // the window sort (1.4M rows × ~2 KB payload each at sf0.1)
     val base = df
       .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
       .repartition(col("id"))
