@@ -127,6 +127,22 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("winnowing guarantee: docs sharing a long substring are found regardless of edit position") {
+    import spark.implicits._
+    // the stripe-partitioned variant this replaced failed exactly this
+    // case: a LEADING insertion shifts every downstream gram position
+    val core = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val df = Seq(
+      (1L, core),
+      (2L, "completely unrelated preamble first " + core), // shifted copy
+      (3L, "nothing in common with either of the others whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowDedupPairs(df, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shifted near-dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("embedding dedup: LSH path ≡ exact path on clustered vectors, no all-pairs join") {
     import spark.implicits._
     // 20 clusters of 5 near-identical vectors (within-cluster cosine ≈ 0.999,

@@ -56,13 +56,11 @@ class PlanSpec extends AnyFunSuite {
       s"no codegen spans:\n$p")
   }
 
-  test("outer skewJoin scans each input once (exchanges reused across legs)") {
+  test("outer skewJoin scans each input once (single-pass window design)") {
     // the full-outer decomposition used to re-scan both inputs 3×; the
-    // single-pass design must plan one FileScan per table, with the
-    // matched/null legs sharing the salted exchanges via ReusedExchange
-    // pin the at-scale shape: with broadcast off (100-TB sides are never
-    // broadcast) every leg plans the same salted shuffle join and the
-    // exchanges canonicalize equal
+    // single-pass design (one salted outer join + one window) must plan
+    // exactly one FileScan per table. Broadcast off pins the at-scale
+    // shape (100-TB sides are never broadcast).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
