@@ -47,11 +47,20 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    // norms are computed once per VECTOR on each side of the join (the join
+    // boundary stops the optimizer from inlining them into the per-pair
+    // cosine, where they would cost two extra dot products per pair); the
+    // arithmetic — dot/(sqrt(dot)·sqrt(dot)) — is unchanged, so cosines
+    // stay bit-identical to the naive form and to the DuckDB oracle
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      l2Norm(col(qVecCol)).as("__qn"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      l2Norm(col(cVecCol)).as("__cn"))
+    val denom = col("__qn") * col("__cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(denom === 0, 0.0).otherwise(dot(col("qv"), col("cv")) / denom))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -102,17 +111,22 @@ object Similarity {
         .select(col(idAs),
           col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     }
-    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-    val cv = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      l2Norm(col(qVecCol)).as("__qn"))
+    val cv = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      l2Norm(col(cVecCol)).as("__cn"))
     val cand = bucketed(qv, "query_id", "qv")
       .join(bucketed(cv, "neighbor_id", "cv"), Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+    // per-vector norms join in with the vectors: one dot per scored pair
+    val denom = col("__qn") * col("__cn")
     val scored = cand
       .join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
-      .withColumn("cosine", cosineSim(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(denom === 0, 0.0).otherwise(dot(col("qv"), col("cv")) / denom))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
