@@ -186,6 +186,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
     }),
 
+    "dedup_apply" -> ((s, dir) => {
+      // corpus-level near-dedup: the surviving documents, aggregated per
+      // lang so the oracle compares a stable shape
+      graft.llm.Dedup.dropNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "winnow_neardup" -> ((s, dir) => {
       graft.llm.Dedup.winnowDedupPairs(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -489,6 +499,23 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    // drop-policy replay: a doc survives iff it is not the id_b of any
+    // exact-Jaccard pair — same predicate as the dedup_minhash oracle
+    "dedup_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
 
     // winnow fingerprints only GENERATE candidates; exact 5-shingle Jaccard
     // defines the output, so the oracle is the same exact all-pairs

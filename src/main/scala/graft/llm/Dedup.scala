@@ -177,6 +177,31 @@ object Dedup {
     lshVerifiedPairs(docs, "sh", numHashes, bands, threshold, maxBucketSize)
   }
 
+  /** Near-deduplicated corpus: drops every document that has a near-dup
+    * partner with a smaller id (pairs from [[minHashDedupPairs]]), keeping
+    * the smallest id of each duplicate pair — the "apply the dedup" step of
+    * a training-data pipeline. The keep-policy is deterministic and
+    * SQL-expressible (`id ∉ id_b of the pair set`), so the whole operator
+    * is exactly oracle-checkable; for clustered duplicates it keeps any doc
+    * only reachable via dropped intermediates (pairwise policy, not
+    * transitive closure — closure needs iterative connected components,
+    * whose result is equally deterministic but far costlier at 100 TB). */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
+    val dupIds = minHashDedupPairs(df, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucketSize)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Distinct candidate id pairs from bucketed rows (`id` + bucket key cols).
     *
     * Two scale guards that a naive bucket self-join lacks:
