@@ -215,13 +215,28 @@ object Dedup {
   private[graft] def candidatePairs(
       bucketed: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val keys = bucketCols.map(col)
-    val sized = bucketed
-      .repartition(keys: _*) // parallelize pairing even for tiny inputs
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
-      .filter(col("__bucket_n") <= maxBucketSize)
-    val a = sized.select(keys :+ col("id").as("id_a"): _*)
-    val b = sized.select(keys :+ col("id").as("id_b"): _*)
+    // bucket sizing via aggregate + broadcast anti-join, NOT a window: a
+    // count-window partitioned by bucket key must co-locate every bucket's
+    // rows BEFORE the size filter can drop it, so one degenerate bucket
+    // (a fingerprint shared by 10⁹ docs) becomes a single-task straggler
+    // at scale. groupBy counts are map-side-combined (skew-safe), the hot
+    // bucket KEYS are few by construction (each holds > maxBucketSize
+    // rows), and the broadcast anti-join drops their rows without ever
+    // co-locating them.
+    // repartition on (keys, id): materializes the possibly-expensive
+    // bucketed lineage in ONE exchange reused by all three consumers below,
+    // and spreads even a degenerate bucket uniformly across tasks — nothing
+    // downstream co-locates it (the count aggregate map-side-combines, the
+    // anti-join probes a broadcast, and the pair join shuffles only rows of
+    // surviving ≤-cap buckets). Keys-only partitioning was measured slower
+    // here: common fingerprints skew the exchange itself.
+    val buck = bucketed.repartition(keys :+ col("id"): _*)
+    val hot = buck.groupBy(keys: _*).agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucketSize)
+      .select(keys: _*)
+    val kept = buck.join(broadcast(hot), bucketCols, "left_anti")
+    val a = kept.select(keys :+ col("id").as("id_a"): _*)
+    val b = kept.select(keys :+ col("id").as("id_b"): _*)
     a.join(b, bucketCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
