@@ -129,10 +129,16 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val signed = signedDocs(docs, setCol, numHashes)
+    val minAgree = math.max(rowsPerBand, (numHashes * threshold * 0.3).floor.toInt)
+    // with the prefilter engaged the signature frame has three consumers
+    // (band rows + both prefilter joins): a repartition materializes the
+    // numHashes min-hash passes once — the exchange payload is only
+    // id + numHashes longs per doc
+    val signed0 = signedDocs(docs, setCol, numHashes)
+    val signed =
+      if (minAgree > rowsPerBand) signed0.repartition(col("id")) else signed0
     val cand = candidatePairs(bandRows(signed, numHashes, bands),
       Seq("band_idx", "band_key"), maxBucketSize)
-    val minAgree = math.max(rowsPerBand, (numHashes * threshold * 0.3).floor.toInt)
     // candidates agree on ≥ rowsPerBand positions by construction; only join
     // the signature arrays in when the cutoff actually discriminates
     val prefiltered = if (minAgree <= rowsPerBand) cand else {
