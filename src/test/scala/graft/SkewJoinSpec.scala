@@ -125,6 +125,22 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skewJoin handles an empty side like plain join for every joinType") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val empty = Seq.empty[(Long, String)].toDF("k", "vb")
+    joinTypes.foreach { jt =>
+      withClue(s"empty right, joinType=$jt: ") {
+        a.skewJoin(empty, Seq("k"), jt, conf)
+          .ensureDatasetEquals(a.join(empty, Seq("k"), jt))
+      }
+      withClue(s"empty left, joinType=$jt: ") {
+        empty.skewJoin(a.toDF("k", "vb"), Seq("k"), jt, conf)
+          .ensureDatasetEquals(empty.join(a.toDF("k", "vb"), Seq("k"), jt))
+      }
+    }
+  }
+
   test("skewJoin rejects unsupported join types") {
     val o = orders.withColumnRenamed("o_orderkey", "l_orderkey")
     intercept[IllegalArgumentException] {
