@@ -256,6 +256,39 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "asof_join" -> ((s, dir) => {
+      // each click paired with the user's most recent purchase at or before
+      // it; ts_ns longs keep the time comparison exact across engines
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("ts_ns").as("p_ts_ns"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asofJoin(
+        clicks, purch, Seq("user_id"), "ts_ns", "p_ts_ns",
+        tieBreakCol = Some("p_event_id"))
+        .select("event_id", "user_id", "p_event_id", "p_value")
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // language rebalancing: downsample en hard, keep the tail; membership
+      // is a pure function of doc_id (reproducible at any partitioning)
+      graft.llm.Sampling.stratifiedSampleByHash(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       graft.llm.Multimodal.documentMediaFeatures(s, t(s, dir, "documents"))
         .select("media_id", "kind", "n_bytes")
@@ -394,8 +427,65 @@ object SparkEntry {
        |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
   }
 
+  /** Generated oracle for `ann_ivf`: replays the IVF pipeline — centroids
+    * are the first `nCells` corpus vectors (derived from the DATA in both
+    * engines, no literals), cell assignment is argmax centroid cosine with
+    * ties to the lowest centroid id, queries probe `nProbe` cells, exact
+    * cosine top-k among probed members. `list_cosine_similarity` on
+    * DOUBLE[] matches VectorDot's sequential accumulation bit-for-bit (the
+    * validated ann_bruteforce arithmetic), so assignments agree exactly. */
+  private def annIvfSql(nCells: Int = 16, nProbe: Int = 4, k: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, cv) AS cos
+       |  FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |qp AS (SELECT query_id, cid AS cell FROM (
+       |  SELECT query_id, cid, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+       |    FROM q CROSS JOIN cent))
+       |  WHERE rn <= $nProbe),
+       |cand AS (SELECT query_id, vec_id AS neighbor_id
+       |  FROM qp JOIN cell USING (cell) WHERE vec_id <> query_id),
+       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS cos
+       |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshSql(),
+
+    "ann_ivf" -> annIvfSql(),
+
+    // DuckDB's native ASOF JOIN is the independent oracle for the
+    // union+window implementation (inclusive backward match on exact
+    // nanosecond longs; (user_id, ts) pairs are unique in the data).
+    "asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, event_id AS p_event_id, epoch_ns(ts) AS p_tns,
+        |    value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, c.user_id AS user_id, p_event_id, p_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.tns >= p.p_tns""".stripMargin,
+
+    // replays the portable 60-bit md5 sampling hash + per-stratum cutoffs
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+        |  CASE WHEN lang = 'en' THEN 500000
+        |       WHEN lang = 'fr' THEN 250000
+        |       WHEN lang = 'zh' THEN 100000
+        |       ELSE 50000 END
+        |GROUP BY lang""".stripMargin,
 
     "dedup_simhash" -> simhashSql(),
     "q1_agg" ->

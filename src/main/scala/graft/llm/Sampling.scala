@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * `df.sample()` / `sampleBy()` draw from per-partition RNG streams, so the
+  * selected row SET changes with partitioning, task retries, and cluster
+  * size — unacceptable for a 100-TB corpus that must be re-materializable
+  * (ablations, incremental reruns, lineage audits). Hash-based sampling
+  * decides membership from the row's own id: reproducible anywhere,
+  * join-stable across tables sharing the id, and exactly replayable by a
+  * SQL oracle. North-star extension surface (SURVEY.md §2.4 family).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Portable per-id sampling hash in [0, 1e6): 60-bit md5 prefix of the
+    * id string (+ salt), mod 1e6. Bit-identical in any engine with md5
+    * (DuckDB: `('0x'||substr(md5(id||salt),1,15))::BIGINT % 1000000`). */
+  def sampleBucket(id: Column, salt: String = ""): Column =
+    Dedup.portableTokenHash(concat(id.cast("string"), lit(salt))) % Buckets
+
+  /** Uniform deterministic sample: keeps a row iff its id hashes below
+    * `fraction`. The same (id, salt) always lands on the same side. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(sampleBucket(col(idCol), salt) < lit((fraction * Buckets).toLong))
+  }
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g. language
+    * rebalancing — downsample dominant languages, keep the tail), unmatched
+    * strata fall back to `defaultFraction`. One codegen'd filter over the
+    * scan — no shuffle, no RNG, pushdown-friendly. */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultFraction * Buckets).toLong)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(idCol), salt) < cut)
+  }
+}

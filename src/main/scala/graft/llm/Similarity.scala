@@ -90,6 +90,73 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-Flat approximate top-k: coarse-quantize the corpus into `nCells`
+    * Voronoi cells (assignment = argmax centroid cosine, ties to the lowest
+    * centroid id), probe the `nProbe` best cells per query, and take exact
+    * cosine top-k among the probed cells' members only.
+    *
+    * Centroids default to the first `nCells` corpus vectors by id — a
+    * deterministic sampled-centroid quantizer, so the whole operator
+    * (assignment, probing, ranking) is exactly replayable by a SQL oracle;
+    * pass k-means-trained `centroids` for production recall. The centroid
+    * set is a MODEL PARAMETER (nCells × dim doubles, KB-scale): collecting
+    * it is O(nCells), independent of corpus size, and it travels to
+    * executors as plan literals.
+    *
+    * 100-TB shape: corpus assignment is one narrow map (nCells dot products
+    * per row, codegen'd [[graft.functions.VectorDot]]); candidates come from
+    * an equi-join on the cell id (each corpus vector lives in exactly ONE
+    * cell, so candidate volume ≈ nProbe/nCells of the corpus per query —
+    * tune nCells ∝ √n); only candidates pay the exact cosine.
+    */
+  def ivfTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] = centroids.getOrElse {
+      corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+        .orderBy(col(cIdCol))
+        .limit(nCells)
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+        .toSeq
+    }
+    // per-centroid score structs; struct(cos, -cid) makes array_max resolve
+    // ties toward the LOWEST centroid id (same rule as the oracle's
+    // row_number ORDER BY cos DESC, cid ASC)
+    def scoreStructs(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosineSim(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+    val corpusCells = corpus.select(
+      col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      l2Norm(col(cVecCol)).as("__cn"),
+      (-array_max(scoreStructs(col(cVecCol))).getField("ncid")).as("cell"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      l2Norm(col(qVecCol)).as("__qn"))
+    val qProbes = qv
+      .select(col("query_id"),
+        // sort desc by (cos, -cid) = best cosine first, lowest id on ties
+        slice(sort_array(scoreStructs(col("qv")), asc = false), 1, nProbe).as("pr"))
+      .select(col("query_id"), explode(col("pr")).as("p"))
+      .select(col("query_id"), (-col("p.ncid")).as("cell"))
+    // candidate generation: equi-join on the cell id; each corpus vector is
+    // in exactly one cell, so no pair dedup is needed
+    val scored = qProbes
+      .join(corpusCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        when(col("__qn") * col("__cn") === 0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: bucket corpus and queries with `numTables`
     * independent sign-LSH tables, take exact cosine only within matching
     * buckets. Recall grows with tables; cost stays linear in bucket sizes.

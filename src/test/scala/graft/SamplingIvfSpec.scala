@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Sampling, Similarity}
+import graft.testkit.DatasetComparisons._
+
+class SamplingIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("hash sample is deterministic and partitioning-independent") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.3)
+      .select("doc_id")
+    val b = Sampling.sampleByHash(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id")
+    a.ensureDatasetEquals(b)
+    assert(a.count() > 0 && a.count() < docs.count())
+  }
+
+  test("hash sample respects fraction bounds 0 and 1") {
+    assert(Sampling.sampleByHash(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  test("different salts draw different (but individually stable) samples") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.5, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(docs, "doc_id", 0.5, salt = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
+  test("stratified sample applies per-stratum fractions and the default") {
+    val out = Sampling.stratifiedSampleByHash(
+      docs, "doc_id", "lang", Map("en" -> 1.0, "fr" -> 0.0), defaultFraction = 0.5)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == full("en"))
+    assert(!counts.contains("fr"))
+    val others = full.keySet -- Set("en", "fr")
+    val kept = others.toSeq.map(l => counts.getOrElse(l, 0L)).sum.toDouble
+    val total = others.toSeq.map(full).sum.toDouble
+    assert(kept / total > 0.3 && kept / total < 0.7,
+      s"default-fraction strata kept ${kept / total} of rows, expected ~0.5")
+  }
+
+  test("stratum membership of a row is stable regardless of other strata") {
+    // sampling hash ignores the stratum — only the cutoff differs — so a
+    // row's membership at fraction f is monotone in f
+    val small = Sampling.stratifiedSampleByHash(
+      docs, "doc_id", "lang", Map("en" -> 0.2), defaultFraction = 0.2)
+      .select("doc_id")
+    val big = Sampling.stratifiedSampleByHash(
+      docs, "doc_id", "lang", Map("en" -> 0.8), defaultFraction = 0.8)
+      .select("doc_id")
+    assert(small.exceptAll(big).count() == 0, "f=0.2 sample must nest inside f=0.8")
+  }
+
+  test("ivfTopK probing all cells equals brute force exactly") {
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+    val bf = Similarity.bruteForceTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    ivf.ensureDatasetEquals(bf)
+  }
+
+  test("ivfTopK with fewer probes returns at most k ranked rows per query") {
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.ivfTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2)
+    val perQuery = out.groupBy("query_id").count()
+      .collect().map(_.getLong(1))
+    assert(perQuery.forall(_ <= 3))
+    val ranks = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks == (1 to ranks.length))
+  }
+
+  test("ivfTopK accepts explicit centroids (model-parameter path)") {
+    val cents = Seq(0L -> Seq.fill(64)(1.0), 1L -> Seq.fill(64)(-1.0))
+    val out = Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 2, nCells = 2, nProbe = 1,
+      centroids = Some(cents))
+    assert(out.count() > 0)
+  }
+}
