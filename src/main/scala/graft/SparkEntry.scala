@@ -196,6 +196,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "dedup_groups" -> ((s, dir) => {
+      // transitive near-dup clusters: LSH pair generation → distributed
+      // connected components (large-star/small-star); component = smallest
+      // doc id reachable through any chain of near-dup pairs
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     "winnow_neardup" -> ((s, dir) => {
       graft.llm.Dedup.winnowDedupPairs(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -240,6 +252,10 @@ object SparkEntry {
           "stopword_ratio", "punct_ratio")
     }),
 
+    "text_tfidf" -> ((s, dir) => {
+      graft.llm.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.bruteForceTopK(
@@ -279,6 +295,27 @@ object SparkEntry {
         .select("event_id", "user_id", "p_event_id", "p_value")
     }),
 
+    "range_join" -> ((s, dir) => {
+      // attribution window: count each user's clicks within 1h after their
+      // purchase. Bin-bucketed equi-join (one bin per point), never a
+      // nested-loop range join; purchases with no clicks kept via left join.
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user_id"), col("ts_ns").as("c_ts_ns"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts_ns").as("p_ts_ns"), (col("ts_ns") + hourNs).as("p_end_ns"))
+      val pairs = graft.operators.RangeJoin.rangeJoin(
+        clicks, "c_ts_ns", purch, "p_ts_ns", "p_end_ns",
+        binWidth = hourNs, equiKeys = Seq("c_user_id" -> "user_id"))
+      val counts = pairs.groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
+      purch.join(counts, Seq("p_event_id"), "left")
+        .select(col("p_event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // language rebalancing: downsample en hard, keep the tail; membership
       // is a pure function of doc_id (reproducible at any partitioning)
@@ -287,6 +324,16 @@ object SparkEntry {
         Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      // context-length packing: docs in doc_id order cut into 2048-token
+      // chunks via the distributed two-phase prefix sum (no global window)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.llm.SequencePack.packSequences(docs, "doc_id", "n_tokens", budget = 2048)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
     "multimodal_features" -> ((s, dir) => {
@@ -476,6 +523,18 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tns >= p.p_tns""".stripMargin,
 
+    "range_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT event_id AS p_event_id, user_id, epoch_ns(ts) AS pns
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p_event_id, p.user_id AS user_id,
+        |  count(c.event_id) AS n_clicks
+        |FROM purch p LEFT JOIN clicks c
+        |  ON c.user_id = p.user_id AND c.tns >= p.pns
+        |  AND c.tns < p.pns + 3600000000000
+        |GROUP BY p_event_id, p.user_id""".stripMargin,
+
     // replays the portable 60-bit md5 sampling hash + per-stratum cutoffs
     "sample_stratified" ->
       """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
@@ -607,6 +666,29 @@ object SparkEntry {
         |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,
 
+    // transitive closure of the exact-Jaccard pair set (the dedup_minhash
+    // oracle predicate) via a recursive CTE: labels propagate along edges,
+    // component = min reachable id — exactly connectedComponents' contract
+    "dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst)
+        |SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node""".stripMargin,
+
     // winnow fingerprints only GENERATE candidates; exact 5-shingle Jaccard
     // defines the output, so the oracle is the same exact all-pairs
     // predicate as dedup_minhash (recall of the fingerprint buckets for
@@ -670,6 +752,22 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM scored GROUP BY lang, lang_pred""".stripMargin,
 
+    // same normalized tokenizer as the dedup paths; score = tf::DOUBLE/df is
+    // one exact-integer IEEE division, identical across engines
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |s AS (SELECT doc_id, term, tf, df_docs, tf::DOUBLE / df_docs AS score
+        |  FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT doc_id, term, tf, df_docs, score, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, tf, df_docs, score, rank FROM r WHERE rank <= 3""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
@@ -702,6 +800,23 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // the global window cumsum the Spark side exists to avoid — correct as
+    // an oracle, single-task as a plan. Same tokenizer as text_stats.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0))::BIGINT AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS before
+        |  FROM t)
+        |SELECT (before // 2048)::BIGINT AS chunk_id, count(*) AS n_docs,
+        |  sum(w)::BIGINT AS sum_tokens
+        |FROM c GROUP BY chunk_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS kind,

@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign each document, in a stable global order, to a
+  * fixed token-budget training chunk — the "concatenate the corpus and cut
+  * at context-length boundaries" step of an LLM data pipeline. Row `i` goes
+  * to chunk `floor(cumulativeWeightBefore(i) / budget)` where the cumulative
+  * sum runs over `orderCol` order.
+  *
+  * '''Plan shape (the 100-TB design).''' The direct formulation — one
+  * global-order window cumsum — funnels the whole corpus through a single
+  * task. Instead a two-phase distributed prefix sum:
+  *
+  *  1. rows bucket by `floor(orderCol / bucketWidth)`; per-bucket weight
+  *     totals are a map-side-combined aggregate (one small result per
+  *     bucket, collected to the driver — ~corpusRange/bucketWidth rows; for
+  *     corpora where even that is large, raise `bucketWidth` or add a second
+  *     level — the dataflow is unchanged);
+  *  2. exclusive bucket offsets broadcast back; the within-bucket cumsum is
+  *     a window partitioned BY BUCKET — thousands of independent,
+  *     bounded-size sorts instead of one global one.
+  *
+  * The chunk assignment is a pure function of the data (not of
+  * partitioning), so results are reproducible across cluster sizes and
+  * re-runs — and expressible as a plain SQL window cumsum for the oracle.
+  *
+  * `orderCol` must be unique per row (a document id); weights must be
+  * non-negative. Division uses integral `DIV`, exact at any scale.
+  */
+object SequencePack {
+
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      weightCol: String,
+      budget: Long,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df
+      .withColumn("__graft_w", col(weightCol).cast("long"))
+      .withColumn("__graft_bucket",
+        floor(col(orderCol) / bucketWidth).cast("long"))
+
+    val totals = base.groupBy("__graft_bucket")
+      .agg(sum("__graft_w").as("__t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) =>
+      val row = (b, acc); acc += t; row
+    }.toSeq
+    val offDf = offsets.toDF("__graft_bucket", "__graft_offset")
+
+    val w = Window.partitionBy("__graft_bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), Seq("__graft_bucket"))
+      .withColumn("__graft_cum", sum(col("__graft_w")).over(w))
+      .withColumn("chunk_id",
+        expr(s"(__graft_offset + __graft_cum - __graft_w) DIV $budget"))
+      .drop("__graft_bucket", "__graft_w", "__graft_cum", "__graft_offset")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+import graft.testkit.DatasetComparisons._
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def points: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 99L),
+      (4L, "b", 10L), (5L, "b", 1000L), (6L, "c", 7L)
+    ).toDF("p_id", "pk", "t")
+  }
+
+  private def intervals: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, "a", 0L, 10L),     // [0,10): catches t=5, not t=10
+      (102L, "a", 10L, 11L),    // [10,11): exactly t=10
+      (103L, "a", 0L, 1000L),   // wide interval spanning many bins
+      (104L, "b", 5L, 15L),
+      (105L, "b", 15L, 5L),     // degenerate end<=start: matches nothing
+      (106L, "z", 0L, 100L)     // key with no points
+    ).toDF("i_id", "ik", "lo", "hi")
+  }
+
+  /** Quadratic reference: plain conditional join. */
+  private def reference(keyed: Boolean): DataFrame = {
+    val cond0 = col("t") >= col("lo") && col("t") < col("hi")
+    val cond = if (keyed) col("pk") === col("ik") && cond0 else cond0
+    points.join(intervals, cond)
+  }
+
+  test("keyed range join matches the quadratic reference, no duplicate pairs") {
+    val got = RangeJoin.rangeJoin(points, "t", intervals, "lo", "hi",
+      binWidth = 8, equiKeys = Seq("pk" -> "ik"))
+    got.ensureDatasetEquals(reference(keyed = true))
+  }
+
+  test("unkeyed range join matches; intervals spanning many bins match once") {
+    val got = RangeJoin.rangeJoin(points, "t", intervals, "lo", "hi", binWidth = 3)
+    got.ensureDatasetEquals(reference(keyed = false))
+  }
+
+  test("binWidth larger than every interval still matches exactly") {
+    val got = RangeJoin.rangeJoin(points, "t", intervals, "lo", "hi",
+      binWidth = 1000000, equiKeys = Seq("pk" -> "ik"))
+    got.ensureDatasetEquals(reference(keyed = true))
+  }
+
+  test("self-join of one source disambiguates sides") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L), (2L, 12L), (3L, 30L)).toDF("id", "ts")
+    val pts = ev.select(col("id").as("e_id"), col("ts"))
+    val ivl = ev.select(col("id").as("i_id"), col("ts").as("s"),
+      (col("ts") + 5L).as("e"))
+    val got = RangeJoin.rangeJoin(pts, "ts", ivl, "s", "e", binWidth = 4)
+    val want = pts.join(ivl, col("ts") >= col("s") && col("ts") < col("e"))
+    got.ensureDatasetEquals(want)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.SequencePack.packSequences
+
+class SequencePackSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Driver-side reference: sort by id, exclusive running sum, floor-div. */
+  private def reference(rows: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+    var acc = 0L
+    rows.sortBy(_._1).map { case (id, w) =>
+      val chunk = acc / budget
+      acc += w
+      id -> chunk
+    }.toMap
+  }
+
+  private def run(rows: Seq[(Long, Long)], budget: Long,
+      bucketWidth: Long, parts: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val df = rows.toDF("id", "w").repartition(parts)
+    packSequences(df, "id", "w", budget, bucketWidth)
+      .select("id", "chunk_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chunk assignment equals the sequential cumsum reference") {
+    val rows = Seq(1L -> 100L, 2L -> 500L, 3L -> 600L, 4L -> 1L,
+      5L -> 2048L, 6L -> 10L, 10L -> 0L, 11L -> 4000L, 12L -> 7L)
+    assert(run(rows, 1024, bucketWidth = 4, parts = 5) == reference(rows, 1024))
+  }
+
+  test("result is independent of input partitioning and bucket width") {
+    val rows = (1L to 300L).map(i => i -> (i % 37 + 1))
+    val want = reference(rows, 256)
+    assert(run(rows, 256, bucketWidth = 16, parts = 1) == want)
+    assert(run(rows, 256, bucketWidth = 1024, parts = 13) == want)
+    assert(run(rows, 256, bucketWidth = 7, parts = 32) == want)
+  }
+
+  test("sparse non-contiguous ids pack by order, not by id value") {
+    val rows = Seq(5L -> 10L, 1000L -> 10L, 999999L -> 10L, 7L -> 10L)
+    assert(run(rows, 20, bucketWidth = 100, parts = 3) == reference(rows, 20))
+  }
+
+  test("oversize documents own their chunks; empty input yields empty output") {
+    import spark.implicits._
+    val rows = Seq(1L -> 5000L, 2L -> 1L, 3L -> 5000L)
+    assert(run(rows, 1024, bucketWidth = 2, parts = 2) == reference(rows, 1024))
+    assert(packSequences(Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 10).isEmpty)
+  }
+}
