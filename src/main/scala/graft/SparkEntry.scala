@@ -117,6 +117,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "bucketed_join" -> ((s, dir) => {
+      // pay the shuffle once at write time: both sides land bucketed by the
+      // join key, then the join itself plans with no exchange (PlanSpec pins
+      // the shuffle-free shape). The timed query includes the writes — the
+      // cost model a pipeline amortizes over every later join.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val lb = graft.sources.BucketedTables.writeBucketed(
+        li, "graft_b_lineitem", Seq("l_orderkey"), 8)
+      val ob = graft.sources.BucketedTables.writeBucketed(
+        o, "graft_b_orders", Seq("l_orderkey"), 8)
+      lb.join(ob, Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          max("l_extendedprice").as("max_price"))
+    }),
+
     "q3_top_orders" -> ((s, dir) => {
       // joins + agg + deterministic top-k. Distributed TakeOrderedAndProject
       // does the top-10 (no global-window single-task sort); the rank window
@@ -341,6 +359,35 @@ object SparkEntry {
         .select("media_id", "kind", "n_bytes")
     }),
 
+    "events_quantiles" -> ((s, dir) => {
+      // exact order-statistic quantiles (actual elements, no interpolation
+      // arithmetic — the engine-portable exact contract)
+      graft.operators.Quantiles.groupQuantiles(
+        events(s, dir), Seq("event_type"), "value", Seq(0.5, 0.9))
+    }),
+
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // interchange sink/source: corpus → JSONL → back, aggregated to prove
+      // values (incl. unicode text and long ids) survive bit-exactly
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      graft.sources.Formats.jsonlRoundTrip(docs,
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    }),
+
+    "partitioned_scan" -> ((s, dir) => {
+      // hive-partitioned layout: a lang='fr' read prunes to one directory
+      // (PlanSpec pins the PartitionFilters shape)
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      graft.sources.Formats.writePartitioned(docs,
+        s"${System.getProperty("java.io.tmpdir")}/graft_part", Seq("lang"))
+        .filter(col("lang") === "fr")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       events(s, dir)
         .groupBy(
@@ -382,6 +429,18 @@ object SparkEntry {
       out.groupBy("user_id").agg(
         count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"))
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      // streaming dedup on (user_id, event_type), aggregated to a stable
+      // shape: distinct users per event type
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.dedupKeys(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          Seq("user_id", "event_type")),
+        "graft_stream_dedup", outputMode = "append")
+      out.groupBy("event_type").agg(count(lit(1)).as("n_users"))
     }),
 
     "stream_skewjoin" -> ((s, dir) => {
@@ -590,6 +649,12 @@ object SparkEntry {
     "skewjoin_anti" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |max(l_extendedprice) AS max_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q3_top_orders" ->
@@ -823,6 +888,30 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal
+    // product, identical IEEE in both engines
+    "events_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN value END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN value END) AS p90,
+        |  max(n)::BIGINT AS n
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+        |sum(length(text))::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "partitioned_scan" ->
+      """SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+        |sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE lang = 'fr'""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
@@ -854,6 +943,10 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "stream_skewjoin" ->
       """SELECT c_mktsegment, count(*) AS n, min(value) AS min_v,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group order-statistic quantiles: for each group and each
+  * requested fraction `q`, the `ceil(q·n)`-th smallest value (1-indexed; the
+  * "lower discrete quantile"). Median/p90/p99 profiling of value
+  * distributions per key.
+  *
+  * An ORDER STATISTIC, not an interpolated quantile: the result is an actual
+  * element of the group, chosen purely by rank — no floating-point
+  * arithmetic between neighbors — so the result is bit-identical across
+  * engines and exactly oracle-checkable (interpolating quantiles differ in
+  * the last ulp between implementations; `approx_percentile` isn't
+  * deterministic across partitionings at all).
+  *
+  * '''Plan shape.''' One `row_number` window + one count per group (both
+  * shuffle on the group key; the window sorts each group once for ALL
+  * requested quantiles), then a rank-predicate filter and a pivot-style
+  * conditional aggregation back to one row per group. Group sizes bound the
+  * window sort; for 100-TB groups swap in `approx_percentile` — this
+  * operator is the exact contract.
+  */
+object Quantiles {
+
+  def groupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
+      "fractions must be in (0, 1]")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val cw = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(cw))
+    val aggs = fractions.map { f =>
+      val target = greatest(lit(1L), ceil(col("__graft_n") * f))
+      max(when(col("__graft_rn") === target, col(valueCol)))
+        .as("p" + math.round(f * 100))
+    } :+ max(col("__graft_n")).as("n")
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

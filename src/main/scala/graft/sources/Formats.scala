@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Interchange-format sources/sinks beyond parquet: JSONL round-trip and
+  * hive-partitioned layouts.
+  *
+  * The partitioned layout is the other half of the scan-pruning story
+  * (BucketedTables covers the join side): writing a corpus partitioned by a
+  * low-cardinality column (language, source, date) turns every later
+  * filtered read into a directory-level prune — a `lang='fr'` scan reads
+  * only `lang=fr/` files, no matter how many petabytes the other partitions
+  * hold. PlanSpec pins the `PartitionFilters` shape.
+  */
+object Formats {
+
+  /** Write `df` as JSON-lines (overwriting `path`) and read it back with the
+    * original schema enforced — schema-on-read against inference drift (a
+    * JSONL corpus with an all-null or all-integral column would otherwise
+    * come back with a different type). */
+  def jsonlRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
+  /** Write `df` hive-partitioned by `partCols` (overwriting `path`) and
+    * return the partition-aware reader over it. */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): DataFrame = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

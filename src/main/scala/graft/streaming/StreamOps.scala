@@ -63,6 +63,32 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact deduplication: each distinct `keyCols` combination is
+    * emitted exactly once (append mode, state-store backed — never a driver
+    * set). The output carries ONLY the key columns: with payload columns the
+    * emitted row would depend on which physical duplicate arrives first —
+    * an execution property; keys-only output is a pure data property,
+    * oracle-checkable as `SELECT DISTINCT`.
+    *
+    * Unbounded-stream variant: `withWatermark` + `dropDuplicatesWithinWatermark`
+    * ages dedup state out of the store, weakening the contract to
+    * exactly-once within the watermark horizon — that is the 100-TB/∞-time
+    * configuration; the exact form here keeps one compact key row per
+    * distinct key in state. */
+  def dedupKeys(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      withinWatermark: Option[(String, String)] = None): DataFrame =
+    withinWatermark match {
+      case Some((tsCol, horizon)) =>
+        stream.withWatermark(tsCol, horizon)
+          .select((keyCols :+ tsCol).map(col): _*)
+          .dropDuplicatesWithinWatermark(keyCols)
+          .select(keyCols.map(col): _*)
+      case None =>
+        stream.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    }
+
   /** CMS-gated salted stream-static equi-join: only HOT keys are salted.
     *
     * A Count-Min Sketch over `hotKeySource` (default: the static side; pass

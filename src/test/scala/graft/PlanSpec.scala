@@ -79,6 +79,48 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // both sides written bucketed by the join key with equal bucket counts:
+    // the join must plan with NO Exchange under it (broadcast disabled so
+    // the 100-TB shape — sort-merge on co-located buckets — is what's pinned)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val lb = graft.sources.BucketedTables.writeBucketed(
+        li, "graft_test_b_lineitem", Seq("l_orderkey"), 4)
+      val ob = graft.sources.BucketedTables.writeBucketed(
+        o, "graft_test_b_orders", Seq("l_orderkey"), 4)
+      val q = lb.join(ob, Seq("l_orderkey"))
+      q.collect()
+      val planStr = plan(q).split("== Initial Plan ==")(0)
+      assert(!planStr.contains("Exchange"),
+        s"bucketed join still shuffles:\n$planStr")
+      assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+      // correctness vs the plain (shuffled) join
+      import graft.testkit.DatasetComparisons._
+      q.ensureDatasetEquals(li.join(o, Seq("l_orderkey")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars", "lang")
+    val part = graft.sources.Formats.writePartitioned(docs,
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_part", Seq("lang"))
+    val q = part.filter(col("lang") === "fr").select("doc_id")
+    val p = plan(q)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"no partition filter at the scan:\n$p")
+    // the data filter must NOT degrade to a post-scan filter on lang
+    assert(p.contains("isnotnull(lang"), s"partition predicate missing:\n$p")
+    import graft.testkit.DatasetComparisons._
+    q.ensureDatasetEquals(docs.filter(col("lang") === "fr").select("doc_id"))
+  }
+
   test("broadcast join is chosen for a small dimension") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val nation = spark.read.parquet(s"$sf/nation.parquet")

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quantiles.groupQuantiles
+
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def reference(vals: Seq[Double], f: Double): Double = {
+    val sorted = vals.sorted
+    sorted(math.max(1, math.ceil(vals.size * f).toLong).toInt - 1)
+  }
+
+  test("per-group order-statistic quantiles match the sorted reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (g.hashCode.abs % 40 + 3)
+    } yield (g, rng.nextDouble() * 100)
+    val got = groupQuantiles(rows.toDF("g", "v"), Seq("g"), "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byG.foreach { case (g, vs) =>
+      val (p50, p90, n) = got(g)
+      assert(n == vs.size)
+      assert(p50 == reference(vs, 0.5), s"p50 of $g")
+      assert(p90 == reference(vs, 0.9), s"p90 of $g")
+    }
+  }
+
+  test("single-row groups, ties, and nulls") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(5.0)), ("b", Some(1.0)), ("b", Some(1.0)), ("b", Some(2.0)),
+      ("c", None), ("c", Some(3.0))
+    ).toDF("g", "v")
+    val got = groupQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got("a") == ((5.0, 1L)))
+    assert(got("b") == ((1.0, 3L)))   // ceil(3*0.5)=2nd smallest of (1,1,2) = 1
+    assert(got("c") == ((3.0, 1L)))   // null values excluded from rank and count
+  }
+}

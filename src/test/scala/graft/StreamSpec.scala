@@ -35,6 +35,24 @@ class StreamSpec extends AnyFunSuite {
     assert(sessions.filter(col("n_events") <= 0).isEmpty)
   }
 
+  test("streaming dedup emits each distinct key exactly once") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupKeys(StreamOps.eventsStream(spark, s"$sf/events.parquet"),
+        Seq("user_id", "event_type")),
+      "t_stream_dedup", outputMode = "append")
+    got.ensureDatasetEquals(batchEvents.select("user_id", "event_type").distinct())
+  }
+
+  test("streaming dedup within watermark covers all keys on a bounded replay") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupKeys(StreamOps.eventsStream(spark, s"$sf/events.parquet"),
+        Seq("user_id", "event_type"), withinWatermark = Some(("ts", "1 hour"))),
+      "t_stream_dedup_wm", outputMode = "append")
+    // a single-batch replay holds the watermark at the epoch for the whole
+    // batch, so no state ages out and the result is the exact distinct set
+    got.ensureDatasetEquals(batchEvents.select("user_id", "event_type").distinct())
+  }
+
   test("stream-static join replicates nothing on uniform keys, only hot keys on skew") {
     import spark.implicits._
     import graft.skew.SkewJoinConf
