@@ -151,6 +151,41 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    "q5_star_join" -> ((s, dir) => {
+      // four-way star join: Catalyst broadcast-chains the small dims
+      // (customer→nation→region) under the one big fact shuffle
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    "q1_rollup" -> ((s, dir) => {
+      // multi-level aggregation in one pass (rollup → grouping sets)
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    "events_rolling" -> ((s, dir) => {
+      // per-user ordered features: previous event's value + rolling 3-row
+      // min/max (order statistics — exact doubles, engine-portable)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      val w3 = w.rowsBetween(-3, Window.currentRow)
+      events(s, dir)
+        .filter(col("user_id") < 500)
+        .select(col("event_id"), col("user_id"),
+          lag("value", 1).over(w).as("prev_value"),
+          min("value").over(w3).as("roll_min"),
+          max("value").over(w3).as("roll_max"))
+    }),
+
     "cms_heavyhitters" -> ((s, dir) => {
       // sketch-prefiltered exact heavy hitters: CMS never undercounts, so the
       // estimate>=T filter keeps every true heavy key; the exact re-count
@@ -664,6 +699,31 @@ object SparkEntry {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY l_orderkey, o_orderpriority)
         |WHERE rank <= 10""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT n_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // (user_id, ts) pairs are unique in the data, so the frame contents —
+    // and the order-statistic min/max over them — are deterministic
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  min(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |    AS roll_min,
+        |  max(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |    AS roll_max
+        |FROM events WHERE user_id < 500
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))""".stripMargin,
 
     "cms_heavyhitters" ->
       """SELECT l_orderkey, count(*) AS n FROM lineitem
