@@ -249,6 +249,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "dedup_apply_cc" -> ((s, dir) => {
+      // transitive apply: one surviving representative per duplicate
+      // CLUSTER (vs dedup_apply's pairwise id_b-drop policy)
+      graft.llm.Dedup.dropNearDuplicatesTransitive(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "dedup_groups" -> ((s, dir) => {
       // transitive near-dup clusters: LSH pair generation → distributed
       // connected components (large-star/small-star); component = smallest
@@ -787,6 +797,34 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(a.sh || b.sh)) >= 0.5)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
+
+    // cluster-representative replay: a doc is dropped iff its component
+    // minimum (recursive-CTE closure over the exact-Jaccard pairs) is a
+    // different doc
+    "dedup_apply_cc" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |dropped AS (
+        |  SELECT node AS doc_id FROM r GROUP BY node
+        |  HAVING min(lbl) <> node)
         |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,

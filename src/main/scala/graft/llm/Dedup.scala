@@ -208,6 +208,34 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-deduplicated corpus: connected components over the
+    * near-dup pair graph, keeping exactly ONE document per cluster (the
+    * smallest id). Unlike [[dropNearDuplicates]]' pairwise policy — which
+    * can drop every member of a duplicate chain whose links all point at
+    * dropped intermediates — the component representative is always kept,
+    * which is the semantics most curation pipelines actually want.
+    * Costs the pair pipeline plus O(log² n) small CC rounds
+    * ([[graft.operators.ConnectedComponents]]); the keep-policy is a pure
+    * function of the pair set, so it stays exactly oracle-checkable
+    * (recursive-CTE closure + anti-join). */
+  def dropNearDuplicatesTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
+    val pairs = minHashDedupPairs(df, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucketSize)
+    val dropIds = graft.operators.ConnectedComponents
+      .connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Distinct candidate id pairs from bucketed rows (`id` + bucket key cols).
     *
     * Two scale guards that a naive bucket self-join lacks:

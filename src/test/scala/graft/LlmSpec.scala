@@ -20,6 +20,31 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 4L)))
   }
 
+  test("transitive dedup keeps one representative per duplicate CHAIN") {
+    import spark.implicits._
+    // a→b→c near-dup chain where a and c are NOT near-dups of each other:
+    // the pairwise policy may drop both b and c; the transitive policy must
+    // keep exactly the chain minimum plus the unrelated doc
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val df = Seq(
+      1L -> base,
+      2L -> (base + " one extra clause appended here to drift the shingles a bit"),
+      3L -> (base + " one extra clause appended here to drift the shingles a bit" +
+        " then later quietly zebras migrate beyond frozen volcanic plateaus during winter solstice"),
+      9L -> "completely unrelated text about distributed query engines and shuffle exchanges everywhere"
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesTransitive(df, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minHashDedupPairs(df, "doc_id", "text", numHashes = 32,
+      bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: the chain is a chain (1-2, 2-3 similar; 1-3 not, 9 isolated)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)), s"pairs=$pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.exists(p => p._1 == 9L || p._2 == 9L),
+      s"pairs=$pairs")
+    assert(kept == Set(1L, 9L), s"kept=$kept")
+  }
+
   test("minhash LSH finds identical and near-identical docs, not unrelated ones") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -106,6 +106,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range join plans as an equi-join on bins, never a nested loop") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: at 100 TB neither side fits; the bin equi-join must
+      // carry the plan on its own
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+      val pts = ev.select(col("event_id").as("c_id"), col("ts_ns").as("c_ts"))
+      val ivl = ev.select(col("event_id").as("p_id"), col("ts_ns").as("p_lo"),
+        (col("ts_ns") + 3600000000000L).as("p_hi"))
+      val q = graft.operators.RangeJoin.rangeJoin(
+        pts, "c_ts", ivl, "p_lo", "p_hi", binWidth = 3600000000000L)
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join degenerated to an all-pairs plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on bins:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "n_chars", "lang")
