@@ -22,14 +22,15 @@ object Bench {
     // compiles/JITs every operator's codegen before anything is measured
     // (first-heavy-query-in-the-alphabet otherwise absorbs all JVM warm-up:
     // dedup_apply measured 38 s cold vs 11 s steady on identical plans), then
-    // `iters` timed passes per query with the per-query MINIMUM reported —
-    // the engine's cost with transient host-load spikes filtered out.
+    // `iters` timed passes per query with the per-query MEDIAN reported —
+    // robust to transient host-load spikes without the best-case flattery of
+    // a minimum (lower-middle element: an actual measurement, not an average).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty)
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val timings = (1 to iters).map { _ =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -38,7 +39,8 @@ object Bench {
       }.toMap
     }
     val results = queries.map { case (name, _) =>
-      name -> timings.map(_(name)).min
+      val sorted = timings.map(_(name)).sorted
+      name -> sorted((sorted.size - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,8 +43,18 @@ object SequencePack {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // the documented preconditions are enforced, not assumed: null order keys
+    // or weights would otherwise surface as a driver-side NPE on the bucket
+    // totals (sum over an all-null bucket is null), and negative weights make
+    // chunk ids non-monotone — fail the job at the offending row instead
     val base = df
-      .withColumn("__graft_w", col(weightCol).cast("long"))
+      .filter(col(orderCol).isNotNull)
+      .withColumn("__graft_w",
+        when(col(weightCol).isNull || col(weightCol) < 0,
+          raise_error(concat(
+            lit(s"packSequences: $weightCol must be non-null and >= 0, got "),
+            coalesce(col(weightCol).cast("string"), lit("null")))))
+          .otherwise(col(weightCol).cast("long")))
       .withColumn("__graft_bucket",
         floor(col(orderCol) / bucketWidth).cast("long"))
 

@@ -38,11 +38,23 @@ object Quantiles {
       .filter(col(valueCol).isNotNull)
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_n", count(lit(1)).over(cw))
-    val aggs = fractions.map { f =>
+    // column names derive from the exact decimal fraction (p50, p99_5), not a
+    // rounded percent — 0.995 and 1.0 must not both become "p100"
+    val names = fractions.map(quantileName)
+    require(names.distinct.size == names.size,
+      s"fractions map to duplicate column names: ${names.mkString(", ")}")
+    val aggs = fractions.zip(names).map { case (f, name) =>
       val target = greatest(lit(1L), ceil(col("__graft_n") * f))
-      max(when(col("__graft_rn") === target, col(valueCol)))
-        .as("p" + math.round(f * 100))
+      max(when(col("__graft_rn") === target, col(valueCol))).as(name)
     } :+ max(col("__graft_n")).as("n")
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** "p" + percent with the exact decimal tail, '.' → '_' (0.5 → p50,
+    * 0.995 → p99_5, 0.251 → p25_1). BigDecimal over the fraction's decimal
+    * rendering so 0.995·100 is exactly 99.5, not 99.49999…. */
+  private[graft] def quantileName(f: Double): String = {
+    val pct = (BigDecimal(f.toString) * 100).underlying.stripTrailingZeros
+    "p" + pct.toPlainString.replace(".", "_")
   }
 }

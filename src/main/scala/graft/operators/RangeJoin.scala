@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
 
 /** Point-in-interval (range) join: pair each left "point" row with every
   * right "interval" row whose half-open interval `[start, end)` contains the
@@ -49,7 +51,15 @@ object RangeJoin {
       s"rangeJoin: column names collide across sides: ${overlap.mkString(", ")}" +
         " — rename before joining")
 
-    def bin(c: Column): Column = floor(c / binWidth)
+    // exact long floor-division: `floor(c / w)` promotes to double and rounds
+    // above 2^53 (nanosecond epochs); integral DIV with a negative-dividend
+    // adjustment keeps bin assignment exact at any magnitude
+    def bin(c: Column): Column = {
+      val cl = c.cast("long")
+      val q = Bridge.column(new IntegralDivide(
+        Bridge.expression(cl), Bridge.expression(lit(binWidth))))
+      q - when(cl % binWidth < 0, lit(1L)).otherwise(lit(0L))
+    }
 
     val lb = left
       .filter(col(pointCol).isNotNull)

@@ -43,4 +43,18 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got("b") == ((1.0, 3L)))   // ceil(3*0.5)=2nd smallest of (1,1,2) = 1
     assert(got("c") == ((3.0, 1L)))   // null values excluded from rank and count
   }
+
+  test("fractions rounding to the same percent get distinct column names") {
+    import graft.operators.Quantiles.quantileName
+    assert(quantileName(0.5) == "p50")
+    assert(quantileName(1.0) == "p100")
+    assert(quantileName(0.995) == "p99_5")   // not p100
+    assert(quantileName(0.251) == "p25_1")   // not p25
+    assert(quantileName(0.25) == "p25")
+
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val cols = groupQuantiles(df, Seq("g"), "v", Seq(0.995, 1.0, 0.25, 0.251)).columns
+    assert(cols.toSeq == Seq("g", "p99_5", "p100", "p25", "p25_1", "n"))
+  }
 }

@@ -54,6 +54,29 @@ class RangeJoinSpec extends AnyFunSuite {
     got.ensureDatasetEquals(reference(keyed = true))
   }
 
+  test("negative coordinates bin by floor division, not truncation") {
+    import spark.implicits._
+    val pts = Seq((1L, -5L), (2L, -1L), (3L, 0L), (4L, -100L)).toDF("p_id", "t")
+    val ivl = Seq((10L, -8L, -2L), (11L, -2L, 3L), (12L, -101L, -99L))
+      .toDF("i_id", "lo", "hi")
+    val got = RangeJoin.rangeJoin(pts, "t", ivl, "lo", "hi", binWidth = 7)
+    val want = pts.join(ivl, col("t") >= col("lo") && col("t") < col("hi"))
+    got.ensureDatasetEquals(want)
+  }
+
+  test("values beyond 2^53 (nanosecond epochs) bin exactly") {
+    import spark.implicits._
+    // adjacent nano-scale longs where double rounding would merge/shift bins
+    val base = (1L << 60) + 123456789L
+    val pts = Seq((1L, base), (2L, base + 1L), (3L, base + 999L), (4L, -base))
+      .toDF("p_id", "t")
+    val ivl = Seq((10L, base, base + 2L), (11L, base + 500L, base + 1000L),
+      (12L, -base - 1L, -base + 1L)).toDF("i_id", "lo", "hi")
+    val got = RangeJoin.rangeJoin(pts, "t", ivl, "lo", "hi", binWidth = 1000L)
+    val want = pts.join(ivl, col("t") >= col("lo") && col("t") < col("hi"))
+    got.ensureDatasetEquals(want)
+  }
+
   test("self-join of one source disambiguates sides") {
     import spark.implicits._
     val ev = Seq((1L, 10L), (2L, 12L), (3L, 30L)).toDF("id", "ts")

@@ -52,4 +52,20 @@ class SequencePackSpec extends AnyFunSuite {
     assert(run(rows, 1024, bucketWidth = 2, parts = 2) == reference(rows, 1024))
     assert(packSequences(Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 10).isEmpty)
   }
+
+  test("null order keys are dropped; null or negative weights fail loudly") {
+    import spark.implicits._
+    val withNullId = Seq((Some(1L), Some(10L)), (None, Some(99L)), (Some(2L), Some(10L)))
+      .toDF("id", "w")
+    val got = packSequences(withNullId, "id", "w", 15)
+      .select("id", "chunk_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))  // null-id row neither packed nor counted
+
+    val withNullW = Seq((Some(1L), Some(10L)), (Some(2L), None)).toDF("id", "w")
+    val e1 = intercept[Exception] { packSequences(withNullW, "id", "w", 15).collect() }
+    assert(e1.getMessage != null)
+    val withNegW = Seq((1L, 10L), (2L, -3L)).toDF("id", "w")
+    val e2 = intercept[Exception] { packSequences(withNegW, "id", "w", 15).collect() }
+    assert(e2.getMessage != null)
+  }
 }
