@@ -172,6 +172,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
 
+    "q1_cube" -> ((s, dir) => {
+      // the full grouping-sets lattice in one pass (cube = rollup plus the
+      // cross margins); Catalyst plans one Expand + one hash aggregate
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    "events_pivot" -> ((s, dir) => {
+      // wide per-user activity features: one row per user, one counter per
+      // event type. The explicit value list keeps the output schema static —
+      // no distinct-values pre-job, and the plan is a single hash aggregate
+      // over conditional counts at any scale. Absent combinations are 0, not
+      // null (matching SQL's FILTER-count semantics).
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // interchange sink/source: corpus metadata → CSV → back under the
+      // original schema, aggregated to prove values survive the typeless
+      // format exactly
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      graft.sources.Formats.csvRoundTrip(docs,
+        s"${System.getProperty("java.io.tmpdir")}/graft_csv")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
+    "skew_collect" -> ((s, dir) => {
+      // holistic skew-safe aggregation: per-language sorted doc-id roster via
+      // the two-stage salted collect (stage 1 spreads a hot language over 32
+      // reducers); stringified for the oracle compare
+      graft.operators.SkewAgg
+        .sortedListAgg(t(s, dir, "documents"), Seq("lang"), "doc_id")
+        .select(col("lang"),
+          array_join(transform(col("values"), _.cast("string")), ",").as("doc_ids"),
+          col("n_values"))
+    }),
+
+    "skew_distinct" -> ((s, dir) => {
+      // exact distinct users per event type via the explicit two-stage
+      // (key,value) dedup shape — the scale-safe form of count(DISTINCT)
+      graft.operators.SkewAgg
+        .countDistinctExact(events(s, dir), Seq("event_type"), "user_id")
+    }),
+
+    "events_mode" -> ((s, dir) => {
+      // per-type modal user: two-stage counts then an algebraic min over
+      // struct(-count, value) — deterministic tie-break, no per-key list
+      graft.operators.SkewAgg
+        .modePerKey(events(s, dir), Seq("event_type"), "user_id")
+    }),
+
     "events_rolling" -> ((s, dir) => {
       // per-user ordered features: previous event's value + rolling 3-row
       // min/max (order statistics — exact doubles, engine-portable)
@@ -722,6 +780,46 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q1_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+        |sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "skew_collect" ->
+      """SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
+        |count(doc_id) AS n_values
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+        |count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, cnt, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, user_id AS mode_value, cnt AS n_mode
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // (user_id, ts) pairs are unique in the data, so the frame contents —
     // and the order-statistic min/max over them — are deterministic

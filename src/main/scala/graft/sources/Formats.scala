@@ -23,6 +23,16 @@ object Formats {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** Write `df` as header-ful CSV (overwriting `path`) and read it back with
+    * the original schema enforced — CSV carries no types at all, so
+    * schema-on-read is mandatory (inference would demote longs that happen
+    * to fit in int, or misread an all-digits string column). Quoting is
+    * Spark's RFC-4180 default; embedded commas/quotes survive. */
+  def csvRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+  }
+
   /** Write `df` hive-partitioned by `partCols` (overwriting `path`) and
     * return the partition-aware reader over it. */
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): DataFrame = {
