@@ -205,6 +205,27 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "vocab_top" -> ((s, dir) => {
+      // vocabulary construction: top-100 corpus tokens by occurrence count
+      // (ties by token text), with document frequencies; the top-k runs as
+      // TakeOrderedAndProject — per-partition heaps, no global sort
+      graft.llm.Vocab.topTokens(t(s, dir, "documents"), "doc_id", "text", k = 100)
+    }),
+
+    "corpus_mix" -> ((s, dir) => {
+      // data-diet mixing: two provenance-tagged corpora resampled at exact
+      // binary fractions (0.25 / 0.75 — exact in IEEE, so the hash cutoffs
+      // replay identically in SQL), membership a pure function of doc_id
+      val docs = t(s, dir, "documents")
+      val headSrcs = (0 to 9).map("src" + _)
+      val head = docs.filter(col("source").isin(headSrcs: _*))
+      val tail = docs.filter(!col("source").isin(headSrcs: _*))
+      graft.llm.Sampling
+        .mixCorpora(Seq(("head", head, 0.25), ("tail", tail, 0.75)), "doc_id")
+        .groupBy("corpus", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "skew_collect" -> ((s, dir) => {
       // holistic skew-safe aggregation: per-language sorted doc-id roster via
       // the two-stage salted collect (stage 1 spreads a hot language over 32
@@ -799,6 +820,36 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
         |sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    // same normalized tokenizer as text_tfidf; top-100 total order is
+    // deterministic (count desc, token asc), so the LIMIT edge is stable
+    "vocab_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT token, count(*) AS n_docs, sum(c)::BIGINT AS n_occurrences
+        |  FROM td GROUP BY token)
+        |SELECT token, n_docs, n_occurrences FROM agg
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH mixed AS (
+        |  SELECT 'head' AS corpus, lang, doc_id FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR || 'head'), 1, 15))::BIGINT
+        |        % 1000000 < 250000
+        |  UNION ALL
+        |  SELECT 'tail' AS corpus, lang, doc_id FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4',
+        |                       'src5','src6','src7','src8','src9')
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR || 'tail'), 1, 15))::BIGINT
+        |        % 1000000 < 750000)
+        |SELECT corpus, lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM mixed GROUP BY 1, 2""".stripMargin,
 
     "skew_collect" ->
       """SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,

@@ -31,6 +31,25 @@ object Sampling {
     df.filter(sampleBucket(col(idCol), salt) < lit((fraction * Buckets).toLong))
   }
 
+  /** Deterministic weighted corpus mixture: sample each named corpus at its
+    * own rate and union with a `corpus` provenance column — the "mix web at
+    * 0.3, books at 1.0, code at 0.7" step that sets a training run's data
+    * diet. Membership hashes (id, salt + corpusName), so each corpus draws
+    * an independent, reproducible sample and the whole mixture is
+    * re-materializable on any cluster — and exactly replayable by a SQL
+    * oracle. Schemas must align by column name (`unionByName`). */
+  def mixCorpora(
+      corpora: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      salt: String = ""): DataFrame = {
+    require(corpora.nonEmpty, "mixCorpora requires at least one corpus")
+    require(corpora.map(_._1).distinct.size == corpora.size,
+      "corpus names must be distinct (they salt the sampling hash)")
+    corpora.map { case (name, df, fraction) =>
+      sampleByHash(df, idCol, fraction, salt + name).withColumn("corpus", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. language
     * rebalancing — downsample dominant languages, keep the tail), unmatched
     * strata fall back to `defaultFraction`. One codegen'd filter over the

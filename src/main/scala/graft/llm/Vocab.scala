@@ -1,0 +1,33 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics: the top-k tokens by total occurrence count,
+  * with document frequencies — the first step of vocabulary construction /
+  * BPE training and a standard corpus-health diagnostic (a vocabulary
+  * dominated by boilerplate tokens flags template spam before training).
+  *
+  * '''Plan shape (the 100-TB design).''' explode → per-(token, doc) count
+  * (map-side combined; also yields document frequency without a second scan)
+  * → per-token sum/count → global top-k. The top-k is `ORDER BY … LIMIT k`,
+  * which Spark executes as `TakeOrderedAndProject`: each partition keeps its
+  * own k-row heap and the driver merges partition winners — no global sort,
+  * no single-reducer funnel, O(k) driver memory. Ties rank deterministically
+  * by token text. Same normalized tokenizer as the dedup/TF-IDF paths.
+  */
+object Vocab {
+
+  def topTokens(df: DataFrame, idCol: String, textCol: String, k: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(idCol).as("__graft_doc"),
+      explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("token"))
+    toks
+      .groupBy("token", "__graft_doc")
+      .agg(count(lit(1)).as("__graft_c"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_docs"), sum("__graft_c").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+}

@@ -34,6 +34,41 @@ class SamplingIvfSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("corpus mixture = per-corpus hash samples with provenance tags") {
+    val headSrcs = (0 to 9).map("src" + _)
+    val head = docs.filter(col("source").isin(headSrcs: _*))
+    val tail = docs.filter(!col("source").isin(headSrcs: _*))
+    val mix = Sampling.mixCorpora(
+      Seq(("head", head, 0.25), ("tail", tail, 0.75)), "doc_id")
+    val want = Sampling.sampleByHash(head, "doc_id", 0.25, salt = "head")
+      .withColumn("corpus", lit("head"))
+      .unionByName(Sampling.sampleByHash(tail, "doc_id", 0.75, salt = "tail")
+        .withColumn("corpus", lit("tail")))
+    mix.ensureDatasetEquals(want)
+    // each corpus actually thinned at its own rate, and tags partition rows
+    val byCorpus = mix.groupBy("corpus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCorpus("head") < head.count() && byCorpus("tail") < tail.count())
+    assert(byCorpus("head") + byCorpus("tail") == mix.count())
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", head, 0.5), ("a", tail, 0.5)), "doc_id")
+    }
+  }
+
+  test("vocab top-k counts tokens and docs with a deterministic tie order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "Apple!  date")  // normalization folds case and punctuation
+    ).toDF("id", "txt")
+    val got = graft.llm.Vocab.topTokens(df, "id", "txt", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple: 3 occ / 2 docs; banana: 2 occ / 2 docs; cherry & date tie at
+    // 1 occ — cherry wins the tie alphabetically
+    assert(got == Seq(("apple", 2L, 3L), ("banana", 2L, 2L), ("cherry", 1L, 1L)))
+  }
+
   test("stratified sample applies per-stratum fractions and the default") {
     val out = Sampling.stratifiedSampleByHash(
       docs, "doc_id", "lang", Map("en" -> 1.0, "fr" -> 0.0), defaultFraction = 0.5)
