@@ -205,6 +205,15 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "zorder_key" -> ((s, dir) => {
+      // multi-dimensional layout key: interleave 6 bits of p_size with 6
+      // bits of (p_partkey mod 64) — pure codegen'd bit arithmetic; the
+      // layout itself (range-partition + sort by this key) is spec-tested
+      val z = graft.operators.ZOrder.zValue(
+        Seq(col("p_size"), pmod(col("p_partkey"), lit(64))), bits = 6)
+      t(s, dir, "part").select(col("p_partkey"), z.as("z"))
+    }),
+
     "vocab_top" -> ((s, dir) => {
       // vocabulary construction: top-100 corpus tokens by occurrence count
       // (ties by token text), with document frequencies; the top-k runs as
@@ -820,6 +829,16 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
         |sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    // bit-for-bit replay of the Morton interleave: column 0 (p_size) lands
+    // on even output bits, column 1 (p_partkey mod 64) on odd ones
+    "zorder_key" -> {
+      val terms = (0 until 6).flatMap { b =>
+        Seq(s"(((p_size >> $b) & 1) << ${2 * b})",
+          s"((((p_partkey % 64) >> $b) & 1) << ${2 * b + 1})")
+      }
+      s"SELECT p_partkey, (${terms.mkString(" | ")})::BIGINT AS z FROM part"
+    },
 
     // same normalized tokenizer as text_tfidf; top-100 total order is
     // deterministic (count desc, token asc), so the LIMIT edge is stable
