@@ -407,6 +407,24 @@ object SparkEntry {
       graft.llm.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    "decontaminate" -> ((s, dir) => {
+      // src0 plays the benchmark suite: flag training docs (all other
+      // sources) sharing any 8-token n-gram with it. Eval grams broadcast;
+      // the training side never shuffles before the contamination filter.
+      val docs = t(s, dir, "documents")
+      graft.llm.Decontaminate.contaminatedDocs(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", n = 8)
+    }),
+
+    "quality_filter" -> ((s, dir) => {
+      // rule verdict census over the whole corpus: one row per observed
+      // flag combination (sum_ids pins exactly WHICH docs carry each verdict)
+      graft.llm.TextStats.gopherFlags(t(s, dir, "documents"), "text")
+        .groupBy("tokens_ok", "avg_len_ok", "punct_ok", "has_stopword", "keep")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.bruteForceTopK(
@@ -510,6 +528,28 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_chars"))
     }),
 
+    "orc_roundtrip" -> ((s, dir) => {
+      // the ORC face of the interchange story (jsonl_roundtrip covers JSON)
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      graft.sources.Formats.orcRoundTrip(docs,
+        s"${System.getProperty("java.io.tmpdir")}/graft_orc")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    }),
+
+    "events_json" -> ((s, dir) => {
+      // semi-structured payload extraction: parse the JSON props column with
+      // an explicit schema (codegen'd JsonToStructs, no UDF) and aggregate
+      val k = from_json(col("props"), "k BIGINT", Map.empty[String, String])
+        .getField("k")
+      events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
     "partitioned_scan" -> ((s, dir) => {
       // hive-partitioned layout: a lang='fr' read prunes to one directory
       // (PlanSpec pins the PartitionFilters shape)
@@ -574,6 +614,17 @@ object SparkEntry {
           Seq("user_id", "event_type")),
         "graft_stream_dedup", outputMode = "append")
       out.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    }),
+
+    "stream_running_count" -> ((s, dir) => {
+      // flatMapGroupsWithState custom state machine (update mode); the
+      // running count is monotone, so max() over the update stream = final
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.runningUserCounts(
+          StreamOps.eventsStream(s, s"$dir/events.parquet")),
+        "graft_stream_running", outputMode = "update")
+      out.groupBy("user_id").agg(max("n_events").as("n_events"))
     }),
 
     "stream_skewjoin" -> ((s, dir) => {
@@ -697,7 +748,76 @@ object SparkEntry {
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
 
+  /** Shared DuckDB expression for [[graft.llm.TextStats.normalizeText]]. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Generated oracle for `decontaminate`: replays normalization, exact
+    * `n`-token grams (1-based inclusive list slices) and the distinct-gram
+    * overlap count per training doc. */
+  private def decontaminateSql(n: Int = 8): String =
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex($normSql, '\\s+'),
+       |      t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+       |  FROM tk, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)
+       |  WHERE source <> 'src0'),
+       |eg AS (SELECT DISTINCT array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+       |  FROM tk, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)
+       |  WHERE source = 'src0')
+       |SELECT doc_id, count(*)::BIGINT AS n_overlap
+       |FROM tg JOIN eg USING (gram) GROUP BY doc_id""".stripMargin
+
+  /** Generated oracle for `quality_filter`: the stopword IN-list comes from
+    * the same `stopwordProfiles` the engine uses, and every ratio is the
+    * identical IEEE division of exact integer counts. */
+  private def gopherSql: String = {
+    val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |  length(text)::BIGINT AS nc,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0))::BIGINT AS nt,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS np,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t IN ($sw)))::BIGINT AS nsw
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |  nt BETWEEN 30 AND 80 AS tokens_ok,
+       |  nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
+       |    AND (nc - nt + 1) / nt::DOUBLE <= 5.0 AS avg_len_ok,
+       |  nc = 0 OR np::DOUBLE / nc <= 0.1 AS punct_ok,
+       |  nsw > 0 AS has_stopword
+       |  FROM f)
+       |SELECT tokens_ok, avg_len_ok, punct_ok, has_stopword,
+       |  tokens_ok AND avg_len_ok AND punct_ok AND has_stopword AS keep,
+       |  count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+       |FROM r GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql(),
+
+    "quality_filter" -> gopherSql,
+
+    "orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+        |sum(length(text))::BIGINT AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |count(json_extract_string(props, '$.k')) AS n_k,
+        |sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "stream_running_count" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "ann_lsh" -> annLshSql(),
 
     "ann_ivf" -> annIvfSql(),

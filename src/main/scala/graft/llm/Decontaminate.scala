@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * length-`n` token n-gram with an evaluation corpus (the standard
+  * contamination check run before training on web-scale data).
+  *
+  * North-star extension surface (SURVEY.md §2.4); the reference is
+  * join-machinery only. Scale design: the eval side of this check is a
+  * benchmark suite — megabytes against a 100-TB training corpus — so its
+  * distinct gram set is BROADCAST and the training side joins map-side with
+  * no shuffle at all; the only exchange is the per-doc aggregation of
+  * matched grams, which is post-filter (contaminated grams only, usually a
+  * vanishing fraction) and map-side combined. Training-side grams are
+  * generated inside codegen (`transform`/`slice` over the token array),
+  * never materialized per doc beyond the explode.
+  */
+object Decontaminate {
+
+  import TextStats.{normalizeText, tokens}
+
+  /** Distinct token n-grams of EXACTLY length `n` (docs shorter than `n`
+    * tokens yield none — unlike [[Dedup.wordNgrams]], which degrades to one
+    * short gram). Pass a materialized token-array column: `toks` is
+    * referenced three times here, which keeps CollapseProject from inlining
+    * an upstream tokenization expression into the per-position lambda (the
+    * O(positions) re-tokenization storm documented in BENCH_NOTES.md). */
+  def tokenNgramsExact(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id, distinct n-grams) per document, normalized like the dedup/
+    * fingerprint operators so contamination matching is robust to case and
+    * punctuation drift between corpora. */
+  private[graft] def gramSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        tokens(normalizeText(col(textCol))).as("__toks"))
+      .select(col("id"), tokenNgramsExact(col("__toks"), n).as("grams"))
+
+  /** Training documents contaminated by `eval`: one row per training doc
+    * sharing at least one token `n`-gram with any eval document, with the
+    * count of distinct shared grams. Output: (`trainIdCol`, n_overlap).
+    *
+    * The eval gram set is collected into a broadcast hash relation by the
+    * join itself (an explicit `broadcast` hint — at benchmark scale it is
+    * always the small side; Spark would need stats to know that).
+    */
+  def contaminatedDocs(
+      train: DataFrame, trainIdCol: String, trainTextCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val trainGrams = gramSets(train, trainIdCol, trainTextCol, n)
+      .select(col("id"), explode(col("grams")).as("gram"))
+    val evalGrams = gramSets(
+        eval.withColumn("__graft_eid", lit(0L)), "__graft_eid", evalTextCol, n)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      // grams are per-doc distinct already, so count == count distinct
+      .groupBy(col("id").as(trainIdCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

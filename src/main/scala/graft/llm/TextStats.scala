@@ -83,6 +83,37 @@ object TextStats {
   // per-position lambda, and CollapseProject inlining re-evaluates the
   // normalization + hashing per position — O(n²) regexes per document.
 
+  /** Gopher-style rule-based quality filter: per-document boolean rule
+    * columns plus the conjunction `keep`. Each rule is a threshold on an
+    * exact integer count (or a single IEEE division of two of them), so the
+    * verdicts are bit-reproducible across engines — the filter can gate a
+    * 100-TB corpus and still be audited row-for-row by any SQL engine.
+    * Thresholds are the knobs; the defaults reflect the published rules
+    * (word-count window, mean-word-length window, symbol ratio, stopword
+    * presence) scaled to short-document corpora. All codegen'd built-ins;
+    * the filter runs inside the scan's WholeStageCodegen span.
+    */
+  def gopherFlags(df: DataFrame, textCol: String,
+      minTokens: Int = 30, maxTokens: Int = 80,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 5.0,
+      maxPunctRatio: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t).cast("long")
+    val nChars = length(t).cast("long")
+    val nPunct = punctCount(t).cast("long")
+    val avgLen = (nChars - nTok + 1).cast("double") / nTok
+    df.withColumn("tokens_ok", nTok.between(minTokens, maxTokens))
+      .withColumn("avg_len_ok",
+        nTok > 0 && avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen)
+      .withColumn("punct_ok",
+        nChars === 0 || nPunct.cast("double") / nChars <= maxPunctRatio)
+      .withColumn("has_stopword",
+        stopwordCount(t, stopwordProfiles.flatMap(_._2)) > 0)
+      .withColumn("keep",
+        col("tokens_ok") && col("avg_len_ok") && col("punct_ok") &&
+          col("has_stopword"))
+  }
+
   /** Quality features per document. Ratios are single IEEE divisions of
     * exact integer counts → bit-reproducible across engines. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {

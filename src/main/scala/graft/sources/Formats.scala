@@ -33,6 +33,16 @@ object Formats {
     df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
   }
 
+  /** Write `df` as ORC (overwriting `path`) and read it back. ORC is the
+    * second self-describing columnar interchange format Spark ships natively
+    * (Hive-ecosystem handoff); like parquet it carries its own types, so no
+    * schema-on-read defensiveness is needed — the round-trip proves the
+    * writer/reader pair preserves longs, doubles and unicode text exactly. */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.orc(path)
+  }
+
   /** Write `df` hive-partitioned by `partCols` (overwriting `path`) and
     * return the partition-aware reader over it. */
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): DataFrame = {

@@ -144,6 +144,34 @@ object StreamOps {
     when(keyIsNull, lit(1)).otherwise(rep(key))
   }
 
+  /** Running per-user event count via `flatMapGroupsWithState` — the
+    * hand-rolled-state face of the streaming surface (everything else here
+    * is declarative; this is the escape hatch SURVEY §2.4 promised for
+    * custom state machines the built-ins can't express).
+    *
+    * State is one long per user in the state store (never on the driver);
+    * each micro-batch emits the updated running count for the users it
+    * touched (update semantics). The count is monotone, so `max(n_events)`
+    * per user over the update stream equals the final total regardless of
+    * how the file source batches the input — that determinism is what makes
+    * a custom-state operator oracle-checkable at all. */
+  def runningUserCounts(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id").cast("long"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((uid, n))
+      }
+      .toDF("user_id", "n_events")
+  }
+
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */

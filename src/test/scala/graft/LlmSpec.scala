@@ -11,6 +11,25 @@ class LlmSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("gopherFlags: each rule fires independently and keep is the conjunction") {
+    import spark.implicits._
+    val good = (Seq("the", "data") ++ Seq.fill(28)("word")).mkString(" ") // 30 toks, has 'the'
+    val df = Seq(
+      1L -> good,                               // passes all rules
+      2L -> "the short doc",                    // too few tokens
+      3L -> (Seq.fill(30)("supercalifragilistic").mkString(" ") + " the"), // avg len high
+      4L -> Seq.fill(40)("word").mkString(" ")  // no stopword
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherFlags(df, "text")
+      .select("doc_id", "tokens_ok", "avg_len_ok", "has_stopword", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((true, true, true, true)), s"got ${out(1L)}")
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L)._2 == false && out(3L)._4 == false)
+    assert(out(4L) == ((true, true, false, false)), s"got ${out(4L)}")
+  }
+
   test("exactDedup keeps exactly one deterministic representative per key") {
     import spark.implicits._
     val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "b"), (4L, "c"))

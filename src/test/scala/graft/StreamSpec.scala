@@ -53,6 +53,16 @@ class StreamSpec extends AnyFunSuite {
     got.ensureDatasetEquals(batchEvents.select("user_id", "event_type").distinct())
   }
 
+  test("flatMapGroupsWithState running counts converge to the batch counts") {
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.runningUserCounts(
+        StreamOps.eventsStream(spark, s"$sf/events.parquet")),
+      "t_stream_running", outputMode = "update")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    out.ensureDatasetEquals(batch)
+  }
+
   test("stream-static join replicates nothing on uniform keys, only hot keys on skew") {
     import spark.implicits._
     import graft.skew.SkewJoinConf
