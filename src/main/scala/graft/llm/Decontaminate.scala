@@ -56,11 +56,18 @@ object Decontaminate {
       eval: DataFrame, evalTextCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
+    // explode_OUTER, not explode: a plain explode lets Catalyst infer a
+    // `size(grams) > 0 AND isnotnull(grams)` filter which predicate pushdown
+    // then rewrites in terms of the full gram pipeline — every row would
+    // tokenize and build its n-gram array three times (measured 9× slower
+    // warm at sf0.1: 25.8 s vs 2.8 s).
+    // Outer generates get no inferred filter; the inner join on `gram`
+    // drops the null rows an empty gram array produces.
     val trainGrams = gramSets(train, trainIdCol, trainTextCol, n)
-      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), explode_outer(col("grams")).as("gram"))
     val evalGrams = gramSets(
         eval.withColumn("__graft_eid", lit(0L)), "__graft_eid", evalTextCol, n)
-      .select(explode(col("grams")).as("gram"))
+      .select(explode_outer(col("grams")).as("gram"))
       .distinct()
     trainGrams
       .join(broadcast(evalGrams), Seq("gram"))
