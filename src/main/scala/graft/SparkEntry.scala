@@ -425,6 +425,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // within-doc repetition features (Gopher repetition rules): total vs
+      // distinct 3-gram counts and the duplicate fraction, per doc
+      graft.llm.TextStats.repetitionFeatures(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "text")
+        .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.bruteForceTopK(
@@ -614,6 +622,28 @@ object SparkEntry {
           Seq("user_id", "event_type")),
         "graft_stream_dedup", outputMode = "append")
       out.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    }),
+
+    "events_sessions" -> ((s, dir) => {
+      // batch gap-based sessionization (the batch face of stream_sessions):
+      // one shuffle, both window passes share the user_id partitioning.
+      // Exact integer µs via DIV — DuckDB's parquet reader truncates
+      // TIMESTAMP_NS to µs, so µs is the engine-portable timestamp grain
+      // (and long÷long double division would round ~25% of values up).
+      graft.operators.Sessionize.sessionStats(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("ts_us")),
+        Seq("user_id"), "ts_us", "event_id",
+        gap = 30L * 60 * 1000 * 1000)
+    }),
+
+    "events_histogram" -> ((s, dir) => {
+      // fixed-width binning; bin ids via one IEEE division + floor, so the
+      // histogram is engine-portable exact
+      events(s, dir)
+        .groupBy(floor(col("value") / 25.0d).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_v"), max("value").as("max_v"))
     }),
 
     "stream_running_count" -> ((s, dir) => {
@@ -817,6 +847,43 @@ object SparkEntry {
     "stream_running_count" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // (user_id, ts) pairs are unique, so the RANGE default frame of the
+    // running sum equals Spark's explicit ROWS frame; epoch_us on DuckDB's
+    // µs-truncated TIMESTAMP equals Spark's ts_ns DIV 1000
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |  lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  FROM e),
+        |s AS (SELECT user_id, tus,
+        |  sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id::BIGINT AS session_id,
+        |  count(*) AS n_events, min(tus) AS start_ts, max(tus) AS end_ts
+        |FROM s GROUP BY user_id, s.session_id""".stripMargin,
+
+    "events_histogram" ->
+      """SELECT floor(value / 25.0)::BIGINT AS bin, count(*) AS n,
+        |min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "text_repetition" -> (
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM documents WHERE doc_id < 50),
+         |g AS (SELECT doc_id,
+         |  [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         |    AS grams FROM tk)
+         |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+         |  len(list_distinct(grams))::BIGINT AS n_distinct_grams,
+         |  CASE WHEN len(grams) > 0
+         |    THEN 1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE
+         |    ELSE 0.0 END AS dup_gram_ratio
+         |FROM g""".stripMargin),
 
     "ann_lsh" -> annLshSql(),
 

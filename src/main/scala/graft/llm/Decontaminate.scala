@@ -23,16 +23,10 @@ object Decontaminate {
 
   /** Distinct token n-grams of EXACTLY length `n` (docs shorter than `n`
     * tokens yield none — unlike [[Dedup.wordNgrams]], which degrades to one
-    * short gram). Pass a materialized token-array column: `toks` is
-    * referenced three times here, which keeps CollapseProject from inlining
-    * an upstream tokenization expression into the per-position lambda (the
-    * O(positions) re-tokenization storm documented in BENCH_NOTES.md). */
+    * short gram). Same materialized-column caveat as
+    * [[TextStats.tokenNgrams]]. */
   def tokenNgramsExact(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(TextStats.tokenNgrams(toks, n))
 
   /** (id, distinct n-grams) per document, normalized like the dedup/
     * fingerprint operators so contamination matching is robust to case and

@@ -83,6 +83,37 @@ object TextStats {
   // per-position lambda, and CollapseProject inlining re-evaluates the
   // normalization + hashing per position — O(n²) regexes per document.
 
+  /** Positional token n-grams of exactly length `n`, WITH multiplicity
+    * (docs shorter than `n` tokens yield none). Pass a materialized token
+    * array — `toks` is referenced multiple times, which keeps
+    * CollapseProject from inlining an upstream tokenization into the
+    * per-position lambda (BENCH_NOTES.md lesson 2). */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition features (the Gopher repetition rules'
+    * building block): total vs distinct `n`-gram counts and the duplicate
+    * fraction. Boilerplate-heavy machine text repeats n-grams; natural text
+    * mostly doesn't. The gram array never leaves its projection — per-doc
+    * counts only, no explode, no shuffle beyond the caller's. */
+  def repetitionFeatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val withGrams = df
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .withColumn("__grams", tokenNgrams(col("__toks"), n))
+    withGrams
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_distinct_grams",
+        size(array_distinct(col("__grams"))).cast("long"))
+      .withColumn("dup_gram_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+  }
+
   /** Gopher-style rule-based quality filter: per-document boolean rule
     * columns plus the conjunction `keep`. Each rule is a threshold on an
     * exact integer count (or a single IEEE division of two of them), so the

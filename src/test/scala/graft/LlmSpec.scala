@@ -11,6 +11,22 @@ class LlmSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("repetitionFeatures counts positional grams and the duplicate fraction") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "a b c a b c a b",   // 3-grams: abc bca cab abc bca cab → 6 total, 3 distinct
+      2L -> "all words unique in here now",
+      3L -> "too short"
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionFeatures(df, "text")
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((6L, 3L, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 4L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
   test("gopherFlags: each rule fires independently and keep is the conjunction") {
     import spark.implicits._
     val good = (Seq("the", "data") ++ Seq.fill(28)("word")).mkString(" ") // 30 toks, has 'the'
