@@ -25,7 +25,9 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // integer DIV, not /1000.cast: the double division rounds ~25% of
+      // values up one µs, while DuckDB truncates TIMESTAMP_NS to µs by floor
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
 
   /** Flagship: skew join lineitem ⋈ orders + aggregate. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -457,6 +459,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "asof_join" -> ((s, dir) => {
       // each click paired with the user's most recent purchase at or before
       // it; ts_ns longs keep the time comparison exact across engines
@@ -657,6 +668,25 @@ object SparkEntry {
       out.groupBy("user_id").agg(max("n_events").as("n_events"))
     }),
 
+    "stream_interval_join" -> ((s, dir) => {
+      // stream-STREAM interval join (self-join of the event stream): each
+      // purchase paired with the user's clicks in the following hour; both
+      // sides buffer in the state store, evicted by the watermark
+      import graft.streaming.StreamOps
+      val ev = StreamOps.eventsStream(s, s"$dir/events.parquet")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event_id"), col("ts"))
+      val joined = StreamOps.intervalJoin(
+        purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR")
+      StreamOps.runToMemory(s,
+        joined.select("p_event_id", "user_id", "c_event_id"),
+        "graft_stream_ivj", outputMode = "append")
+        .groupBy("p_event_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     "stream_skewjoin" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
@@ -778,6 +808,55 @@ object SparkEntry {
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
 
+  /** Generated oracle for `ann_pq`: replays the PQ pipeline with NO
+    * literals — codebooks are the first `codebookSize` corpus vectors (the
+    * data-derived convention shared with `ann_ivf`), and every dot product
+    * and ‖·‖² is an explicit left-associated `0.0 + a[i]*b[i] + …` chain,
+    * the exact accumulation of the codegen'd VectorDot (the annLshSql
+    * technique; DuckDB's own list functions fuse differently and are NOT
+    * bit-compatible). */
+  private def pqSql(k: Int = 3, numSubspaces: Int = 8, codebookSize: Int = 16,
+      dim: Int = 64, nQueries: Int = 20): String = {
+    val subDim = dim / numSubspaces
+    def chain(a: String, b: String, j: Int): String = {
+      val off = j * subDim
+      "(0.0" + (1 to subDim).map(i => s" + $a[${off + i}]*$b[${off + i}]").mkString + ")"
+    }
+    val dCtes = (0 until numSubspaces).map { j =>
+      s"""d$j AS (SELECT e.vec_id AS neighbor_id, cb.code,
+         |  ${chain("cb.cv", "cb.cv", j)} - 2.0*${chain("e.v", "cb.cv", j)} AS d
+         |  FROM e CROSS JOIN cb),
+         |c$j AS (SELECT neighbor_id, code AS c$j FROM (
+         |  SELECT neighbor_id, code, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY d, code) AS rn FROM d$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qlCtes = (0 until numSubspaces).map { j =>
+      s"""ql$j AS (SELECT query_id, cb.code,
+         |  ${chain("cb.cv", "cb.cv", j)} - 2.0*${chain("q.qv", "cb.cv", j)} AS d
+         |  FROM q CROSS JOIN cb)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until numSubspaces)
+      .map(j => s"JOIN c$j USING (neighbor_id)").mkString(" ")
+    val qlJoins = (0 until numSubspaces).map(j =>
+      s"JOIN ql$j ON ql$j.query_id = pair.query_id AND ql$j.code = pair.c$j")
+      .mkString("\n")
+    val adistSum = (0 until numSubspaces).map(j => s"ql$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id::INT AS code, v AS cv FROM e WHERE vec_id < $codebookSize),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |$dCtes,
+       |codes AS (SELECT * FROM c0 $codesJoin),
+       |$qlCtes,
+       |pair AS (SELECT q.query_id, codes.* FROM codes CROSS JOIN q
+       |  WHERE neighbor_id <> q.query_id),
+       |scored AS (SELECT pair.query_id, pair.neighbor_id, ($adistSum) AS adist
+       |  FROM pair $qlJoins),
+       |r AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Shared DuckDB expression for [[graft.llm.TextStats.normalizeText]]. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -888,6 +967,8 @@ object SparkEntry {
     "ann_lsh" -> annLshSql(),
 
     "ann_ivf" -> annIvfSql(),
+
+    "ann_pq" -> pqSql(),
 
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation (inclusive backward match on exact
@@ -1400,6 +1481,19 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // µs grain both sides: Spark's ts is ts_ns DIV 1000, DuckDB's TIMESTAMP
+    // is the parquet nanos floored to µs — epoch_us agrees exactly
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |p AS (SELECT event_id AS p_event_id, user_id, tus FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tus AS cus FROM e WHERE event_type = 'click')
+        |SELECT p_event_id, p.user_id AS user_id, count(*) AS n_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND cus >= p.tus AND cus < p.tus + 3600000000
+        |GROUP BY 1, 2""".stripMargin,
 
     "stream_skewjoin" ->
       """SELECT c_mktsegment, count(*) AS n, min(value) AS min_v,

@@ -157,6 +157,84 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic sampled PQ codebooks: codebook `j` holds the `j`-th
+    * `subDim`-slice of the first `codebookSize` corpus vectors by id (same
+    * seed-vector convention as [[ivfTopK]]'s centroids — exactly replayable
+    * by a SQL oracle; pass k-means-trained codebooks for production
+    * recall). KB-scale model parameters, collected O(codebookSize). */
+  def pqCodebooks(
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      numSubspaces: Int, codebookSize: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val base = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+      .orderBy(col(cIdCol)).limit(codebookSize).collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toSeq)
+    val dim = base.head.size
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val subDim = dim / numSubspaces
+    (0 until numSubspaces).map { j =>
+      base.toSeq.zipWithIndex.map { case (v, code) =>
+        code -> v.slice(j * subDim, (j + 1) * subDim)
+      }
+    }
+  }
+
+  /** Product-quantization approximate top-k (asymmetric distance).
+    *
+    * The corpus is compressed to `numSubspaces` small codes per vector
+    * (argmin squared-L2 to the subspace codebook, ties to the lowest code):
+    * at 100 TB the PQ "index" is id + `numSubspaces` bytes per vector —
+    * a 64-float embedding shrinks 32×, which is the point: the exhaustive
+    * scan keeps the broadcast(queries) × corpus shape of [[bruteForceTopK]]
+    * but each pair costs `numSubspaces` table lookups + adds instead of a
+    * `dim`-wide dot product, and the scan reads codes, not vectors.
+    * Each query precomputes its distance lookup table (codebookSize ×
+    * numSubspaces doubles); ranking is by the ADC approximation
+    * Σ_j (‖cb_j[code_j]‖² − 2·q_subj·cb_j[code_j]) — the true approximate
+    * squared distance minus the per-query constant ‖q‖², which cannot
+    * change the ranking. Ascending, ties to the lowest neighbor id.
+    */
+  def pqTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, numSubspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      codebooks: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val subDim = dim / numSubspaces
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, cIdCol, cVecCol, numSubspaces, codebookSize))
+    // ‖centroid‖² as a plan literal; same left-assoc 0.0 + x·x accumulation
+    // as the SQL oracle's chain, so the doubles agree bit-for-bit
+    val cn2: Seq[Seq[Double]] =
+      cbs.map(_.map { case (_, c) => c.foldLeft(0.0)((a, x) => a + x * x) })
+    def subv(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
+    def contrib(vec: Column, j: Int, code: Int): Column =
+      lit(cn2(j)(code)) - lit(2.0) * dot(subv(vec, j), typedLit(cbs(j)(code)._2))
+    // struct(d, code) + array_min = argmin with ties to the lowest code
+    def codeFor(vec: Column, j: Int): Column =
+      array_min(array(cbs(j).map { case (code, _) =>
+        struct(contrib(vec, j, code).as("d"), lit(code).as("code"))
+      }: _*)).getField("code")
+    val codes = corpus.select(
+      col(cIdCol).as("neighbor_id") +:
+        (0 until numSubspaces).map(j => codeFor(col(cVecCol), j).as(s"c$j")): _*)
+    val luts = queries.select(
+      col(qIdCol).as("query_id") +:
+        (0 until numSubspaces).map(j =>
+          array((0 until codebookSize).map(code =>
+            contrib(col(qVecCol), j, code)): _*).as(s"lut$j")): _*)
+    val adist = (0 until numSubspaces)
+      .map(j => element_at(col(s"lut$j"), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** Approximate top-k: bucket corpus and queries with `numTables`
     * independent sign-LSH tables, take exact cosine only within matching
     * buckets. Recall grows with tables; cost stays linear in bucket sizes.

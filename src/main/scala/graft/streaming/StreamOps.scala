@@ -42,7 +42,9 @@ object StreamOps {
       .schema(eventsSchema)
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // integer DIV: exact floor to µs (double division rounds up ~25% of
+      // sub-µs fractions — breaks boundary agreement with µs-grain oracles)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
   /** Tumbling-window counts per event type (with watermark so the query is
@@ -142,6 +144,36 @@ object StreamOps {
       usingColumns.map(c => col(c).cast("string")): _*)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
     when(keyIsNull, lit(1)).otherwise(rep(key))
+  }
+
+  /** Watermarked stream-STREAM interval equi-join: each left row pairs with
+    * the right rows sharing its `usingCols` whose event time falls in
+    * `[left.ts + lower, left.ts + upper)`.
+    *
+    * This is the stateful two-sided join (both sides buffer in the state
+    * store until the watermark proves no more matches can arrive); the time
+    * bounds are expressed on the watermarked event-time columns themselves —
+    * that is what lets Spark derive the state retention window and evict
+    * buffered rows instead of holding both streams forever (the difference
+    * between a join that runs for months and one that OOMs in an hour).
+    * Inner join ⇒ the emitted multiset equals the equivalent batch
+    * interval join; µs event-time grain keeps it oracle-exact. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      usingCols: Seq[String],
+      lower: String, upper: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = usingCols.foldLeft(
+        right.withColumnRenamed("ts", "r_ts")
+          .withWatermark("r_ts", watermark)) {
+        (df, c) => df.withColumnRenamed(c, s"r_$c")
+      }
+    val keyEq = usingCols.map(c => col(c) === col(s"r_$c")).reduce(_ && _)
+    val timeRange =
+      col("r_ts") >= col("ts") + expr(s"INTERVAL $lower") &&
+        col("r_ts") < col("ts") + expr(s"INTERVAL $upper")
+    l.join(r, keyEq && timeRange, "inner")
   }
 
   /** Running per-user event count via `flatMapGroupsWithState` — the

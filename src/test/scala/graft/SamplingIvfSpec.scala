@@ -128,4 +128,35 @@ class SamplingIvfSpec extends AnyFunSuite {
       centroids = Some(cents))
     assert(out.count() > 0)
   }
+
+  test("pqTopK ranks an exact duplicate of the query first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // codebook vector 0
+      (1L, Seq(0.0f, 1.0f, 2.0f, 0.0f)),   // codebook vector 1
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // duplicate of vector 0
+      (3L, Seq(5.0f, 5.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0)
+    val out = Similarity.pqTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3,
+      numSubspaces = 2, codebookSize = 2, dim = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // the duplicate (id 2) shares every code with the query → minimal ADC
+    // distance → rank 1; the query itself (id 0) is excluded
+    assert(out.head == ((2L, 1)), s"got ${out.toSeq}")
+    assert(!out.map(_._1).contains(0L))
+  }
+
+  test("pqTopK returns k ranked rows per query on real embeddings") {
+    val out = Similarity.pqTopK(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 3L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"query LUTs not broadcast:\n$p")
+    out.unpersist()
+  }
 }

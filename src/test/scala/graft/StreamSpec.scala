@@ -12,7 +12,7 @@ class StreamSpec extends AnyFunSuite {
 
   private def batchEvents = spark.read.parquet(s"$sf/events.parquet")
     .withColumnRenamed("ts", "ts_ns")
-    .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
 
   test("streaming windowed counts equal the batch aggregation") {
     val streamed = StreamOps.runToMemory(spark,
@@ -51,6 +51,30 @@ class StreamSpec extends AnyFunSuite {
     // a single-batch replay holds the watermark at the epoch for the whole
     // batch, so no state ages out and the result is the exact distinct set
     got.ensureDatasetEquals(batchEvents.select("user_id", "event_type").distinct())
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = StreamOps.eventsStream(spark, s"$sf/events.parquet")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), col("ts"))
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.intervalJoin(purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR")
+        .select("p_event_id", "user_id", "c_event_id"),
+      "t_stream_ivj", outputMode = "append")
+    val be = batchEvents
+    val bp = be.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    val bc = be.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("c_event_id"),
+        col("ts").as("c_ts"))
+    val batch = bp.join(bc,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select("p_event_id", "user_id", "c_event_id")
+    streamed.ensureDatasetEquals(batch)
   }
 
   test("flatMapGroupsWithState running counts converge to the batch counts") {
