@@ -15,8 +15,13 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // fixed (sorted) order so per-query numbers are comparable across rounds
+    // fixed (sorted) order so per-query numbers are comparable across rounds;
+    // SPARK_GRAFT_ONLY (comma-separated names) narrows the run for local dev
+    // loops — the driver never sets it, so round benches stay full-surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // JMH-style steady-state measurement (methodology disclosed in
     // BENCH_NOTES.md): one UNTIMED warm-up pass at the smallest scale factor
     // compiles/JITs every operator's codegen before anything is measured
