@@ -427,6 +427,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "chunk_documents" -> ((s, dir) => {
+      // RAG/context-window chunking: 40-token chunks, 8-token overlap;
+      // pure map + explode, chunk ids from start offsets (no ordinals)
+      graft.llm.Chunker.chunkDocuments(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // within-doc repetition features (Gopher repetition rules): total vs
       // distinct 3-gram counts and the duplicate fraction, per doc
@@ -948,6 +954,21 @@ object SparkEntry {
       """SELECT floor(value / 25.0)::BIGINT AS bin, count(*) AS n,
         |min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    // chunk = toks[s : s+39] (1-based inclusive, clamped), starts every 32
+    // tokens while s <= max(len-8, 1); chunk_id from the start offset
+    "chunk_documents" -> (
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(1, greatest(len(toks) - 8, 1) + 1, 32)) AS s
+         |  FROM tk)
+         |SELECT doc_id, (s - 1) // 32 AS chunk_id,
+         |  len(toks[s:s+39])::BIGINT AS n_chunk_tokens,
+         |  array_to_string(toks[s:s+39], ' ') AS chunk_text
+         |FROM st""".stripMargin),
 
     "text_repetition" -> (
       s"""WITH tk AS (SELECT doc_id,

@@ -11,6 +11,25 @@ class LlmSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("chunkDocuments: overlap, short tails, and empty docs behave exactly") {
+    import spark.implicits._
+    import graft.llm.Chunker
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(1L -> doc, 2L -> "tiny doc", 3L -> "").toDF("doc_id", "text")
+    val out = Chunker.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // doc 1: 10 tokens, step 3, starts 1,4,7 (<= 10-1) → chunks of 4,4,4
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")), s"got ${out((1L, 0L))}")
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((4L, "w7 w8 w9 w10")))
+    assert(!out.contains((1L, 3L)))
+    // doc 2: 2 tokens → one short chunk; doc 3: empty → one empty chunk
+    assert(out((2L, 0L)) == ((2L, "tiny doc")))
+    assert(out((3L, 0L)) == ((0L, "")))
+  }
+
   test("repetitionFeatures counts positional grams and the duplicate fraction") {
     import spark.implicits._
     val df = Seq(
