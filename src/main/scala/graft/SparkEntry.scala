@@ -427,6 +427,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: new docs (id >= 250) anti-joined against the
+      // historical corpus's fingerprint set; history is read, never rewritten
+      val docs = t(s, dir, "documents")
+      graft.llm.Dedup.dropKnownDuplicates(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+    }),
+
+    "decontaminate_apply" -> ((s, dir) => {
+      // flag → act: training corpus with every doc sharing an 8-gram with
+      // the src0 "benchmark suite" removed
+      val docs = t(s, dir, "documents")
+      graft.llm.Decontaminate.dropContaminated(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", n = 8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+    "events_topk" -> ((s, dir) => {
+      // global top-100 by value: plans as TakeOrderedAndProject (per-
+      // partition top-k, then one bounded merge — never a full global sort)
+      events(s, dir)
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
     "chunk_documents" -> ((s, dir) => {
       // RAG/context-window chunking: 40-token chunks, 8-token overlap;
       // pure map + explode, chunk ids from start offsets (no ordinals)
@@ -913,6 +944,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql(),
+
+    "decontaminate_apply" -> (
+      s"""WITH contaminated AS (
+         |${decontaminateSql()}
+         |)
+         |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+         |FROM (SELECT doc_id, lang FROM documents WHERE source <> 'src0') d
+         |ANTI JOIN contaminated USING (doc_id)
+         |GROUP BY lang""".stripMargin),
+
+    "dedup_incremental" -> (
+      s"""WITH fp AS (SELECT doc_id, source, md5($normSql) AS f FROM documents),
+         |hist AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+         |fresh AS (SELECT * FROM fp WHERE doc_id >= 250)
+         |SELECT source, count(*) AS n_new, sum(doc_id)::BIGINT AS sum_ids
+         |FROM fresh ANTI JOIN hist USING (f)
+         |GROUP BY source""".stripMargin),
+
+    "events_topk" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
 
     "quality_filter" -> gopherSql,
 

@@ -69,4 +69,18 @@ object Decontaminate {
       .groupBy(col("id").as(trainIdCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** The apply step: training docs with every contaminated doc removed
+    * (flag → act). The contaminated id set is tiny (it is the overlap with
+    * a benchmark suite), so the anti-join broadcasts it; the training side
+    * still never shuffles. */
+  def dropContaminated(
+      train: DataFrame, trainIdCol: String, trainTextCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    val flagged = contaminatedDocs(
+      train, trainIdCol, trainTextCol, eval, evalTextCol, n)
+      .select(trainIdCol)
+    train.join(broadcast(flagged), Seq(trainIdCol), "left_anti")
+  }
 }

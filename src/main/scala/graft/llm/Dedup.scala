@@ -27,6 +27,23 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** Incremental exact dedup: drop `fresh` docs whose normalized-content
+    * fingerprint already appears in `historical` — the daily-ingest shape,
+    * where the historical corpus is consulted but never rewritten. The
+    * anti-join ships only the 128-bit fingerprint column of the historical
+    * side (16 bytes/doc — a 100-TB corpus's fingerprint set is ~100s of GB,
+    * a plain shuffled anti-join; a day's backlog against a bounded index
+    * can broadcast instead). `fresh` keeps its full schema. */
+  def dropKnownDuplicates(
+      fresh: DataFrame, historical: DataFrame, textCol: String): DataFrame = {
+    val histFp = historical
+      .select(TextStats.fingerprint(col(textCol)).as("__graft_fp"))
+      .distinct()
+    fresh.withColumn("__graft_fp", TextStats.fingerprint(col(textCol)))
+      .join(histFp, Seq("__graft_fp"), "left_anti")
+      .drop("__graft_fp")
+  }
+
   /** Distinct character k-shingles of the normalized text.
     *
     * IMPORTANT: `text` must be an already-materialized column (not an

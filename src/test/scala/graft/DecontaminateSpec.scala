@@ -45,6 +45,20 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(exact == Seq("only five tokens right here"))
   }
 
+  test("dropContaminated removes exactly the flagged docs, schema intact") {
+    import spark.implicits._
+    val train = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota something else",
+      2L -> "beta alpha delta gamma zeta epsilon theta eta iota kappa",
+      3L -> "completely unrelated text with enough tokens to form many grams here"
+    ).toDF("doc_id", "text")
+    val eval = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("text")
+    val kept = Decontaminate.dropContaminated(train, "doc_id", "text", eval, "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("plan broadcasts the eval gram set; train side never sort-merge joins") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -11,6 +11,17 @@ class LlmSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
+    import spark.implicits._
+    // normalization equates "Seen, Before!" with "seen before"
+    val hist = Seq(1L -> "Seen, Before!").toDF("doc_id", "text")
+    val fresh = Seq(10L -> "seen before", 11L -> "brand new content")
+      .toDF("doc_id", "text")
+    val out = Dedup.dropKnownDuplicates(fresh, hist, "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("chunkDocuments: overlap, short tails, and empty docs behave exactly") {
     import spark.implicits._
     import graft.llm.Chunker

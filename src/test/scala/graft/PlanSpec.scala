@@ -150,6 +150,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(q).contains("BroadcastHashJoin"), s"small dim not broadcast:\n${plan(q)}")
   }
 
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val q = ev.orderBy(col("value").desc, col("event_id")).limit(100)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort in:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = graft.llm.Similarity.bruteForceTopK(
