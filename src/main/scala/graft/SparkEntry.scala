@@ -119,6 +119,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "bloom_join" -> ((s, dir) => {
+      // semi-join reduction: bloom over urgent orders' keys prunes lineitem
+      // at the scan, before the shuffle; the exact join removes the bloom's
+      // false positives, so the result equals the plain join exactly
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.sketch.BloomOps.bloomPrefilteredJoin(
+        t(s, dir, "lineitem"), urgent, Seq("l_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
     "bucketed_join" -> ((s, dir) => {
       // pay the shuffle once at write time: both sides land bucketed by the
       // join key, then the join itself plans with no exchange (PlanSpec pins
@@ -965,6 +978,14 @@ object SparkEntry {
     "events_topk" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    // the bloom prefilter is transparent: the oracle is the PLAIN join
+    "bloom_join" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2""".stripMargin,
 
     "quality_filter" -> gopherSql,
 

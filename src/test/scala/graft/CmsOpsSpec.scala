@@ -1,5 +1,44 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
+class BloomOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sketch.BloomOps
+  import graft.testkit.DatasetComparisons._
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloom-prefiltered join equals the plain join exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    BloomOps.bloomPrefilteredJoin(li, urgent, Seq("l_orderkey"))
+      .ensureDatasetEquals(li.join(urgent, Seq("l_orderkey"), "inner"))
+  }
+
+  test("the prefilter prunes most non-matching big-side rows") {
+    import spark.implicits._
+    val big = (1L to 10000L).toDF("k")
+    val small = (1L to 100L).toDF("k")
+    val bloom = BloomOps.bloomOf(small, Seq("k"), expectedItems = 1000L)
+    val kept = big.filter(BloomOps.mightContain(bloom, Seq(col("k")))).count()
+    // no false negatives, and false positives are rare at this sizing
+    assert(kept >= 100 && kept < 500, s"kept $kept of 10000")
+  }
+
+  test("join types that keep unmatched big-side rows are rejected") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      BloomOps.bloomPrefilteredJoin(df, df, Seq("k"), joinType = "left_outer")
+    }
+    // and the safe spellings are accepted
+    assert(BloomOps.bloomPrefilteredJoin(df, df, Seq("k"), joinType = "left_semi")
+      .count() == 1L)
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
