@@ -630,6 +630,36 @@ object SparkEntry {
           sum(col("n_chars").cast("long")).as("sum_chars"))
     }),
 
+    "events_retention" -> ((s, dir) => {
+      // hour-over-hour cohort retention: of the users active in hour h, how
+      // many are also active in h+1. distinct (user, hour) → co-partitioned
+      // self-join → per-hour counts; one shuffle key reused throughout
+      val active = events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val fromNext = active.select(col("user_id"),
+        (col("h") - expr("INTERVAL 1 HOUR")).as("h"))
+      val retained = active.join(fromNext, Seq("user_id", "h"))
+        .groupBy("h").agg(count(lit(1)).as("n_retained"))
+      active.groupBy("h").agg(count(lit(1)).as("n_active"))
+        .join(retained, Seq("h"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          col("n_active"), coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+    }),
+
+    "events_ntile" -> ((s, dir) => {
+      // ntile window breadth: per-type value quartiles with a total order
+      // (value, event_id), aggregated to quartile boundaries
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_v"), max("value").as("max_v"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       events(s, dir)
         .groupBy(
@@ -978,6 +1008,27 @@ object SparkEntry {
     "events_topk" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "events_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |act AS (SELECT h, count(*) AS n_active FROM active GROUP BY h),
+        |retained AS (
+        |  SELECT a.h, count(*) AS n_retained
+        |  FROM active a JOIN active b
+        |    ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+        |  GROUP BY a.h)
+        |SELECT strftime(h, '%Y-%m-%d %H') AS hour, n_active,
+        |  coalesce(n_retained, 0)::BIGINT AS n_retained
+        |FROM act LEFT JOIN retained USING (h)""".stripMargin,
+
+    "events_ntile" ->
+      """WITH t AS (SELECT event_type, value, ntile(4) OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS q
+        |  FROM events)
+        |SELECT event_type, q::BIGINT AS q, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     // the bloom prefilter is transparent: the oracle is the PLAIN join
     "bloom_join" ->
