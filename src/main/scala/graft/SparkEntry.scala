@@ -632,19 +632,24 @@ object SparkEntry {
 
     "events_retention" -> ((s, dir) => {
       // hour-over-hour cohort retention: of the users active in hour h, how
-      // many are also active in h+1. distinct (user, hour) → co-partitioned
-      // self-join → per-hour counts; one shuffle key reused throughout
+      // many are also active in h+1. No self-join: over a user's DISTINCT
+      // sorted hours, h+1 is present iff it is the immediate next hour, so
+      // lead() answers membership — one events scan and three narrow
+      // shuffles (distinct, per-user window, per-hour counts), where the
+      // naive active⋈active self-join plans three scans and five shuffles
+      import org.apache.spark.sql.expressions.Window
       val active = events(s, dir)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .distinct()
-      val fromNext = active.select(col("user_id"),
-        (col("h") - expr("INTERVAL 1 HOUR")).as("h"))
-      val retained = active.join(fromNext, Seq("user_id", "h"))
-        .groupBy("h").agg(count(lit(1)).as("n_retained"))
-      active.groupBy("h").agg(count(lit(1)).as("n_active"))
-        .join(retained, Seq("h"), "left")
+      val w = Window.partitionBy("user_id").orderBy("h")
+      active
+        .withColumn("__next", lead(col("h"), 1).over(w))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("__next") === col("h") + expr("INTERVAL 1 HOUR"), 1L)
+            .otherwise(0L)).as("n_retained"))
         .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
-          col("n_active"), coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+          col("n_active"), col("n_retained"))
     }),
 
     "events_ntile" -> ((s, dir) => {
