@@ -20,6 +20,10 @@ object Bench {
     // loops — the driver never sets it, so round benches stay full-surface
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // a typo'd name would otherwise silently shrink the run while still
+    // emitting a plausible-looking metric line — fail instead
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     // JMH-style steady-state measurement (methodology disclosed in
@@ -47,10 +51,17 @@ object Bench {
       val sorted = timings.map(_(name)).sorted
       name -> sorted((sorted.size - 1) / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the metric line must be the LAST bytes on stdout: shutdown logging after
+    // it can push its head out of a bounded tail capture (observed as r5/r6
+    // bench JSON clipped before the alphabetically-first queries). So silence
+    // logging, stop Spark first, round timings to keep the line short, and
+    // only then print.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

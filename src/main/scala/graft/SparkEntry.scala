@@ -518,6 +518,20 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivf_trained" -> ((s, dir) => {
+      // IVF probing on k-means-TRAINED centroids (2 Lloyd's iterations from
+      // the first-16 seed set) instead of the raw seed vectors — the
+      // quantized-mean update makes training exactly replayable in SQL
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.llm.KMeans.fit(
+        emb, "vec_id", "embedding", nCells = 16, iters = 2, dim = 64)
+      graft.llm.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, nProbe = 4,
+        centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     "asof_join" -> ((s, dir) => {
       // each click paired with the user's most recent purchase at or before
       // it; ts_ns longs keep the time comparison exact across engines
@@ -893,6 +907,54 @@ object SparkEntry {
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
 
+  /** Generated oracle for `ann_ivf_trained`: replays k-means training plus
+    * the IVF pipeline, iterations unrolled as CTEs. The update arithmetic
+    * is [[graft.llm.KMeans]]' quantized mean — `sum(floor(v[i]·2²⁴))` exact
+    * integer sums (order-independent, so engine shuffle order can't shift a
+    * ulp) divided once by `n·2²⁴` — which makes every centroid component
+    * bit-identical across engines; assignments then agree exactly because
+    * `list_cosine_similarity` on DOUBLE[] matches VectorDot's sequential
+    * accumulation (the validated ann_ivf arithmetic). */
+  private def annIvfTrainedSql(nCells: Int = 16, iters: Int = 2,
+      nProbe: Int = 4, k: Int = 3, dim: Int = 64): String = {
+    val iterCtes = (1 to iters).map { t =>
+      val p = s"cent${t - 1}"
+      s"""a$t AS (SELECT vec_id, cid AS cell, v FROM (
+         |  SELECT e.vec_id, c.cid, e.v, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN $p c) WHERE rn = 1),
+         |u$t AS (SELECT cell, i, sum(CAST(floor(v[i] * 16777216.0) AS BIGINT)) AS qs,
+         |    count(*) AS n
+         |  FROM a$t, range(1, ${dim + 1}) r(i) GROUP BY cell, i),
+         |m$t AS (SELECT cell AS cid, list(qs / (n * 16777216.0) ORDER BY i) AS cv
+         |  FROM u$t GROUP BY cell),
+         |cent$t AS (SELECT p.cid, COALESCE(m$t.cv, p.cv) AS cv
+         |  FROM $p p LEFT JOIN m$t ON p.cid = m$t.cid)""".stripMargin
+    }.mkString(",\n")
+    val fc = s"cent$iters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT rn - 1 AS cid, v AS cv FROM (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM e) WHERE rn <= $nCells),
+       |$iterCtes,
+       |cell AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN $fc c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |qp AS (SELECT query_id, cid AS cell FROM (
+       |  SELECT query_id, cid, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+       |    FROM q CROSS JOIN $fc)) WHERE rn <= $nProbe),
+       |cand AS (SELECT query_id, vec_id AS neighbor_id
+       |  FROM qp JOIN cell USING (cell) WHERE vec_id <> query_id),
+       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS cos
+       |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Generated oracle for `ann_pq`: replays the PQ pipeline with NO
     * literals — codebooks are the first `codebookSize` corpus vectors (the
     * data-derived convention shared with `ann_ivf`), and every dot product
@@ -1117,6 +1179,8 @@ object SparkEntry {
     "ann_lsh" -> annLshSql(),
 
     "ann_ivf" -> annIvfSql(),
+
+    "ann_ivf_trained" -> annIvfTrainedSql(),
 
     "ann_pq" -> pqSql(),
 

@@ -501,18 +501,24 @@ object Dedup {
   /** Candidate pairs by word-n-gram Jaccard ≥ threshold, using MinHash LSH
     * over the n-gram space for candidate generation (never all-pairs).
     *
-    * 48 hashes / 16 bands (3 rows per band): detection ≥ 1-1e-5 for pairs at
-    * j ≥ 0.8 (where real near-dups live), and — unlike the previous 16/8
-    * parameterization, whose `minAgree` collapsed to rows-per-band — the
-    * signature-agreement prefilter actually engages (minAgree 4 > 3), so
-    * most spurious band collisions are dropped on 48-long signatures before
-    * the full n-gram-set verification. */
+    * 32 hashes / 16 bands (2 rows per band): detection ≥ 1-1e-7 for pairs at
+    * j ≥ 0.8 (miss = (1-0.8²)¹⁶ ≈ 8e-8), a strictly TIGHTER bound than the
+    * round-6 48/16 parameterization (miss = (1-0.8³)¹⁶ ≈ 1.0e-5, right at
+    * the documented limit) at two-thirds its signature cost. Isolated bench
+    * (sf0.1, 32 cores, median of 3): 16/8 = 2.74 s but miss 2.8e-4 (fails
+    * the bound), 32/16 = 3.2 s, 48/16 = 3.82 s. The shorter 2-row bands
+    * admit more low-j band collisions, but the exact-Jaccard verify is cheap
+    * relative to the per-doc signature passes at every scale where the
+    * bucket cap holds, so buying recall with bands (not hashes) is the
+    * right trade. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
     // the empty-doc filter must run on __toks BEFORE the repartition
     // barrier: a trailing filter(size(gr) > 0) gets predicate-pushed below
     // the barrier, substituting the whole ngram expression — with the
@@ -526,7 +532,7 @@ object Dedup {
       .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
       .select(col("id"), array_sort(wordNgrams(col("__toks"), n)).as("gr"))
-    lshVerifiedPairs(docs, "gr", numHashes = 48, bands = 16,
+    lshVerifiedPairs(docs, "gr", numHashes = numHashes, bands = bands,
       threshold = threshold, maxBucketSize = 256)
   }
 }

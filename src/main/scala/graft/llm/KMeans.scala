@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer for
+  * [[Similarity.ivfTopK]] centroids and [[Similarity.pqTopK]] codebooks,
+  * which otherwise run on deterministic-but-toy "first N vectors" model
+  * parameters (fine for oracles, poor recall on real corpora).
+  *
+  * Dataflow per iteration (all corpus-sized work stays declarative):
+  *  - assignment: one narrow map — argmax cosine against the current
+  *    centroid literals (ties to the lowest centroid id, the
+  *    [[Similarity.ivfTopK]] convention), using the codegen'd
+  *    [[graft.functions.VectorDot]] arithmetic;
+  *  - update: one `groupBy(cell)` aggregate with map-side partial
+  *    aggregation — the shuffle carries nCells × (dim+1) longs per map
+  *    task, independent of corpus size.
+  * The driver holds only the nCells × dim centroid matrix (KB-scale model
+  * parameters, same as the operators it feeds) — never corpus rows.
+  *
+  * Determinism (what makes the result oracle-checkable): double summation
+  * is order-dependent in the last ulp, and shuffle/partition order is not
+  * deterministic, so a naive `avg(component)` would make training
+  * nondeterministic run-to-run AND engine-to-engine. Instead the update
+  * quantizes each component to an exact integer — `floor(x · 2²⁴)` (the
+  * ×2²⁴ is a power-of-two scale, exact in IEEE arithmetic) — sums the
+  * integers (exact, order-independent; |sum| < 2⁵³ for any corpus this
+  * collects from), and divides once: `centroid_i = Σq_i / (n · 2²⁴)`, a
+  * single exact-operand double division. The same arithmetic replays
+  * bit-identically in SQL (`sum(floor(v[i]*16777216.0)::BIGINT)`), so a
+  * fixed seed-set + fixed iteration count gives one exact answer
+  * everywhere. The 2⁻²⁴ quantization error is far below k-means'
+  * statistical noise floor.
+  *
+  * Cosine assignment is scale-invariant, so the mean is used UNNORMALIZED
+  * (spherical k-means' normalization step would change nothing downstream
+  * and would cost a non-replayable sqrt per component).
+  *
+  * Empty cells keep their previous centroid (deterministic, no
+  * re-seeding). Initial centroids are the `nCells` corpus vectors with the
+  * smallest ids, re-labelled 0..nCells-1 in id order.
+  */
+object KMeans {
+
+  private val Q = 16777216.0 // 2^24: power-of-two quantization scale
+
+  /** Train `nCells` centroids with `iters` Lloyd's iterations; returns
+    * them in the `(centroidId, vector)` shape [[Similarity.ivfTopK]]'s
+    * `centroids` parameter expects. Runs `iters + 1` Spark jobs (one
+    * O(nCells) init collect + one bounded aggregate per iteration).
+    *
+    * `metric` picks the assignment rule to match the consumer: `"cosine"`
+    * for [[Similarity.ivfTopK]] (argmax cosine), `"l2"` for
+    * [[Similarity.pqTopK]] codebooks (argmin squared L2, computed as
+    * ‖c‖² − 2·v·c since ‖v‖² is constant per row; ‖c‖² is the same
+    * left-associated fold as the pq oracle chains). Ties go to the lowest
+    * centroid id under both metrics. */
+  def fit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, dim: Int,
+      metric: String = "cosine"): Seq[(Long, Seq[Double])] = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    var cents: Seq[(Long, Seq[Double])] =
+      v.orderBy("id").limit(nCells).collect().toSeq.zipWithIndex.map {
+        case (r, i) => i.toLong -> r.getSeq[Double](1).toSeq
+      }
+    require(cents.size == nCells,
+      s"corpus has only ${cents.size} vectors, need nCells=$nCells seeds")
+    for (_ <- 0 until iters) {
+      // struct(score, -cid): array_max ties toward the LOWEST centroid id,
+      // matching the oracle's row_number ORDER BY score DESC, cid ASC
+      val scoreStructs = array(cents.map { case (cid, cv) =>
+        val score =
+          if (metric == "cosine") Similarity.cosineSim(col("v"), typedLit(cv))
+          else lit(2.0) * Similarity.dot(col("v"), typedLit(cv)) -
+            lit(cv.foldLeft(0.0)((a, x) => a + x * x))
+        struct(score.as("cos"), lit(-cid).as("ncid"))
+      }: _*)
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map { i =>
+        sum(floor(element_at(col("v"), i + 1) * Q)).as(s"q$i")
+      }
+      val rows = v
+        .select((-array_max(scoreStructs).getField("ncid")).as("cell"), col("v"))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val updated = rows.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (0 until dim).map(i => r.getLong(2 + i) / (n * Q))
+      }.toMap
+      cents = cents.map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
+      }
+    }
+    cents
+  }
+
+  /** Train per-subspace PQ codebooks: an independent L2 [[fit]] on each
+    * `subDim`-slice of the corpus (L2 because [[Similarity.pqTopK]]
+    * encodes by argmin squared L2), in its `codebooks` shape. Same
+    * determinism guarantees as [[fit]]. */
+  def fitCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, codebookSize: Int, iters: Int, dim: Int)
+      : Seq[Seq[(Int, Seq[Double])]] = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val subDim = dim / numSubspaces
+    (0 until numSubspaces).map { j =>
+      val sub = corpus.select(col(idCol).as("__id"),
+        slice(col(vecCol), j * subDim + 1, subDim).as("__sub"))
+      fit(sub, "__id", "__sub", codebookSize, iters, subDim, metric = "l2")
+        .map { case (cid, cv) => cid.toInt -> cv }
+    }
+  }
+}

@@ -206,15 +206,25 @@ class LlmSpec extends AnyFunSuite {
       (3L, base + " thirteen fourteen"),           // near-dup (high j)
       (4L, "unrelated words entirely different content no overlap at all"))
       .toDF("doc_id", "text")
+    // default 32/16 parameterization: 2-row bands make minAgree collapse to
+    // rows-per-band, so the prefilter correctly stays OUT of the plan (it
+    // would filter nothing candidates don't already guarantee)
     val q = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.3)
-    // the signature-agreement prefilter (dead at the old 16/8 parameters)
-    // must appear in the plan: it filters on the __agree count column
-    val planStr = q.queryExecution.analyzed.toString
-    assert(planStr.contains("__agree"),
-      s"signature prefilter branch not planned:\n$planStr")
+    assert(!q.queryExecution.analyzed.toString.contains("__agree"),
+      "prefilter must not be planned when minAgree == rowsPerBand")
     val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // 3-row bands (48/16): minAgree 4 > 3 — the signature-agreement
+    // prefilter must appear in the plan (it filters on the __agree count)
+    // and must not change which true pairs survive
+    val q48 = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.3, numHashes = 48, bands = 16)
+    val planStr = q48.queryExecution.analyzed.toString
+    assert(planStr.contains("__agree"),
+      s"signature prefilter branch not planned at 48/16:\n$planStr")
+    val pairs48 = q48.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs48.contains((1L, 2L)) && pairs48.contains((1L, 3L)) && pairs48.contains((2L, 3L)))
   }
 
   test("winnowing guarantee: docs sharing a long substring are found regardless of edit position") {
