@@ -667,13 +667,15 @@ object SparkEntry {
     }),
 
     "events_ntile" -> ((s, dir) => {
-      // ntile window breadth: per-type value quartiles with a total order
-      // (value, event_id), aggregated to quartile boundaries
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
-      events(s, dir)
-        .withColumn("q", ntile(4).over(w).cast("long"))
+      // per-type value quartiles — but NOT via ntile().over(partitionBy
+      // (event_type)), which sorts each type's entire row set in one task
+      // (a scale-killer with ~5 types at 100 TB). GroupedRank computes the
+      // identical buckets from range-partitioned local ranks + a broadcast
+      // offset table; the oracle stays the plain SQL ntile.
+      graft.operators.GroupedRank.withGroupNtile(
+        events(s, dir), Seq("event_type"),
+        Seq(col("value"), col("event_id")), k = 4, ntileCol = "q")
+        .withColumn("q", col("q").cast("long"))
         .groupBy("event_type", "q")
         .agg(count(lit(1)).as("n"),
           min("value").as("min_v"), max("value").as("max_v"))

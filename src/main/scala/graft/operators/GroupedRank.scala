@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group ranks and ntile WITHOUT a per-group single-task sort.
+  *
+  * `row_number().over(Window.partitionBy(group).orderBy(...))` co-locates
+  * each group in ONE task and sorts it there — with a handful of large
+  * groups (e.g. event types) that is a few tasks each sorting billions of
+  * rows at 100 TB. This operator computes the identical ranks with the
+  * classic two-phase distributed scheme:
+  *
+  *  1. '''range partition''' the data by `(group, order...)` — Spark's
+  *     sampled `RangePartitioning`, uniform regardless of group skew;
+  *  2. '''local ranks''' within `(physical partition, group)` — the window
+  *     groups are bounded by the partition size, never by group size;
+  *  3. '''offsets''': per-(partition, group) counts form a tiny frame
+  *     (numPartitions × numGroups rows); a prefix sum over partition id
+  *     gives each slice's global offset, broadcast-joined back.
+  *
+  * `rank = offset + local rank` is exact because range partitioning puts
+  * every row of partition i before every row of partition j > i in
+  * `(group, order)` order. `orderCols` must be a total order within each
+  * group (tie rows may otherwise land in either of two adjacent
+  * partitions, making offsets ambiguous) — same requirement a
+  * deterministic `ntile` has anyway.
+  *
+  * The two consumers of the ranked frame (counts and the final join) share
+  * one range exchange via Spark's ReusedExchange, so the data is ranged
+  * and ranked once.
+  */
+object GroupedRank {
+
+  /** `df` plus `rankCol`: the row's 1-based rank within its `groupCols`
+    * group under `orderCols`. */
+  def withGroupRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    val ranged = df
+      .repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+      .withColumn("__graft_pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy(("__graft_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    val local = ranged.withColumn("__graft_lrn", row_number().over(wLocal))
+    val counts = local
+      .groupBy(("__graft_pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy("__graft_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__graft_off", coalesce(sum("__graft_c").over(wOff), lit(0L)))
+      .select(("__graft_pid" +: groupCols).map(col) :+ col("__graft_off"): _*)
+    local
+      .join(broadcast(offsets), "__graft_pid" +: groupCols)
+      .withColumn(rankCol, col("__graft_off") + col("__graft_lrn"))
+      .drop("__graft_pid", "__graft_lrn", "__graft_off")
+  }
+
+  /** `df` plus `ntileCol`: the row's `ntile(k)` bucket within its group
+    * under `orderCols` — bit-identical to
+    * `ntile(k).over(Window.partitionBy(group).orderBy(order))`, derived
+    * from the distributed rank by the ntile size formula (the first
+    * `n mod k` buckets get `n/k + 1` rows, the rest `n/k`). Adds one
+    * per-group total-count aggregate (numGroups rows, broadcast). */
+  def withGroupNtile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      k: Int,
+      ntileCol: String = "ntile"): DataFrame = {
+    require(k > 0, "ntile bucket count must be positive")
+    val ranked = withGroupRank(df, groupCols, orderCols, "__graft_grank")
+    val totals = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+    // Column./ is true (double) division — floor() it back to integral.
+    // Exact while operands < 2^53, i.e. for any group a Long can count.
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val n = col("__graft_n")
+    val q = idiv(n, lit(k))
+    val rem = n % k
+    val cut = rem * (q + 1) // rows in the first `rem` (larger) buckets
+    val r0 = col("__graft_grank") - 1
+    val bucket = when(r0 < cut, idiv(r0, q + 1) + 1)
+      .otherwise(rem + idiv(r0 - cut, greatest(q, lit(1L))) + 1)
+    ranked
+      .join(broadcast(totals), groupCols)
+      .withColumn(ntileCol, bucket.cast("int"))
+      .drop("__graft_grank", "__graft_n")
+  }
+}

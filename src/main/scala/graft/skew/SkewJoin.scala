@@ -27,9 +27,11 @@ import graft.sketch.CmsOps
   *    identify null-padded rows, and a replica-count window keeps exactly one
   *    padded row per genuinely-unmatched input row — the reference would emit
   *    one null-padded row *per replica* for unmatched rows under replication.
-  *  - '''C3''' semi/anti joins fall back to Spark's plain join (replication
-  *    changes probe-side multiplicity and would corrupt their semantics);
-  *    unknown join types are rejected.
+  *  - '''C3''' semi/anti joins get their own exact salted decomposition
+  *    ([[saltedSemiAnti]]: fragment left, replicate the right side's
+  *    DISTINCT key set to every fragment) — the reference passes them
+  *    through the pairwise salting, which corrupts them; unknown join types
+  *    are rejected.
   *  - '''C4''' salts come from `rand(seed)` columns instead of broadcast
   *    `java.util.Random` instances — no PRNG state serialization, plan stays
   *    declarative.
@@ -79,9 +81,15 @@ object SkewJoin {
         case jt @ ("inner" | "left_outer" | "right_outer" | "full_outer") =>
           saltedJoin(left, right, usingColumns, skewJoinConf, jt)
         case jt @ ("left_semi" | "left_anti") =>
-          // C3: replication would change probe multiplicity; the plain join is
-          // already shuffle-light for semi/anti (output ≤ left).
-          left.join(right, usingColumns, jt)
+          // C3 upgraded: the pair-salting layout would corrupt semi/anti (the
+          // reference passes them through it, dfimplicits.scala:116 — a left
+          // fragment only saw right rows drawing the same salt), but the
+          // key-set formulation below is exact. Left fragmentation needs a
+          // LEFT sketch; under RightSkew there is nothing to fragment (the
+          // right side collapses to distinct keys anyway) → plain join.
+          if (skewJoinConf.skewType.left)
+            saltedSemiAnti(left, right, usingColumns, skewJoinConf, jt)
+          else left.join(right, usingColumns, jt)
         case other =>
           throw new IllegalArgumentException(
             s"skewJoin does not support joinType '$other' " +
@@ -168,6 +176,57 @@ object SkewJoin {
       case "leftanti" | "anti"           => "left_anti"
       case other                         => other
     }
+
+  /** Salted semi/anti join — exact semantics under left-side skew.
+    *
+    * The pairwise salting layout cannot serve semi/anti (a left fragment
+    * would only meet right rows that drew the same salt, producing false
+    * anti positives), so these use a different decomposition:
+    *
+    *  1. the right side collapses to its DISTINCT key set — a map-side-
+    *     combined aggregate, skew-safe by construction (a hot right key is
+    *     deduplicated inside each map task before any shuffle);
+    *  2. the left side fragments exactly like the inner path
+    *     (`salt = uniform(0, rep(key))` from the broadcast CMS probe);
+    *  3. each distinct key explodes to ALL `rep(key)` fragment ids, so a
+    *     left row matches its fragment's replica iff the key exists at all —
+    *     `left_semi`/`left_anti` on `(keys, salt)` is then exactly
+    *     `left_semi`/`left_anti` on `keys`.
+    *
+    * Output multiplicity is untouched: semi/anti never duplicate the probe
+    * side, and the exploded key set carries at most `rep(key)` ≤ cap rows
+    * per distinct key. The hot key's left rows spread over `rep(key)`
+    * reducers instead of funnelling through one.
+    */
+  private def saltedSemiAnti(
+      left: DataFrame,
+      right: DataFrame,
+      usingColumns: Seq[String],
+      conf: SkewJoinConf,
+      joinType: String): DataFrame = {
+    val spark = left.sparkSession
+    val cap = conf.maxReplication
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    def keyOf(df: DataFrame): Column =
+      concat_ws(KeSep, usingColumns.map(c => df.col(c).cast("string")): _*)
+    val key = concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
+    val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
+    // fragmentation is driven by the LEFT side's key frequencies — the side
+    // whose rows pile onto one reducer without it
+    val cms = spark.sparkContext.broadcast(
+      CmsOps.cmsOf(left, keyOf(left), conf.CMSeps, conf.CMSdelta, conf.CMSseed))
+    val rep = when(keyIsNull, lit(1))
+      .otherwise(replicationUdf(cms, conf.CMSeps, conf.replicationFactor, cap)(key))
+    val ls = left
+      .withColumn(RepL, rep)
+      .withColumn(SaltL, floor(rand(conf.CMSseed.toLong) * col(RepL)).cast("int"))
+      .drop(RepL)
+    val rKeys = right.select(usingColumns.map(col): _*).distinct()
+      .withColumn(RepL, rep)
+      .withColumn(SaltL, explode(sequence(lit(0), col(RepL) - 1)))
+      .drop(RepL)
+    ls.join(rKeys, usingColumns :+ SaltL, joinType).drop(SaltL)
+  }
 
   /** The fragment-replicate core: salted equi-join, all join types in ONE
     * pass over each input.

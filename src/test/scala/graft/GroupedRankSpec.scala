@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GroupedRank
+import graft.testkit.DatasetComparisons._
+
+class GroupedRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def skewed = {
+    import spark.implicits._
+    // one dominant group + small groups + a singleton, values with ties on
+    // the first order column so the tiebreaker matters
+    ((1 to 5000).map(i => ("hot", i % 97, i)) ++
+      (1 to 40).map(i => ("warm", i % 7, i)) ++
+      Seq(("one", 0, 1)))
+      .toDF("g", "v", "id").repartition(8)
+  }
+
+  test("withGroupRank equals row_number over a per-group window") {
+    val got = GroupedRank.withGroupRank(
+      skewed, Seq("g"), Seq(col("v"), col("id")), "r")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val want = skewed.withColumn("r", row_number().over(w).cast("long"))
+    got.ensureDatasetEquals(want)
+  }
+
+  test("withGroupNtile is bit-identical to the ntile window for several k") {
+    Seq(1, 3, 4, 7, 6000).foreach { k =>
+      val got = GroupedRank.withGroupNtile(
+        skewed, Seq("g"), Seq(col("v"), col("id")), k, "q")
+      val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      val want = skewed.withColumn("q", ntile(k).over(w))
+      withClue(s"k=$k: ") { got.ensureDatasetEquals(want) }
+    }
+  }
+
+  test("no per-group single-task sort: every window partitions on the physical pid") {
+    val got = GroupedRank.withGroupNtile(
+      skewed, Seq("g"), Seq(col("v"), col("id")), 4, "q")
+    val plan = got.queryExecution.executedPlan.toString
+    // the data-sized exchange is the RANGE repartition; the only
+    // hashpartitioning over bare group columns may carry aggregates
+    // (tiny), never Window sorts — i.e. no "Window ... partitionBy(g)"
+    // without the pid column
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      assert(l.contains("__graft_pid") || !l.contains("row_number"),
+        s"a row_number window does not include the physical pid: $l")
+    }
+  }
+
+  test("multi-column groups and empty input") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 3), ("a", "x", 1), ("a", "y", 2), ("b", "x", 9))
+      .toDF("g1", "g2", "v")
+    val got = GroupedRank.withGroupRank(df, Seq("g1", "g2"), Seq(col("v")), "r")
+    val w = Window.partitionBy("g1", "g2").orderBy("v")
+    got.ensureDatasetEquals(df.withColumn("r", row_number().over(w).cast("long")))
+    val empty = df.filter(lit(false))
+    assert(GroupedRank.withGroupNtile(empty, Seq("g1"), Seq(col("v")), 4).count() == 0)
+  }
+}

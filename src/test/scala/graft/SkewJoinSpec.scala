@@ -74,9 +74,33 @@ class SkewJoinSpec extends AnyFunSuite {
       .toDF("k", "va")
     val b = Seq[(java.lang.Long, String)]((1L, "x"), (null, "n2"), (3L, "y"))
       .toDF("k", "vb")
-    Seq("inner", "left_outer", "full_outer").foreach { jt =>
+    Seq("inner", "left_outer", "full_outer", "left_semi", "left_anti").foreach { jt =>
       withClue(s"joinType=$jt: ") {
         a.skewJoin(b, Seq("k"), jt, conf).ensureDatasetEquals(a.join(b, Seq("k"), jt))
+      }
+    }
+  }
+
+  test("semi/anti run the salted decomposition (plan pin) and stay exact under skew") {
+    import spark.implicits._
+    val hot = ((1 to 20000).map(i => (1L, s"h$i")) ++ (1 to 500).map(i => (i.toLong + 1, s"u$i")))
+      .toDF("k", "lv").repartition(8)
+    val rhs = ((1 to 50).map(i => (1L, s"r$i")) ++ (1 to 250).map(i => (i.toLong * 2, s"w$i")))
+      .toDF("k", "rv")
+    val cfg = SkewJoinConf(replicationFactor = 0.005)
+    Seq("left_semi", "left_anti").foreach { jt =>
+      val salted = hot.skewJoin(rhs, Seq("k"), jt, cfg)
+      withClue(s"joinType=$jt: ") {
+        // the salted path joins on (k, fragment id); the plain fallback has
+        // no salt column anywhere in the plan
+        assert(salted.queryExecution.analyzed.toString.contains(SaltL),
+          "expected the salted semi/anti decomposition in the plan")
+        salted.ensureDatasetEquals(hot.join(rhs, Seq("k"), jt))
+        // RightSkew declares no left skew → nothing to fragment → plain join
+        val plain = hot.skewJoin(rhs, Seq("k"), jt,
+          cfg.copy(skewType = RightSkew))
+        assert(!plain.queryExecution.analyzed.toString.contains(SaltL))
+        plain.ensureDatasetEquals(hot.join(rhs, Seq("k"), jt))
       }
     }
   }
