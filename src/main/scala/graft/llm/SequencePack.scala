@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *
   *  1. rows bucket by `floor(orderCol / bucketWidth)`; per-bucket weight
   *     totals are a map-side-combined aggregate (one small result per
-  *     bucket, collected to the driver — ~corpusRange/bucketWidth rows; for
-  *     corpora where even that is large, raise `bucketWidth` or add a second
-  *     level — the dataflow is unchanged);
+  *     bucket, collected to the driver). `bucketWidth` defaults to
+  *     AUTO-DERIVED from the observed `orderCol` span (one cheap min/max
+  *     aggregate) so the driver never holds more than ~2¹⁶ bucket rows —
+  *     no id-space sparsity can misconfigure it into a driver OOM. The
+  *     assignment itself is bucketWidth-INDEPENDENT (bucketing only
+  *     decomposes the prefix sum), so auto vs explicit width cannot change
+  *     results;
   *  2. exclusive bucket offsets broadcast back; the within-bucket cumsum is
   *     a window partitioned BY BUCKET — thousands of independent,
   *     bounded-size sorts instead of one global one.
@@ -32,16 +36,32 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
+  /** Driver-side bucket-row budget for the auto-derived width. */
+  private val TargetBuckets = 1L << 16
+
+  /** Width making `floor(orderCol / width)` span at most ~2¹⁶ distinct
+    * buckets over `[mn, mx]`, for ANY id-space sparsity or offset. */
+  private[graft] def autoBucketWidth(mn: Long, mx: Long): Long =
+    math.max(1L, (mx - mn) / TargetBuckets + 1L)
+
   def packSequences(
       df: DataFrame,
       orderCol: String,
       weightCol: String,
       budget: Long,
-      bucketWidth: Long = 1024L): DataFrame = {
+      bucketWidth: Option[Long] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(bucketWidth.forall(_ > 0), "bucketWidth must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+
+    val width = bucketWidth.getOrElse {
+      // one column-pruned min/max aggregate; an empty corpus gets width 1
+      val r = df.filter(col(orderCol).isNotNull)
+        .agg(min(col(orderCol).cast("long")), max(col(orderCol).cast("long")))
+        .collect()(0)
+      if (r.isNullAt(0)) 1L else autoBucketWidth(r.getLong(0), r.getLong(1))
+    }
 
     // the documented preconditions are enforced, not assumed: null order keys
     // or weights would otherwise surface as a driver-side NPE on the bucket
@@ -56,7 +76,7 @@ object SequencePack {
             coalesce(col(weightCol).cast("string"), lit("null")))))
           .otherwise(col(weightCol).cast("long")))
       .withColumn("__graft_bucket",
-        floor(col(orderCol) / bucketWidth).cast("long"))
+        floor(col(orderCol) / width).cast("long"))
 
     val totals = base.groupBy("__graft_bucket")
       .agg(sum("__graft_w").as("__t"))

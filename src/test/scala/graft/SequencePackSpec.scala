@@ -22,7 +22,7 @@ class SequencePackSpec extends AnyFunSuite {
       bucketWidth: Long, parts: Int): Map[Long, Long] = {
     import spark.implicits._
     val df = rows.toDF("id", "w").repartition(parts)
-    packSequences(df, "id", "w", budget, bucketWidth)
+    packSequences(df, "id", "w", budget, Some(bucketWidth))
       .select("id", "chunk_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -51,6 +51,26 @@ class SequencePackSpec extends AnyFunSuite {
     val rows = Seq(1L -> 5000L, 2L -> 1L, 3L -> 5000L)
     assert(run(rows, 1024, bucketWidth = 2, parts = 2) == reference(rows, 1024))
     assert(packSequences(Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 10).isEmpty)
+  }
+
+  test("auto bucketWidth bounds driver rows for any id-space sparsity") {
+    import graft.llm.SequencePack.autoBucketWidth
+    // a 10^12-wide key space must never produce more than ~2^16 buckets:
+    // the old fixed default (1024) would have collected ~10^9 rows here
+    def buckets(mn: Long, mx: Long): Long = {
+      val w = autoBucketWidth(mn, mx)
+      mx / w - mn / w + 1
+    }
+    assert(buckets(0L, 1000L * 1000 * 1000 * 1000) <= (1L << 16) + 1)
+    assert(buckets(Long.MinValue / 4, Long.MaxValue / 4) <= (1L << 16) + 1)
+    assert(autoBucketWidth(5L, 5L) == 1L) // degenerate single-id corpus
+    // and the auto width changes nothing about the assignment itself
+    import spark.implicits._
+    val sparse = (1L to 500L).map(i => i * 2000000000L -> (i % 13 + 1))
+    val df = sparse.toDF("id", "w").repartition(7)
+    val got = packSequences(df, "id", "w", budget = 16)
+      .select("id", "chunk_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(sparse, 16))
   }
 
   test("null order keys are dropped; null or negative weights fail loudly") {

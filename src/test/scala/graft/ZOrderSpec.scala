@@ -51,6 +51,48 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout actually prunes a 2-D filtered parquet scan end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 64×64 grid → 16 files; the box filter selects ~1.6% of rows. With the
+    // z layout every file covers a compact (a,b) rectangle, so parquet
+    // row-group min/max stats skip all but the box's file(s); a round-robin
+    // layout gives every file full-range stats and skips nothing.
+    val rows = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_prune")
+    val zPath = s"$dir/zorder"
+    val rrPath = s"$dir/roundrobin"
+    ZOrder.layoutByZOrder(rows, Seq("a", "b"), bits = 6, numFiles = 16)
+      .write.parquet(zPath)
+    rows.repartition(16).write.parquet(rrPath)
+
+    // rows the parquet reader actually DELIVERS (post row-group skipping),
+    // read off the scan node's numOutputRows metric after execution
+    def rowsRead(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("a") < 8 && col("b") < 8)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val zRead = rowsRead(zPath)
+      val rrRead = rowsRead(rrPath)
+      assert(rrRead == 64L * 64, s"round-robin layout should read everything, read $rrRead")
+      assert(zRead * 4 <= rrRead,
+        s"z-order layout should prune most row groups: read $zRead of $rrRead")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("layoutByZOrder yields disjoint, file-prunable z-ranges per partition") {
     import spark.implicits._
     val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
