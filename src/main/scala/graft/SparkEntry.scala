@@ -214,7 +214,7 @@ object SparkEntry {
       // format exactly
       val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
       graft.sources.Formats.csvRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_csv")
+        s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current.pid}")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum("n_chars").as("sum_chars"))
@@ -518,6 +518,21 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_pq_trained" -> ((s, dir) => {
+      // PQ ADC scan on k-means-TRAINED codebooks (per-subspace L2 Lloyd's,
+      // 1 iteration) — the quantized-mean update keeps training exactly
+      // SQL-replayable; see annPqTrainedSql
+      val emb = t(s, dir, "embeddings")
+      val cbs = graft.llm.KMeans.fitCodebooks(
+        emb, "vec_id", "embedding",
+        numSubspaces = 8, codebookSize = 16, iters = 1, dim = 64)
+      graft.llm.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, codebooks = Some(cbs))
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_ivf_trained" -> ((s, dir) => {
       // IVF probing on k-means-TRAINED centroids (2 Lloyd's iterations from
       // the first-16 seed set) instead of the raw seed vectors — the
@@ -605,7 +620,7 @@ object SparkEntry {
       // values (incl. unicode text and long ids) survive bit-exactly
       val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
       graft.sources.Formats.jsonlRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl")
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${ProcessHandle.current.pid}")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(length(col("text")).cast("long")).as("sum_chars"))
@@ -615,7 +630,7 @@ object SparkEntry {
       // the ORC face of the interchange story (jsonl_roundtrip covers JSON)
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
       graft.sources.Formats.orcRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_orc")
+        s"${System.getProperty("java.io.tmpdir")}/graft_orc_${ProcessHandle.current.pid}")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(length(col("text")).cast("long")).as("sum_chars"))
@@ -638,7 +653,7 @@ object SparkEntry {
       // (PlanSpec pins the PartitionFilters shape)
       val docs = t(s, dir, "documents").select("doc_id", "n_chars", "lang")
       graft.sources.Formats.writePartitioned(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_part", Seq("lang"))
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_${ProcessHandle.current.pid}", Seq("lang"))
         .filter(col("lang") === "fr")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(col("n_chars").cast("long")).as("sum_chars"))
@@ -786,6 +801,29 @@ object SparkEntry {
         "graft_stream_ivj", outputMode = "append")
         .groupBy("p_event_id", "user_id")
         .agg(count(lit(1)).as("n_clicks"))
+    }),
+
+    "stream_skew_interval" -> ((s, dir) => {
+      // the stream-STREAM interval join under skew salting: the CMS over a
+      // static historical sample (here: the same day's events read as batch)
+      // gates per-key replication; emitted multiset must equal the unsalted
+      // join — the oracle is the identical batch SQL
+      import graft.streaming.StreamOps
+      val ev = StreamOps.eventsStream(s, s"$dir/events.parquet")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_event_id"), col("ts"))
+      val hist = events(s, dir).select("user_id")
+      val joined = StreamOps.skewedIntervalJoin(
+        purch, views, Seq("user_id"), "0 SECOND", "30 MINUTE",
+        hotKeySource = hist,
+        conf = graft.skew.SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05))
+      StreamOps.runToMemory(s,
+        joined.select("p_event_id", "user_id", "v_event_id"),
+        "graft_stream_skivj", outputMode = "append")
+        .groupBy("p_event_id", "user_id")
+        .agg(count(lit(1)).as("n_views"))
     }),
 
     "stream_skewjoin" -> ((s, dir) => {
@@ -1006,6 +1044,84 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Generated oracle for `ann_pq_trained`: replays per-subspace L2
+    * k-means training ([[graft.llm.KMeans.fitCodebooks]] — assignment by
+    * `2·v·c − ‖c‖²` argmax with ties to the lowest code, quantized-mean
+    * update) and then the PQ ADC scan on the TRAINED codebooks. All dot
+    * products are the left-associated chains of [[pqSql]]; centroid
+    * components are exact by the same integer-sum argument as
+    * [[annIvfTrainedSql]]. */
+  private def annPqTrainedSql(k: Int = 3, numSubspaces: Int = 8,
+      codebookSize: Int = 16, iters: Int = 1, dim: Int = 64,
+      nQueries: Int = 20): String = {
+    val subDim = dim / numSubspaces
+    // dot of full-vector slice j with itself / with a codebook LIST
+    def chainVL(v: String, j: Int, c: String): String = {
+      val off = j * subDim
+      "(0.0" + (1 to subDim).map(i => s" + $v[${off + i}]*$c[$i]").mkString + ")"
+    }
+    def chainLL(c: String): String =
+      "(0.0" + (1 to subDim).map(i => s" + $c[$i]*$c[$i]").mkString + ")"
+    // initial codebook j = slice j of the first-codebookSize vectors
+    val initCtes = (0 until numSubspaces).map { j =>
+      val off = j * subDim
+      s"""cb${j}_0 AS (SELECT vec_id::INT AS code, v[${off + 1}:${off + subDim}] AS cv
+         |  FROM e WHERE vec_id < $codebookSize)""".stripMargin
+    }.mkString(",\n")
+    val trainCtes = (for (j <- 0 until numSubspaces; t <- 1 to iters) yield {
+      val p = s"cb${j}_${t - 1}"
+      val off = j * subDim
+      s"""ta${j}_$t AS (SELECT vec_id, cid, v FROM (
+         |  SELECT e.vec_id, c.code AS cid, e.v, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY 2.0*${chainVL("e.v", j, "c.cv")} - ${chainLL("c.cv")} DESC, c.code) AS rn
+         |  FROM e CROSS JOIN $p c) WHERE rn = 1),
+         |tu${j}_$t AS (SELECT cid, i,
+         |    sum(CAST(floor(v[$off + i] * 16777216.0) AS BIGINT)) AS qs,
+         |    count(*) AS n
+         |  FROM ta${j}_$t, range(1, ${subDim + 1}) r(i) GROUP BY cid, i),
+         |tm${j}_$t AS (SELECT cid, list(qs / (n * 16777216.0) ORDER BY i) AS cv
+         |  FROM tu${j}_$t GROUP BY cid),
+         |cb${j}_$t AS (SELECT p.code, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $p p LEFT JOIN tm${j}_$t m ON p.code = m.cid)""".stripMargin
+    }).mkString(",\n")
+    def cb(j: Int) = s"cb${j}_$iters"
+    val dCtes = (0 until numSubspaces).map { j =>
+      s"""d$j AS (SELECT e.vec_id AS neighbor_id, c.code,
+         |  ${chainLL("c.cv")} - 2.0*${chainVL("e.v", j, "c.cv")} AS d
+         |  FROM e CROSS JOIN ${cb(j)} c),
+         |c$j AS (SELECT neighbor_id, code AS c$j FROM (
+         |  SELECT neighbor_id, code, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY d, code) AS rn FROM d$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qlCtes = (0 until numSubspaces).map { j =>
+      s"""ql$j AS (SELECT query_id, c.code,
+         |  ${chainLL("c.cv")} - 2.0*${chainVL("q.qv", j, "c.cv")} AS d
+         |  FROM q CROSS JOIN ${cb(j)} c)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until numSubspaces)
+      .map(j => s"JOIN c$j USING (neighbor_id)").mkString(" ")
+    val qlJoins = (0 until numSubspaces).map(j =>
+      s"JOIN ql$j ON ql$j.query_id = pair.query_id AND ql$j.code = pair.c$j")
+      .mkString("\n")
+    val adistSum = (0 until numSubspaces).map(j => s"ql$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$initCtes,
+       |$trainCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |$dCtes,
+       |codes AS (SELECT * FROM c0 $codesJoin),
+       |$qlCtes,
+       |pair AS (SELECT q.query_id, codes.* FROM codes CROSS JOIN q
+       |  WHERE neighbor_id <> q.query_id),
+       |scored AS (SELECT pair.query_id, pair.neighbor_id, ($adistSum) AS adist
+       |  FROM pair $qlJoins),
+       |r AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Shared DuckDB expression for [[graft.llm.TextStats.normalizeText]]. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -1185,6 +1301,8 @@ object SparkEntry {
     "ann_ivf_trained" -> annIvfTrainedSql(),
 
     "ann_pq" -> pqSql(),
+
+    "ann_pq_trained" -> annPqTrainedSql(),
 
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation (inclusive backward match on exact
@@ -1716,5 +1834,18 @@ object SparkEntry {
         |  max(value) AS max_v
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // salting is transparent to the emitted multiset: the oracle is the
+    // plain batch interval join, same µs grain as stream_interval_join
+    "stream_skew_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |p AS (SELECT event_id AS p_event_id, user_id, tus FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, tus AS vus FROM e WHERE event_type = 'view')
+        |SELECT p_event_id, p.user_id AS user_id, count(*) AS n_views
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND vus >= p.tus AND vus < p.tus + 1800000000
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -165,8 +165,18 @@ object Similarity {
   def pqCodebooks(
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       numSubspaces: Int, codebookSize: Int): Seq[Seq[(Int, Seq[Double])]] = {
-    val base = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+    val rows = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
       .orderBy(col(cIdCol)).limit(codebookSize).collect()
+    // codes are assigned positionally, and the generated oracle labels them
+    // by literal `vec_id < codebookSize` — enforce the id convention the
+    // two interpretations share so a fixture change fails loudly instead of
+    // silently shifting code labels (ADVICE r6)
+    require(rows.length == codebookSize,
+      s"pqCodebooks: corpus has ${rows.length} vectors, need $codebookSize")
+    val ids = rows.map(_.getLong(0)).toSeq
+    require(ids == (0L until codebookSize.toLong),
+      s"pqCodebooks: seed ids must be exactly 0..${codebookSize - 1}, got $ids")
+    val base = rows
       .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toSeq)
     val dim = base.head.size
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-group order-statistic quantiles: for each group and each
@@ -16,12 +15,17 @@ import org.apache.spark.sql.functions._
   * the last ulp between implementations; `approx_percentile` isn't
   * deterministic across partitionings at all).
   *
-  * '''Plan shape.''' One `row_number` window + one count per group (both
-  * shuffle on the group key; the window sorts each group once for ALL
-  * requested quantiles), then a rank-predicate filter and a pivot-style
-  * conditional aggregation back to one row per group. Group sizes bound the
-  * window sort; for 100-TB groups swap in `approx_percentile` — this
-  * operator is the exact contract.
+  * '''Plan shape.''' Ranks come from [[GroupedRank.withGroupRank]] — the
+  * range-partitioned distributed rank, NOT a per-group window (which
+  * co-locates and sorts each group in one task; with a handful of large
+  * groups that is the 100-TB scale-killer). Ranks computed under value
+  * ties are any valid `row_number` assignment, which cannot change an
+  * order statistic: the rank-r VALUE of a multiset is tie-order
+  * independent. Group totals come from a map-side-combined aggregate
+  * joined back (no broadcast hint — group count is unbounded in this
+  * operator's contract, and AQE picks a broadcast when the totals frame
+  * turns out small). Then a rank-predicate filter and a pivot-style
+  * conditional aggregation back to one row per group.
   */
 object Quantiles {
 
@@ -32,12 +36,12 @@ object Quantiles {
       fractions: Seq[Double]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
       "fractions must be in (0, 1]")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val cw = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .withColumn("__graft_rn", row_number().over(w))
-      .withColumn("__graft_n", count(lit(1)).over(cw))
+    val filtered = df.filter(col(valueCol).isNotNull)
+    val totals = filtered.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+    val ranked = GroupedRank
+      .withGroupRank(filtered, groupCols, Seq(col(valueCol)), "__graft_rn")
+      .join(totals, groupCols)
     // column names derive from the exact decimal fraction (p50, p99_5), not a
     // rounded percent — 0.995 and 1.0 must not both become "p100"
     val names = fractions.map(quantileName)

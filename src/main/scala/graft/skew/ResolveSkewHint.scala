@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.Bridge
@@ -45,17 +45,25 @@ import graft.skew.SkewJoin.SkewJoinOps
   * so the `skew` hint is still present when resolution reaches fixpoint.
   *
   * Supported shapes (hint on either or both join inputs):
-  *  - `l.hint("skew").join(r, Seq(cols...))` — using-join form; replaced by
-  *    the skewJoin plan directly (same output shape by construction);
-  *  - `l.hint("skew").join(r, l("k") === r("k") [&& ...])` — raw inner
-  *    equi-join on same-name columns; the skewJoin using-plan is wrapped in
-  *    a Project that restores `l.output ++ r.output` with the original
-  *    expression ids (right key columns re-aliased from the join keys).
+  *  - `l.hint("skew").join(r, Seq(cols...), jt)` — using-join form for
+  *    inner AND left/right/full outer types; replaced by the skewJoin plan
+  *    directly (same output shape by construction — [[SkewJoin]]'s C2
+  *    single-pass outer decomposition already matches using-join
+  *    semantics);
+  *  - `l.hint("skew").join(r, l("k") === r("k") [&& ...], jt)` — raw
+  *    equi-join on same-name columns, inner or outer; both sides' key
+  *    columns are copied into payload columns so the final Project can
+  *    restore `l.output ++ r.output` with each side's own null-padding
+  *    (see [[rewriteRaw]]). This shape is also what outer USING joins lower
+  *    to before this rule sees them (ResolveNaturalAndUsingJoin runs
+  *    earlier in the resolution batch), so it carries the
+  *    `df.join(r, Seq("k"), "left_outer")` API form too.
   *
-  * Anything else (outer joins, non-equi or renamed-key conditions) keeps
-  * plain join semantics: the hint is stripped with a warning. Building the
-  * replacement runs the CMS sketch jobs at analysis time — once per query,
-  * the price of an adaptive rewrite decided before execution.
+  * Anything else (non-equi or renamed-key conditions, semi/anti hints)
+  * keeps plain join semantics: the hint is stripped with a warning.
+  * Building the replacement runs the CMS sketch jobs at analysis time —
+  * once per query, the price of an adaptive rewrite decided before
+  * execution.
   */
 case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -87,24 +95,59 @@ case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
     if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
   }
 
-  private def skewJoined(l: LogicalPlan, r: LogicalPlan, cols: Seq[String]): LogicalPlan =
+  private def skewJoined(l: LogicalPlan, r: LogicalPlan, cols: Seq[String],
+      joinType: String = "inner"): LogicalPlan =
     new SkewJoinOps(Bridge.ofRows(spark, l))
-      .skewJoin(Bridge.ofRows(spark, r), cols, "inner")
+      .skewJoin(Bridge.ofRows(spark, r), cols, joinType)
       .queryExecution.analyzed
 
-  /** Raw-condition form: run the using-join skew plan, then restore the
-    * original `l.output ++ r.output` attribute list (right keys re-aliased
-    * from the surviving left keys — equal under an inner equi-join). */
+  private def usingTypeName(jt: JoinType): Option[String] = jt match {
+    case Inner      => Some("inner")
+    case LeftOuter  => Some("left_outer")
+    case RightOuter => Some("right_outer")
+    case FullOuter  => Some("full_outer")
+    case _          => None
+  }
+
+  /** Raw-condition form, any supported join type: each side's key columns
+    * are first COPIED into ordinary payload columns (`__graft_lk_i` /
+    * `__graft_rk_i`), the using-join skew plan runs on the original key
+    * names, and a final Project restores `l.output ++ r.output` with the
+    * original expression ids — key attributes rebuilt from the copies.
+    * The copies are what makes OUTER types sound here: a using-join output
+    * keeps only one (side-dependent, or coalesced) key column, but the
+    * copies null-pad exactly like any payload column, so each side's key
+    * reconstructs with its own padding. */
   private def rewriteRaw(l: LogicalPlan, r: LogicalPlan,
-      pairs: Seq[(AttributeReference, AttributeReference)]): LogicalPlan = {
-    val out = skewJoined(l, r, pairs.map(_._1.name))
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      joinType: String): LogicalPlan = {
+    val lCopies = pairs.zipWithIndex.map { case ((la, _), i) =>
+      Alias(la, s"__graft_lk_$i")()
+    }
+    val rCopies = pairs.zipWithIndex.map { case ((_, ra), i) =>
+      Alias(ra, s"__graft_rk_$i")()
+    }
+    val out = skewJoined(
+      Project(l.output ++ lCopies, l),
+      Project(r.output ++ rCopies, r),
+      pairs.map(_._1.name), joinType)
     val byId = out.output.map(a => a.exprId -> a).toMap
-    val keyByRightId = pairs.map { case (la, ra) => ra.exprId -> la }.toMap
-    val leftCols: Seq[NamedExpression] = l.output.map(a => byId(a.exprId))
+    val copyByLeftId = pairs.zipWithIndex.map { case ((la, _), i) =>
+      la.exprId -> lCopies(i).exprId
+    }.toMap
+    val copyByRightId = pairs.zipWithIndex.map { case ((_, ra), i) =>
+      ra.exprId -> rCopies(i).exprId
+    }.toMap
+    val leftCols: Seq[NamedExpression] = l.output.map { a =>
+      copyByLeftId.get(a.exprId) match {
+        case Some(cid) => Alias(byId(cid), a.name)(exprId = a.exprId)
+        case None      => byId(a.exprId)
+      }
+    }
     val rightCols: Seq[NamedExpression] = r.output.map { a =>
-      keyByRightId.get(a.exprId) match {
-        case Some(la) => Alias(byId(la.exprId), a.name)(exprId = a.exprId)
-        case None     => byId(a.exprId)
+      copyByRightId.get(a.exprId) match {
+        case Some(cid) => Alias(byId(cid), a.name)(exprId = a.exprId)
+        case None      => byId(a.exprId)
       }
     }
     Project(leftCols ++ rightCols, out)
@@ -121,21 +164,22 @@ case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
       val (r, hintR) = peel(jr)
       if (!(hintL || hintR) || !l.resolved || !r.resolved) j
       else (joinType, cond) match {
-        case (UsingJoin(Inner, cols), None) =>
-          skewJoined(l, r, cols)
-        case (Inner, Some(c)) if c.resolved =>
+        case (UsingJoin(base, cols), None) if usingTypeName(base).isDefined =>
+          skewJoined(l, r, cols, usingTypeName(base).get)
+        case (jt, Some(c)) if c.resolved && usingTypeName(jt).isDefined =>
           equiPairs(c, l, r) match {
             case Some(pairs) if pairs.nonEmpty &&
-                pairs.forall { case (a, b) => a.name == b.name } =>
-              rewriteRaw(l, r, pairs)
+                pairs.forall { case (a, b) => a.name == b.name } &&
+                pairs.map(_._1.name).distinct.size == pairs.size =>
+              rewriteRaw(l, r, pairs, usingTypeName(jt).get)
             case _ =>
               logWarning("skew hint ignored: join condition is not a " +
                 "same-name equi-join; falling back to the plain join")
               Join(l, r, joinType, cond, hint)
           }
-        case (Inner, None) =>
-          // Dataset.join(right, usingColumns) internally pre-analyzes a
-          // condition-less inner join of the two inputs just to
+        case (_, None) =>
+          // Dataset.join(right, usingColumns, jt) internally pre-analyzes a
+          // condition-less join (of that jt) of the two inputs just to
           // disambiguate attributes, then rebuilds the real UsingJoin from
           // its analyzed children — keep the marker alive through that
           // pass so the real join's analysis still sees it

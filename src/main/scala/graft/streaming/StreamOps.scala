@@ -156,8 +156,12 @@ object StreamOps {
     * that is what lets Spark derive the state retention window and evict
     * buffered rows instead of holding both streams forever (the difference
     * between a join that runs for months and one that OOMs in an hour).
-    * Inner join ⇒ the emitted multiset equals the equivalent batch
-    * interval join; µs event-time grain keeps it oracle-exact. */
+    * Inner join ⇒ the emitted multiset equals the equivalent batch interval
+    * join PROVIDED no row arrives more than `watermark` behind the max
+    * observed event time — late rows beyond that are dropped by design.
+    * Single-batch/in-order bounded replays (the test and verify shape)
+    * satisfy the proviso trivially; µs event-time grain keeps the equality
+    * oracle-exact. */
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       usingCols: Seq[String],
@@ -174,6 +178,54 @@ object StreamOps {
       col("r_ts") >= col("ts") + expr(s"INTERVAL $lower") &&
         col("r_ts") < col("ts") + expr(s"INTERVAL $upper")
     l.join(r, keyEq && timeRange, "inner")
+  }
+
+  /** CMS-gated salted stream-STREAM interval join — [[intervalJoin]] with
+    * the fragment-replicate treatment for hot keys on BOTH buffered sides.
+    *
+    * A hot key in a stream-stream join concentrates ALL of that key's
+    * buffered state (both sides) plus its pairwise matching work on the one
+    * task that owns the key's hash partition. Salting spreads it: left rows
+    * draw a fragment `[0, rep(key))`, right rows replicate to every
+    * fragment, and the join condition gains salt equality — each matching
+    * (left, right) pair still meets exactly ONCE (in the left row's
+    * fragment), so the emitted multiset equals [[intervalJoin]]'s for any
+    * rep values. Hot-key state and CPU spread over `rep(key)` tasks; the
+    * price is the right side's state growing by the same factor — the CMS
+    * gate keeps that multiplier 1 for every cold key.
+    *
+    * The sketch comes from `hotKeySource`, a STATIC frame (yesterday's
+    * events, a dimension table): a streaming query cannot scan its own
+    * unbounded input up front, so hotness is a model parameter here — the
+    * same historical-sample pattern production skew mitigation uses. */
+  def skewedIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      usingCols: Seq[String],
+      lower: String, upper: String,
+      hotKeySource: DataFrame,
+      conf: graft.skew.SkewJoinConf = graft.skew.SkewJoinConf(),
+      watermark: String = "1 hour",
+      seed: Long = 1L): DataFrame = {
+    val repCol = replicationCol(hotKeySource, usingCols, conf, None)
+    val l = left
+      .withColumn("__graft_salt", floor(rand(seed) * repCol).cast("int"))
+      .withWatermark("ts", watermark)
+    // salt the right side BEFORE the r_-renames so the rep probe sees the
+    // original key column names
+    val rSalted = right
+      .withColumn("__graft_r_salt", explode(sequence(lit(0), repCol - 1)))
+    val r = usingCols.foldLeft(
+        rSalted.withColumnRenamed("ts", "r_ts")
+          .withWatermark("r_ts", watermark)) {
+        (df, c) => df.withColumnRenamed(c, s"r_$c")
+      }
+    val keyEq = (usingCols.map(c => col(c) === col(s"r_$c")) :+
+      (col("__graft_salt") === col("__graft_r_salt"))).reduce(_ && _)
+    val timeRange =
+      col("r_ts") >= col("ts") + expr(s"INTERVAL $lower") &&
+        col("r_ts") < col("ts") + expr(s"INTERVAL $upper")
+    l.join(r, keyEq && timeRange, "inner")
+      .drop("__graft_salt", "__graft_r_salt")
   }
 
   /** Running per-user event count via `flatMapGroupsWithState` — the

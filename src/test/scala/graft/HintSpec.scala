@@ -44,14 +44,36 @@ class HintSpec extends AnyFunSuite {
     val rightHinted = lhs.join(rhs.hint("skew"), Seq("k"))
     rightHinted.ensureDatasetEquals(lhs.join(rhs, Seq("k")))
     assert(rightHinted.queryExecution.executedPlan.toString.contains("__graft_salt"))
-    // outer join: hint stripped, plain semantics, no salting
-    val outer = lhs.hint("skew").join(rhs, Seq("k"), "left_outer")
-    outer.ensureDatasetEquals(lhs.join(rhs, Seq("k"), "left_outer"))
-    assert(!outer.queryExecution.executedPlan.toString.contains("__graft_salt"))
     // non-equi condition: hint stripped, plain semantics
     val l = lhs
     val r = rhs
     val nonEqui = l.hint("skew").join(r, l("k") < r("k"))
     assert(nonEqui.count() == l.join(r, l("k") < r("k")).count())
+  }
+
+  test("hint(skew) rewrites outer using-joins to the salted single-pass plan") {
+    // unmatched rows on both sides so every outer leg is exercised: rhs
+    // keys 2..501 step into lhs's 2..501, plus a right-only key
+    import spark.implicits._
+    val r = rhs.unionByName(Seq((9999L, "only-right")).toDF("k", "rv"))
+    val ls = lhs.filter(col("k") % 7 =!= 3)
+    Seq("left_outer", "right_outer", "full_outer").foreach { jt =>
+      val hinted = ls.hint("skew").join(r, Seq("k"), jt)
+      withClue(s"joinType=$jt: ") {
+        hinted.ensureDatasetEquals(ls.join(r, Seq("k"), jt))
+        assert(hinted.queryExecution.executedPlan.toString.contains("__graft_salt"),
+          s"outer hinted join not salted for $jt")
+      }
+    }
+    // raw-condition outer joins rewrite too (key copies carry each side's
+    // own null-padding through the using-join plan): both key columns
+    // survive, schema and rows equal the plain join, plan salted
+    val l = lhs
+    val rr = rhs
+    val rawOuter = l.hint("skew").join(rr, l("k") === rr("k"), "full_outer")
+    val plainOuter = l.join(rr, l("k") === rr("k"), "full_outer")
+    assert(rawOuter.columns.toSeq == plainOuter.columns.toSeq)
+    rawOuter.ensureDatasetEquals(plainOuter)
+    assert(rawOuter.queryExecution.executedPlan.toString.contains("__graft_salt"))
   }
 }

@@ -77,6 +77,39 @@ class StreamSpec extends AnyFunSuite {
     streamed.ensureDatasetEquals(batch)
   }
 
+  test("skewed stream-stream interval join equals the unsalted join and salts hot keys") {
+    import spark.implicits._
+    import graft.skew.SkewJoinConf
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05)
+    val ev = StreamOps.eventsStream(spark, s"$sf/events.parquet")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), col("ts"))
+    // historical sample with a manufactured hot key so replication engages
+    val hist = (batchEvents.select("user_id") unionAll
+      (1 to 400).map(_ => 7L).toDF("user_id"))
+    val salted = StreamOps.skewedIntervalJoin(
+      purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR",
+      hotKeySource = hist, conf = conf)
+      .select("p_event_id", "user_id", "c_event_id")
+    // salt columns must be part of the streaming join condition
+    assert(salted.queryExecution.analyzed.toString.contains("__graft_salt"))
+    // and the gate must actually replicate the hot key > 1×
+    val reps = hist.withColumn("__rep",
+        StreamOps.replicationCol(hist, Seq("user_id"), conf, None))
+      .filter(col("user_id") === 7L).select("__rep").distinct()
+      .collect().map(_.getInt(0))
+    assert(reps.nonEmpty && reps.forall(_ > 1), s"hot key rep = ${reps.toSeq}")
+    val got = StreamOps.runToMemory(spark, salted, "t_stream_skivj",
+      outputMode = "append")
+    val want = StreamOps.runToMemory(spark,
+      StreamOps.intervalJoin(purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR")
+        .select("p_event_id", "user_id", "c_event_id"),
+      "t_stream_skivj_plain", outputMode = "append")
+    got.ensureDatasetEquals(want)
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch counts") {
     val out = StreamOps.runToMemory(spark,
       StreamOps.runningUserCounts(
