@@ -342,6 +342,27 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
     }),
 
+    "dedup_paragraphs" -> ((s, dir) => {
+      // repeated-passage removal: every 20-token block kept only at its
+      // first corpus occurrence, documents rebuilt from surviving blocks
+      graft.llm.Dedup.dropDuplicateParagraphs(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "corpus_shuffle" -> ((s, dir) => {
+      // deterministic seeded global shuffle for training order: a portable
+      // md5-derived sort key (engine-identical) ranked by the distributed
+      // GroupedRank with NO groups — no single-task global sort, result
+      // reproducible across engines, partitionings, and cluster sizes
+      val key = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+        .cast("long")
+      graft.operators.GroupedRank.withGroupRank(
+        t(s, dir, "documents").withColumn("__shuffle_key", key),
+        Seq(), Seq(col("__shuffle_key"), col("doc_id")), "shuffle_rank")
+        .select(col("doc_id"), col("shuffle_rank"))
+    }),
+
     "dedup_apply" -> ((s, dir) => {
       // corpus-level near-dedup: the surviving documents, aggregated per
       // lang so the oracle compares a stable shape
@@ -1547,6 +1568,32 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
         |    / len(list_distinct(a.gr || b.gr)) >= 0.3""".stripMargin,
+
+    // same normalization/tokenization as the Spark side; 20-token blocks,
+    // keep-first by (doc_id, pos), rebuild docs from surviving blocks
+    "dedup_paragraphs" -> (
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+         |blk AS (SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS para
+         |  FROM tk2, UNNEST(range(0, (len(toks) + 19) // 20)) AS r(i)),
+         |first AS (SELECT doc_id, pos, para FROM (
+         |  SELECT doc_id, pos, para, row_number() OVER (
+         |    PARTITION BY para ORDER BY doc_id, pos) AS rn FROM blk)
+         |  WHERE rn = 1)
+         |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+         |FROM first GROUP BY doc_id""".stripMargin),
+
+    // portable 60-bit md5 shuffle key (the portableTokenHash convention),
+    // globally ranked — reproducible training order across engines
+    "corpus_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT,
+        |    doc_id) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -498,6 +498,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Within-corpus repeated-passage removal (the CCNet/Gopher paragraph-
+    * dedup shape, on fixed `blockTokens`-token blocks since the corpus
+    * carries no paragraph delimiters): every block of normalized tokens is
+    * kept only at its FIRST corpus occurrence — ordered by (doc id, block
+    * position) — and each document is rebuilt from its surviving blocks.
+    * Documents whose every block is a repeat disappear.
+    *
+    * Scale shape: blocks shuffle by an md5 fingerprint (the dedup key;
+    * 100-TB note: block payloads travel only to the final per-doc
+    * reassembly, the fingerprint legs carry (fp, id, pos) triples); the
+    * first-occurrence winner is a map-side-combined `min(struct)` — never
+    * a per-fingerprint window, so a block repeated 10⁹ times costs one
+    * partial aggregate per map task, not a single-task sort. Reassembly is
+    * a per-document `collect_list`, bounded by document size.
+    *
+    * Deterministic and exactly SQL-replayable (md5 + slices + min-first
+    * rule), so the whole operator is oracle-checkable. */
+  def dropDuplicateParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 20): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .repartition(col("id"))
+    val nBlocks = expr(s"(size(__toks) + ${blockTokens - 1}) DIV $blockTokens")
+    val blocks = toks
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), nBlocks.cast("int") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * blockTokens + 1, lit(blockTokens))))))
+      .withColumnRenamed("col", "para")
+      .withColumn("fp", md5(col("para")))
+    val first = blocks
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("pos"))).as("o"))
+      .select(col("fp"), col("o.id").as("id"), col("o.pos").as("pos"))
+    val kept = blocks.join(first, Seq("fp", "id", "pos"), "left_semi")
+    kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), " ").as(textCol))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Candidate pairs by word-n-gram Jaccard ≥ threshold, using MinHash LSH
     * over the n-gram space for candidate generation (never all-pairs).
     *

@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
 object GroupedRank {
 
   /** `df` plus `rankCol`: the row's 1-based rank within its `groupCols`
-    * group under `orderCols`. */
+    * group under `orderCols`. An EMPTY `groupCols` gives a scale-safe
+    * GLOBAL rank — the offsets frame is then one row per physical
+    * partition, and no task ever sorts more than its own partition (the
+    * `row_number().over(Window.orderBy(...))` alternative funnels the
+    * entire dataset through one task). */
   def withGroupRank(
       df: DataFrame,
       groupCols: Seq[String],
@@ -78,6 +82,9 @@ object GroupedRank {
     val ranked = withGroupRank(df, groupCols, orderCols, "__graft_grank")
     val totals = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
+    val withTotals =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totals))
+      else ranked.join(broadcast(totals), groupCols)
     // Column./ is true (double) division — floor() it back to integral.
     // Exact while operands < 2^53, i.e. for any group a Long can count.
     def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
@@ -88,8 +95,7 @@ object GroupedRank {
     val r0 = col("__graft_grank") - 1
     val bucket = when(r0 < cut, idiv(r0, q + 1) + 1)
       .otherwise(rem + idiv(r0 - cut, greatest(q, lit(1L))) + 1)
-    ranked
-      .join(broadcast(totals), groupCols)
+    withTotals
       .withColumn(ntileCol, bucket.cast("int"))
       .drop("__graft_grank", "__graft_n")
   }

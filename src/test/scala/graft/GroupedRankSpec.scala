@@ -56,6 +56,20 @@ class GroupedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("empty groupCols gives a scale-safe global rank") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, (i * 37 % 1999).toLong))
+      .toDF("id", "key").repartition(8)
+    val got = GroupedRank.withGroupRank(df, Seq(), Seq(col("key"), col("id")), "r")
+    val w = Window.orderBy(col("key"), col("id"))
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+    got.ensureDatasetEquals(want)
+    // ntile with no groups works via the cross-joined totals
+    val nt = GroupedRank.withGroupNtile(df, Seq(), Seq(col("key"), col("id")), 4, "q")
+    val wantNt = df.withColumn("q", ntile(4).over(w))
+    nt.ensureDatasetEquals(wantNt)
+  }
+
   test("multi-column groups and empty input") {
     import spark.implicits._
     val df = Seq(("a", "x", 3), ("a", "x", 1), ("a", "y", 2), ("b", "x", 9))

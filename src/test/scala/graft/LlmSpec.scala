@@ -4,12 +4,42 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.testkit.DatasetComparisons._
 
 class LlmSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("dropDuplicateParagraphs keeps first occurrences and rebuilds docs in order") {
+    import spark.implicits._
+    // 4-token blocks for a readable fixture; doc 2 repeats doc 1's first
+    // block then adds fresh content; doc 3 is ALL repeats and must vanish
+    val b1 = "alpha beta gamma delta"
+    val b2 = "epsilon zeta eta theta"
+    val b3 = "iota kappa lambda mu"
+    val df = Seq(
+      (1L, s"$b1 $b2"),
+      (2L, s"$b1 $b3"),
+      (3L, s"$b2 $b1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateParagraphs(df, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> s"$b1 $b2", 2L -> b3),
+      s"got $got") // doc 3 disappears: both its blocks first appeared in docs 1/2
+  }
+
+  test("dropDuplicateParagraphs is partitioning-independent and keeps unique corpora intact") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"unique$i tokens here block$i content$i item$i"))
+      .toDF("doc_id", "text")
+    val a = Dedup.dropDuplicateParagraphs(df, "doc_id", "text")
+    val b = Dedup.dropDuplicateParagraphs(df.repartition(13), "doc_id", "text")
+    a.ensureDatasetEquals(b)
+    // all blocks unique → the corpus survives verbatim (normalized text)
+    assert(a.count() == 40)
+  }
 
   test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
     import spark.implicits._
