@@ -349,6 +349,37 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "pii_redact" -> ((s, dir) => {
+      // the corpus carries no PII, so deterministic synthetic PII is
+      // injected IN the query (same construction in the oracle) — the
+      // pattern matching is what's under test, and it runs on real text
+      val aug = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact u"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" call 555-867-5309 today")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" from 10.0.0."),
+            (col("doc_id") % 256).cast("string")))
+        .otherwise(col("text"))
+      graft.llm.PiiRedact.redactWithCounts(
+        t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+    }),
+
+    "select_budget" -> ((s, dir) => {
+      // token-budget corpus selection: best documents by (quality score,
+      // id) until 20k tokens — global-rank + distributed prefix sum, no
+      // single-task sort or window anywhere in the plan
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.llm.TextStats.tokens(
+            graft.llm.TextStats.normalizeText(col("text")))).cast("long"))
+      graft.llm.Sampling.selectByTokenBudget(
+        docs, "n_chars", "doc_id", "n_tokens", budget = 20000L)
+        .select("doc_id", "n_chars", "n_tokens")
+    }),
+
     "corpus_shuffle" -> ((s, dir) => {
       // deterministic seeded global shuffle for training order: a portable
       // md5-derived sort key (engine-identical) ranked by the distributed
@@ -1586,6 +1617,43 @@ object SparkEntry {
          |  WHERE rn = 1)
          |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
          |FROM first GROUP BY doc_id""".stripMargin),
+
+    // same deterministic PII injection, then RE2 replays of the (dialect-
+    // portable) patterns; counts on raw text, redaction email → IP → phone
+    "pii_redact" -> {
+      import graft.llm.PiiRedact.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact u' || doc_id::VARCHAR || '@example.com now'
+         |    WHEN doc_id % 7 = 1 THEN text || ' call 555-867-5309 today'
+         |    WHEN doc_id % 7 = 2
+         |      THEN text || ' from 10.0.0.' || (doc_id % 256)::VARCHAR
+         |    ELSE text END AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS text,
+         |  len(regexp_extract_all(t, '$EmailRe'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t, '$Ipv4Re'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(t, '$PhoneRe'))::BIGINT AS n_phones
+         |FROM aug""".stripMargin
+    },
+
+    // rank by (n_chars DESC, doc_id), keep while the EXCLUSIVE running
+    // token total is under budget (the boundary-crossing doc is kept)
+    "select_budget" -> (
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    len(list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0))::BIGINT AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM d),
+         |c AS (SELECT doc_id, n_chars, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM r)
+         |SELECT doc_id, n_chars, n_tokens FROM c WHERE cb < 20000""".stripMargin),
 
     // portable 60-bit md5 shuffle key (the portableTokenHash convention),
     // globally ranked — reproducible training order across engines

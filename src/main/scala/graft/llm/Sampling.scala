@@ -69,4 +69,34 @@ object Sampling {
     }
     df.filter(sampleBucket(col(idCol), salt) < cut)
   }
+
+  /** Token-budget corpus selection: keep the best-scored documents until
+    * the training budget fills — "take the highest-quality `budget` tokens"
+    * — the step that turns a scored corpus into a training set.
+    *
+    * Selection rule: documents are ordered by (`scoreCol` DESC, `tieCol`
+    * ASC — the deterministic total order), and a document is kept iff the
+    * total weight of strictly-better documents is `< budget` (the document
+    * crossing the boundary is kept; greedy prefix semantics). The rule is
+    * a pure function of the data, so the selected SET is reproducible on
+    * any cluster and exactly SQL-replayable.
+    *
+    * Scale shape — the naive formulation is `sum(w) OVER (ORDER BY score)`,
+    * a single-task global window. This composes the two distributed
+    * primitives instead: a [[graft.operators.GroupedRank]] global rank (no
+    * single-task sort) followed by [[SequencePack]]'s two-phase prefix sum
+    * over the dense rank space; "selected" is exactly SequencePack's chunk
+    * 0. */
+  def selectByTokenBudget(
+      df: DataFrame,
+      scoreCol: String,
+      tieCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      df, Seq(), Seq(col(scoreCol).desc, col(tieCol)), "__graft_qrank")
+    SequencePack.packSequences(ranked, "__graft_qrank", weightCol, budget)
+      .filter(col("chunk_id") === 0)
+      .drop("chunk_id", "__graft_qrank")
+  }
 }
