@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * The two consumers of the ranked frame (counts and the final join) share
   * one range exchange via Spark's ReusedExchange, so the data is ranged
-  * and ranked once.
+  * and ranked once. That sharing is also a CORRECTNESS dependency, not
+  * just a cost one: range boundaries are sampled per exchange instance,
+  * so two independent executions could place a row in different physical
+  * partitions and the offsets would disagree with the local ranks.
+  * `spark.sql.exchange.reuse` (default on) guarantees one instance; the
+  * equivalence specs pin the end-to-end result under that default.
   */
 object GroupedRank {
 
