@@ -349,6 +349,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "quality_model_score" -> ((s, dir) => {
+      // fasttext-style hashed linear model; the weight table is a model
+      // parameter (synthetic fixed weights here), inlined as a literal on
+      // both engines — scoring is one codegen'd narrow map, no shuffle
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextStats.hashedLinearScore(col("text"), qualityModelWeights)
+            .as("score"))
+        .withColumn("keep", col("score") > 0.0)
+    }),
+
     "pii_redact" -> ((s, dir) => {
       // the corpus carries no PII, so deterministic synthetic PII is
       // injected IN the query (same construction in the oracle) — the
@@ -1174,6 +1185,33 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Fixed synthetic weight table (millionths) for `quality_model_score` —
+    * stands in for a trained classifier; 64 buckets, values in [-1e6, 1e6],
+    * derived from a Knuth-multiplicative sequence so both engines inline
+    * the identical literals. */
+  private val qualityModelWeights: Seq[Long] =
+    (0 until 64).map(i => (i * 2654435761L + 12345L) % 2000001L - 1000000L)
+
+  /** Generated oracle for `quality_model_score`: the same weight list as a
+    * SQL literal, the portable md5 token hash, and an exact INTEGER sum
+    * per doc (order-independent) divided once — bit-identical scores. */
+  private def qualityModelSql: String = {
+    val wl = qualityModelWeights.mkString("[", ", ", "]")
+    val d = qualityModelWeights.size
+    s"""WITH w AS (SELECT $wl::BIGINT[] AS wl),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex($normSql, '\\s+'),
+       |      t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |s AS (SELECT doc_id,
+       |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
+       |  FROM tok, w GROUP BY doc_id)
+       |SELECT tk.doc_id, coalesce(s.total, 0) / 1000000.0 AS score,
+       |  coalesce(s.total, 0) > 0 AS keep
+       |FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id""".stripMargin
+  }
+
   /** Shared DuckDB expression for [[graft.llm.TextStats.normalizeText]]. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -1617,6 +1655,8 @@ object SparkEntry {
          |  WHERE rn = 1)
          |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
          |FROM first GROUP BY doc_id""".stripMargin),
+
+    "quality_model_score" -> qualityModelSql,
 
     // same deterministic PII injection, then RE2 replays of the (dialect-
     // portable) patterns; counts on raw text, redaction email → IP → phone

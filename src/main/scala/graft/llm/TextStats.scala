@@ -145,6 +145,32 @@ object TextStats {
           col("has_stopword"))
   }
 
+  /** Hashed-feature linear model score — the fasttext-style quality/domain
+    * classifier stand-in: each token hashes into one of `weights.size`
+    * buckets (the portable 60-bit md5 hash, mod table size) and the
+    * document's score is the sum of its tokens' bucket weights.
+    *
+    * The model is a PARAMETER (a trained weight vector supplied by the
+    * caller — the same model-as-data convention as IVF centroids/PQ
+    * codebooks), inlined as a plan literal: scoring is a narrow,
+    * codegen'd map over the scan — no shuffle, no UDF, no state.
+    *
+    * Weights are INTEGERS in millionths: summing doubles is
+    * order-sensitive in the last ulp (and SQL aggregates order
+    * arbitrarily), so the score is an exact integer sum divided once by
+    * 1e6 — bit-reproducible anywhere, exactly SQL-replayable. */
+  def hashedLinearScore(text: Column, weightsMicro: Seq[Long]): Column = {
+    val d = weightsMicro.size
+    require(d > 0, "weight table must be non-empty")
+    val table = typedLit(weightsMicro)
+    val total = aggregate(
+      transform(tokens(normalizeText(text)),
+        t => element_at(table,
+          pmod(Dedup.portableTokenHash(t), lit(d.toLong)).cast("int") + 1)),
+      lit(0L), (acc, w) => acc + w)
+    total.cast("double") / 1000000.0
+  }
+
   /** Quality features per document. Ratios are single IEEE divisions of
     * exact integer counts → bit-reproducible across engines. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {

@@ -12,6 +12,32 @@ class LlmSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("hashedLinearScore is an exact bucket-weight sum, partitioning-independent") {
+    import spark.implicits._
+    // two buckets with opposite unit weights: score = (#tokens in bucket 0
+    // − #tokens in bucket 1) / 1.0 — verifiable by hand via the hash
+    val w = Seq(1000000L, -1000000L)
+    val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha alpha")).toDF("id", "txt")
+    val got = df.select(col("id"),
+        TextStats.hashedLinearScore(col("txt"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: same md5-derived bucket per token, computed driver-side
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(15), 16) % 2).toInt
+    }
+    def ref(toks: Seq[String]): Double =
+      toks.map(t => w(bucket(t))).sum / 1e6
+    assert(got(1L) == ref(Seq("alpha", "beta", "gamma")))
+    assert(got(2L) == 0.0)
+    assert(got(3L) == ref(Seq("alpha", "alpha")))
+    val repart = df.repartition(5).select(col("id"),
+        TextStats.hashedLinearScore(col("txt"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repart == got)
+  }
+
   test("dropDuplicateParagraphs keeps first occurrences and rebuilds docs in order") {
     import spark.implicits._
     // 4-token blocks for a readable fixture; doc 2 repeats doc 1's first
