@@ -342,6 +342,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
     }),
 
+    "dedup_index_probe" -> ((s, dir) => {
+      // incremental near-dup: 80% of the corpus builds a persisted MinHash
+      // index (signed once, oversized buckets dropped at build), the other
+      // 20% probes it as the "daily fresh slice" — pairs verified with the
+      // exact shingle Jaccard against the index's stored sets
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_${ProcessHandle.current.pid}"
+      graft.llm.Dedup.writeMinHashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
+      graft.llm.Dedup.probeMinHashIndex(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", path,
+        threshold = 0.5)
+    }),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // repeated-passage removal: every 20-token block kept only at its
       // first corpus occurrence, documents rebuilt from surviving blocks
@@ -1637,6 +1651,21 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
         |    / len(list_distinct(a.gr || b.gr)) >= 0.3""".stripMargin,
+
+    // bipartite exact-Jaccard over the fresh/hist split — the LSH index is
+    // a transparent accelerator, like the bloom prefilter
+    "dedup_index_probe" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents))
+        |SELECT a.doc_id AS fresh_id, b.doc_id AS hist_id,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
 
     // same normalization/tokenization as the Spark side; 20-token blocks,
     // keep-first by (doc_id, pos), rebuild docs from surviving blocks

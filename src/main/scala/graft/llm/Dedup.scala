@@ -498,6 +498,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Persist a MinHash LSH index of a corpus: `path/docs` holds
+    * (id, sorted shingle set) and `path/bands` the (id, band_idx,
+    * band_key) rows, with oversized buckets dropped AT BUILD TIME (a
+    * bucket shared by more than `maxBucketSize` docs is not
+    * discriminative; dropping it once here means every future probe skips
+    * it for free). The signature pass runs once per corpus build instead
+    * of once per probe — the incremental-ingest shape: a 100-TB corpus is
+    * signed when it is ingested, and each day's fresh slice only signs
+    * itself. */
+  def writeMinHashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      maxBucketSize: Int = 256): Unit = {
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    val bandsDf = bandRows(signedDocs(docs, "sh", numHashes), numHashes, bands)
+    val hot = bandsDf.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select("band_idx", "band_key")
+    docs.write.mode("overwrite").parquet(s"$path/docs")
+    bandsDf.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Probe fresh documents against a [[writeMinHashIndex]] index: fresh
+    * docs sign themselves (same parameters as the index build), candidates
+    * come from the bipartite band join fresh × index, and every candidate
+    * pair is verified with the exact shingle Jaccard (fresh side computed,
+    * historical side read from the index — no re-shingling of the corpus).
+    * Returns (fresh_id, hist_id, jaccard) with jaccard ≥ `threshold`. */
+  def probeMinHashIndex(
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
+    val spark = fresh.sparkSession
+    val freshDocs = shingleDocs(fresh, idCol, textCol, shingleSize)
+    val freshBands = bandRows(signedDocs(freshDocs, "sh", numHashes), numHashes, bands)
+      .select(col("id").as("fresh_id"), col("band_idx"), col("band_key"))
+    // fresh-side bucket cap mirrors the index's build-time cap
+    val hot = freshBands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select("band_idx", "band_key")
+    val fb = freshBands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+    val ib = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("hist_id"), col("band_idx"), col("band_key"))
+    val cand = fb.join(ib, Seq("band_idx", "band_key"))
+      .select("fresh_id", "hist_id")
+      .distinct()
+    val hist = spark.read.parquet(s"$path/docs")
+      .select(col("id").as("hist_id"), col("sh").as("hist_sh"))
+    cand
+      .join(freshDocs.select(col("id").as("fresh_id"), col("sh").as("fresh_sh")),
+        Seq("fresh_id"))
+      .join(hist, Seq("hist_id"))
+      .select(col("fresh_id"), col("hist_id"),
+        graft.functions.SetSimilarity.sortedJaccard(
+          col("fresh_sh"), col("hist_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Within-corpus repeated-passage removal (the CCNet/Gopher paragraph-
     * dedup shape, on fixed `blockTokens`-token blocks since the corpus
     * carries no paragraph delimiters): every block of normalized tokens is

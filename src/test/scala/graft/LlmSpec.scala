@@ -67,6 +67,33 @@ class LlmSpec extends AnyFunSuite {
     assert(a.count() == 40)
   }
 
+  test("minhash index probe finds cross-split near-dups exactly") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),                           // hist
+      (2L, "completely different content about spark shuffles and joins"), // hist
+      (5L, base + " tail"),                 // fresh near-dup of 1
+      (10L, "nothing like anything else in this corpus at all whatsoever")) // fresh
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_spec").toString
+    try {
+      Dedup.writeMinHashIndex(
+        df.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", dir)
+      val got = Dedup.probeMinHashIndex(
+        df.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((5L, 1L)), s"got $got")
+      // probing again without rebuilding reuses the persisted signatures
+      val again = Dedup.probeMinHashIndex(
+        df.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir, threshold = 0.5)
+        .count()
+      assert(again == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
     import spark.implicits._
     // normalization equates "Seen, Before!" with "seen before"
