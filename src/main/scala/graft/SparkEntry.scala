@@ -38,6 +38,19 @@ object SparkEntry {
   // engages at test scale (hot keys have freq ~10..20 there, not 2000+).
   private val testConf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.5)
 
+  /** Per-process scratch path for roundtrip/index queries: PID-namespaced
+    * (concurrent runs can't clobber each other) AND deleted at JVM exit
+    * (repeated runs can't accumulate in tmp until the disk fills). One
+    * shutdown hook per distinct path, however often the query re-runs. */
+  private val scratchRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchPath(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${ProcessHandle.current.pid}"
+    if (scratchRegistered.add(p))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))))
+    p
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -214,7 +227,7 @@ object SparkEntry {
       // format exactly
       val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
       graft.sources.Formats.csvRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current.pid}")
+        scratchPath("csv"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum("n_chars").as("sum_chars"))
@@ -348,7 +361,7 @@ object SparkEntry {
       // 20% probes it as the "daily fresh slice" — pairs verified with the
       // exact shingle Jaccard against the index's stored sets
       val docs = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_${ProcessHandle.current.pid}"
+      val path = scratchPath("mhidx")
       graft.llm.Dedup.writeMinHashIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
       graft.llm.Dedup.probeMinHashIndex(
@@ -697,7 +710,7 @@ object SparkEntry {
       // values (incl. unicode text and long ids) survive bit-exactly
       val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
       graft.sources.Formats.jsonlRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${ProcessHandle.current.pid}")
+        scratchPath("jsonl"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(length(col("text")).cast("long")).as("sum_chars"))
@@ -707,7 +720,7 @@ object SparkEntry {
       // the ORC face of the interchange story (jsonl_roundtrip covers JSON)
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
       graft.sources.Formats.orcRoundTrip(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_orc_${ProcessHandle.current.pid}")
+        scratchPath("orc"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(length(col("text")).cast("long")).as("sum_chars"))
@@ -730,7 +743,7 @@ object SparkEntry {
       // (PlanSpec pins the PartitionFilters shape)
       val docs = t(s, dir, "documents").select("doc_id", "n_chars", "lang")
       graft.sources.Formats.writePartitioned(docs,
-        s"${System.getProperty("java.io.tmpdir")}/graft_part_${ProcessHandle.current.pid}", Seq("lang"))
+        scratchPath("part"), Seq("lang"))
         .filter(col("lang") === "fr")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(col("n_chars").cast("long")).as("sum_chars"))
@@ -1139,11 +1152,15 @@ object SparkEntry {
     }
     def chainLL(c: String): String =
       "(0.0" + (1 to subDim).map(i => s" + $c[$i]*$c[$i]").mkString + ")"
-    // initial codebook j = slice j of the first-codebookSize vectors
+    // initial codebook j = slice j of the codebookSize SMALLEST-id vectors,
+    // codes relabelled 0..n-1 by id rank — exactly KMeans.fit's seed rule
+    // (a literal `vec_id < codebookSize` would diverge the moment the
+    // fixture's ids are non-contiguous or don't start at 0)
     val initCtes = (0 until numSubspaces).map { j =>
       val off = j * subDim
-      s"""cb${j}_0 AS (SELECT vec_id::INT AS code, v[${off + 1}:${off + subDim}] AS cv
-         |  FROM e WHERE vec_id < $codebookSize)""".stripMargin
+      s"""cb${j}_0 AS (SELECT (rn - 1)::INT AS code, v[${off + 1}:${off + subDim}] AS cv
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM e)
+         |  WHERE rn <= $codebookSize)""".stripMargin
     }.mkString(",\n")
     val trainCtes = (for (j <- 0 until numSubspaces; t <- 1 to iters) yield {
       val p = s"cb${j}_${t - 1}"

@@ -516,14 +516,29 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 5,
       maxBucketSize: Int = 256): Unit = {
-    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    val spark = df.sparkSession
+    // docs parquet is written FIRST and read back as the signature input,
+    // and the band rows are persisted across their two consumers (hot
+    // aggregate + filtered write): the expensive normalize/shingle/sign
+    // lineage runs exactly once per build — the property the operator
+    // exists to provide
+    shingleDocs(df, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    val docs = spark.read.parquet(s"$path/docs")
     val bandsDf = bandRows(signedDocs(docs, "sh", numHashes), numHashes, bands)
-    val hot = bandsDf.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
-      .select("band_idx", "band_key")
-    docs.write.mode("overwrite").parquet(s"$path/docs")
-    bandsDf.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .persist()
+    try {
+      val hot = bandsDf.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+        .select("band_idx", "band_key")
+      bandsDf.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/bands")
+    } finally bandsDf.unpersist()
+    // parameter manifest: probing with different parameters produces band
+    // keys from a different space and would silently report zero recall
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "params.json"),
+      s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,"maxBucketSize":$maxBucketSize}""")
   }
 
   /** Probe fresh documents against a [[writeMinHashIndex]] index: fresh
@@ -543,6 +558,13 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 256): DataFrame = {
     val spark = fresh.sparkSession
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "params.json"))
+    val expected =
+      s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,"maxBucketSize":$maxBucketSize}"""
+    require(manifest == expected,
+      s"probe parameters $expected do not match the index manifest $manifest " +
+        "(band keys would come from a different space — zero recall)")
     val freshDocs = shingleDocs(fresh, idCol, textCol, shingleSize)
     val freshBands = bandRows(signedDocs(freshDocs, "sh", numHashes), numHashes, bands)
       .select(col("id").as("fresh_id"), col("band_idx"), col("band_key"))

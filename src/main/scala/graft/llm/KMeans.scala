@@ -98,21 +98,58 @@ object KMeans {
     cents
   }
 
-  /** Train per-subspace PQ codebooks: an independent L2 [[fit]] on each
-    * `subDim`-slice of the corpus (L2 because [[Similarity.pqTopK]]
-    * encodes by argmin squared L2), in its `codebooks` shape. Same
-    * determinism guarantees as [[fit]]. */
+  /** Train per-subspace PQ codebooks — L2 assignment (what
+    * [[Similarity.pqTopK]] encodes with), quantized-mean update, in its
+    * `codebooks` shape. Same determinism guarantees and IDENTICAL
+    * arithmetic to running an independent L2 [[fit]] per subspace slice,
+    * but ONE corpus pass per iteration for ALL subspaces: each row
+    * explodes into `numSubspaces` (subspace, assigned cell, subvector)
+    * structs feeding a single map-side-combined aggregate, instead of
+    * `numSubspaces` separate scan+aggregate jobs (an 8× redundant corpus
+    * read at the scale this module targets). Seeds come from one
+    * O(codebookSize) collect, sliced driver-side. */
   def fitCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       numSubspaces: Int, codebookSize: Int, iters: Int, dim: Int)
       : Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
     val subDim = dim / numSubspaces
-    (0 until numSubspaces).map { j =>
-      val sub = corpus.select(col(idCol).as("__id"),
-        slice(col(vecCol), j * subDim + 1, subDim).as("__sub"))
-      fit(sub, "__id", "__sub", codebookSize, iters, subDim, metric = "l2")
-        .map { case (cid, cv) => cid.toInt -> cv }
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val seedRows = v.orderBy("id").limit(codebookSize).collect()
+    require(seedRows.length == codebookSize,
+      s"corpus has only ${seedRows.length} vectors, need codebookSize=$codebookSize seeds")
+    var cbs: Vector[Vector[Seq[Double]]] = Vector.tabulate(numSubspaces, codebookSize) {
+      (j, c) => seedRows(c).getSeq[Double](1).slice(j * subDim, (j + 1) * subDim).toSeq
     }
+    for (_ <- 0 until iters) {
+      val subStructs = (0 until numSubspaces).map { j =>
+        val sub = slice(col("v"), j * subDim + 1, subDim)
+        val scoreStructs = array(cbs(j).zipWithIndex.map { case (cv, code) =>
+          struct(
+            (lit(2.0) * Similarity.dot(sub, typedLit(cv)) -
+              lit(cv.foldLeft(0.0)((a, x) => a + x * x))).as("cos"),
+            lit(-code.toLong).as("ncid"))
+        }: _*)
+        struct(lit(j).as("j"),
+          (-array_max(scoreStructs).getField("ncid")).as("cell"),
+          sub.as("sub"))
+      }
+      val exploded = v.select(explode(array(subStructs: _*)).as("s"))
+        .select(col("s.j").as("j"), col("s.cell").as("cell"), col("s.sub").as("sub"))
+      val aggs = count(lit(1)).as("n") +: (0 until subDim).map { i =>
+        sum(floor(element_at(col("sub"), i + 1) * Q)).as(s"q$i")
+      }
+      val rows = exploded.groupBy("j", "cell").agg(aggs.head, aggs.tail: _*).collect()
+      val updated = rows.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getLong(1)) ->
+          (0 until subDim).map(i => r.getLong(3 + i) / (n * Q)).toSeq
+      }.toMap
+      cbs = Vector.tabulate(numSubspaces, codebookSize) { (j, c) =>
+        updated.getOrElse((j, c.toLong), cbs(j)(c))
+      }
+    }
+    cbs.map(_.zipWithIndex.map { case (cv, code) => code -> cv }.toSeq)
   }
 }

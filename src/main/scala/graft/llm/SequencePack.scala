@@ -40,9 +40,13 @@ object SequencePack {
   private val TargetBuckets = 1L << 16
 
   /** Width making `floor(orderCol / width)` span at most ~2¹⁶ distinct
-    * buckets over `[mn, mx]`, for ANY id-space sparsity or offset. */
+    * buckets over `[mn, mx]`, for ANY id-space sparsity or offset — the
+    * span is computed in BigInt because `mx - mn` overflows Long when the
+    * keys span more than half the 64-bit range (e.g. raw xxhash64 keys),
+    * which would collapse the width to 1 and re-create the driver
+    * blow-up this function exists to prevent. */
   private[graft] def autoBucketWidth(mn: Long, mx: Long): Long =
-    math.max(1L, (mx - mn) / TargetBuckets + 1L)
+    ((BigInt(mx) - BigInt(mn)) / TargetBuckets + 1).max(1).toLong
 
   def packSequences(
       df: DataFrame,

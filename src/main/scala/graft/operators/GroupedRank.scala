@@ -49,6 +49,12 @@ object GroupedRank {
       groupCols: Seq[String],
       orderCols: Seq[Column],
       rankCol: String = "rank"): DataFrame = {
+    // correctness dependency, not just cost (see class doc): the counts
+    // branch and the join branch MUST read one physical range exchange
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "GroupedRank requires spark.sql.exchange.reuse=true (range boundaries " +
+        "are sampled per exchange instance; without reuse the offset table " +
+        "and the local ranks could disagree on partition ids)")
     val ranged = df
       .repartitionByRange((groupCols.map(col) ++ orderCols): _*)
       .withColumn("__graft_pid", spark_partition_id())
@@ -65,10 +71,20 @@ object GroupedRank {
     val offsets = counts
       .withColumn("__graft_off", coalesce(sum("__graft_c").over(wOff), lit(0L)))
       .select(("__graft_pid" +: groupCols).map(col) :+ col("__graft_off"): _*)
+    // NULL-SAFE group equality: groupBy/Window treat NULL as an ordinary
+    // group, so the join back must too — a plain equi-join would silently
+    // drop every NULL-group row
+    val offR = groupCols.foldLeft(
+        offsets.withColumnRenamed("__graft_pid", "__graft_o_pid")) {
+        (d, c) => d.withColumnRenamed(c, s"__graft_o_$c")
+      }
+    val cond = (Seq(col("__graft_pid") === col("__graft_o_pid")) ++
+      groupCols.map(c => col(c) <=> col(s"__graft_o_$c"))).reduce(_ && _)
     local
-      .join(broadcast(offsets), "__graft_pid" +: groupCols)
+      .join(broadcast(offR), cond)
       .withColumn(rankCol, col("__graft_off") + col("__graft_lrn"))
-      .drop("__graft_pid", "__graft_lrn", "__graft_off")
+      .drop(Seq("__graft_pid", "__graft_lrn", "__graft_off", "__graft_o_pid") ++
+        groupCols.map(c => s"__graft_o_$c"): _*)
   }
 
   /** `df` plus `ntileCol`: the row's `ntile(k)` bucket within its group
@@ -87,9 +103,14 @@ object GroupedRank {
     val ranked = withGroupRank(df, groupCols, orderCols, "__graft_grank")
     val totals = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
+    // null-safe on the group columns for the same reason as the rank join
+    val totR = groupCols.foldLeft(totals) { (d, c) =>
+      d.withColumnRenamed(c, s"__graft_t_$c")
+    }
     val withTotals =
-      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totals))
-      else ranked.join(broadcast(totals), groupCols)
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totR))
+      else ranked.join(broadcast(totR),
+        groupCols.map(c => col(c) <=> col(s"__graft_t_$c")).reduce(_ && _))
     // Column./ is true (double) division — floor() it back to integral.
     // Exact while operands < 2^53, i.e. for any group a Long can count.
     def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
@@ -102,6 +123,7 @@ object GroupedRank {
       .otherwise(rem + idiv(r0 - cut, greatest(q, lit(1L))) + 1)
     withTotals
       .withColumn(ntileCol, bucket.cast("int"))
-      .drop("__graft_grank", "__graft_n")
+      .drop("__graft_grank" +: "__graft_n" +:
+        groupCols.map(c => s"__graft_t_$c"): _*)
   }
 }

@@ -56,6 +56,20 @@ class GroupedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL group keys rank and bucket like any other group (null-safe joins)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 3), (Some("a"), 1), (None, 2), (None, 5), (None, 1), (Some("b"), 7)
+    ).map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+    val got = GroupedRank.withGroupRank(df, Seq("g"), Seq(col("v")), "r")
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+    got.ensureDatasetEquals(want) // the NULL group must NOT be dropped
+    assert(got.filter(col("g").isNull).count() == 3)
+    val nt = GroupedRank.withGroupNtile(df, Seq("g"), Seq(col("v")), 2, "q")
+    nt.ensureDatasetEquals(df.withColumn("q", ntile(2).over(w)))
+  }
+
   test("empty groupCols gives a scale-safe global rank") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, (i * 37 % 1999).toLong))
