@@ -652,6 +652,23 @@ object SparkEntry {
         .select("event_id", "user_id", "p_event_id", "p_value")
     }),
 
+    "asof_join_forward" -> ((s, dir) => {
+      // forward direction + inner gating: each click paired with the
+      // user's NEXT purchase at or after it (ties to the greatest id) —
+      // exercises the other half of the as-of contract
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("ts_ns").as("p_ts_ns"), col("value").as("p_value"))
+      graft.operators.AsofJoin.asofJoin(
+        clicks, purch, Seq("user_id"), "ts_ns", "p_ts_ns",
+        joinType = "inner", direction = "forward",
+        tieBreakCol = Some("p_event_id"))
+        .select("event_id", "user_id", "p_event_id", "p_value")
+    }),
+
     "range_join" -> ((s, dir) => {
       // attribution window: count each user's clicks within 1h after their
       // purchase. Bin-bucketed equi-join (one bin per point), never a
@@ -1437,6 +1454,23 @@ object SparkEntry {
         |SELECT event_id, c.user_id AS user_id, p_event_id, p_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tns >= p.p_tns""".stripMargin,
+
+    // forward direction has no native DuckDB ASOF form (it only binds >=),
+    // so the oracle is the explicit argmin window: smallest p_tns >= tns,
+    // ties to the greatest p_event_id, inner-gated
+    "asof_join_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, event_id AS p_event_id, epoch_ns(ts) AS p_tns,
+        |    value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, p_event_id, p_value FROM (
+        |  SELECT c.event_id, c.user_id, p.p_event_id, p.p_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.p_tns ASC, p.p_event_id DESC) AS rn
+        |  FROM clicks c JOIN purch p
+        |    ON c.user_id = p.user_id AND p.p_tns >= c.tns)
+        |WHERE rn = 1""".stripMargin,
 
     "range_join" ->
       """WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
