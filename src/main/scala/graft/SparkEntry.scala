@@ -583,6 +583,37 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: nearest corpus vectors with a
+      // DIFFERENT label per query — the similarity surface applied to
+      // training-pair curation
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.hardNegativeTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "embed_quantize" -> ((s, dir) => {
+      // int8 storage quantization: per-vector symmetric scale + codes
+      val q = graft.llm.Quantize.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      // aggregate shape keeps the result compact and fully value-sensitive
+      q.select(col("vec_id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+    }),
+
+    "batch_by_length" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.llm.TextStats.tokens(
+            graft.llm.TextStats.normalizeText(col("text")))).cast("long"))
+      graft.llm.Batching.batchByLength(docs, "doc_id", "n_tokens", batchSize = 8)
+        .select("doc_id", "n_tokens", "len_bucket", "batch_idx")
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.lshTopK(
@@ -1968,6 +1999,47 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |    label AS ql FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |    label AS cl FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, cv) AS cos
+        |  FROM q CROSS JOIN c
+        |  WHERE neighbor_id <> query_id AND cl IS DISTINCT FROM ql),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // same elementwise expression shape (x / mx * 127, floor) — codes are
+    // deterministic IEEE arithmetic, aggregated to a compact value-sensitive
+    // summary; integer sums are order-independent
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx AS scale,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
+        |      END AS codes
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  list_sum(codes)::BIGINT AS code_sum,
+        |  list_min(codes)::BIGINT AS code_min,
+        |  list_max(codes)::BIGINT AS code_max
+        |FROM q""".stripMargin,
+
+    "batch_by_length" -> (
+      s"""WITH d AS (SELECT doc_id,
+         |    len(list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0))::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_tokens // 64 AS len_bucket,
+         |  (row_number() OVER (PARTITION BY n_tokens // 64
+         |    ORDER BY n_tokens, doc_id) - 1) // 8 AS batch_idx
+         |FROM d""".stripMargin),
 
     // the global window cumsum the Spark side exists to avoid — correct as
     // an oracle, single-task as a plan. Same tokenizer as text_stats.

@@ -68,6 +68,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors whose LABEL DIFFERS from the query's —
+    * the "closest wrong answers" that make the strongest negatives.
+    * Same broadcast(queries) × corpus-scan plan as [[bruteForceTopK]]
+    * plus the label-mismatch predicate; swap in the LSH/IVF candidate
+    * generation for the 100-TB path exactly as for plain top-k. */
+  def hardNegativeTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String, qLabelCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String, cLabelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      col(qLabelCol).as("__ql"), l2Norm(col(qVecCol)).as("__qn"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      col(cLabelCol).as("__cl"), l2Norm(col(cVecCol)).as("__cn"))
+    val denom = col("__qn") * col("__cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(!(col("__cl") <=> col("__ql"))) // null-safe label mismatch
+      .withColumn("cosine",
+        when(denom === 0, 0.0).otherwise(dot(col("qv"), col("cv")) / denom))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, d) is ±1 derived
     * from a splitmix-style integer mix of the seed — reproducible across
     * runs and executors, tiny enough to inline as literals. */
