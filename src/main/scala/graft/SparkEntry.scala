@@ -902,6 +902,14 @@ object SparkEntry {
         gap = 30L * 60 * 1000 * 1000)
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // ordered conversion funnel signup → click → purchase, earliest-
+      // completion semantics; numSteps conditional aggregates, no windows
+      graft.operators.Funnel.funnel(
+        events(s, dir), "user_id", "event_type", "ts_ns",
+        Seq("signup", "click", "purchase"))
+    }),
+
     "events_histogram" -> ((s, dir) => {
       // fixed-width binning; bin ids via one IEEE division + floor, so the
       // histogram is engine-portable exact
@@ -1432,6 +1440,23 @@ object SparkEntry {
       """SELECT floor(value / 25.0)::BIGINT AS bin, count(*) AS n,
         |min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s0.t
+        |  GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s1.t
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (VALUES
+        |  (0::BIGINT, 'signup', (SELECT count(*) FROM s0)),
+        |  (1::BIGINT, 'click', (SELECT count(*) FROM s1)),
+        |  (2::BIGINT, 'purchase', (SELECT count(*) FROM s2)))
+        |  t(step, step_name, n_users)""".stripMargin,
 
     // chunk = toks[s : s+39] (1-based inclusive, clamped), starts every 32
     // tokens while s <= max(len-8, 1); chunk_id from the start offset

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("funnel counts ordered completions only, earliest-completion semantics") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes A→B→C in order
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // u2 does B before A: reaches A, needs a B AFTER t=15 — has one at 40
+      (2L, "B", 5L), (2L, "A", 15L), (2L, "B", 40L),
+      // u3 out of order: C then B then A — reaches only step A
+      (3L, "C", 1L), (3L, "B", 2L), (3L, "A", 3L),
+      // u4 never does A
+      (4L, "B", 1L), (4L, "C", 2L),
+      // u5: A and B at the SAME timestamp — strictly-after excludes it
+      (5L, "A", 7L), (5L, "B", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, "A", 4L), (1L, "B", 2L), (2L, "C", 1L)), s"got $got")
+  }
+
+  test("earliest-completion: a later step-1 event cannot resurrect the funnel") {
+    import spark.implicits._
+    // u1's EARLIEST A is at 10; B exists only before it and C after — the
+    // B at 5 does not count even though (A@1 missing) ... funnel uses the
+    // earliest A then requires B strictly after 10
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 5L), (1L, "C", 30L),
+      (1L, "A", 50L) // later A must not re-anchor the funnel
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B", "C"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("A" -> 1L, "B" -> 0L, "C" -> 0L), s"got $got")
+  }
+}
