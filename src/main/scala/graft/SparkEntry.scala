@@ -731,6 +731,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "split_leakage_safe" -> ((s, dir) => {
+      // train/val/test assignment where near-dup CLUSTERS share a split
+      // (a near-copy of a training doc in eval silently inflates scores);
+      // split key = connected-component representative, hash-banded
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.llm.Sampling.assignSplitByGroup(
+        docs, "doc_id", pairs,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // context-length packing: docs in doc_id order cut into 2048-token
       // chunks via the distributed two-phase prefix sum (no global window)
@@ -1550,6 +1565,38 @@ object SparkEntry {
         |       WHEN lang = 'zh' THEN 100000
         |       ELSE 50000 END
         |GROUP BY lang""".stripMargin,
+
+    // the dedup_groups closure feeding a hash-banded split on the component
+    // representative (own id for singletons) — replays sampleBucket exactly
+    "split_leakage_safe" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node),
+        |k AS (SELECT documents.doc_id, coalesce(component, documents.doc_id) AS gkey
+        |  FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(gkey::VARCHAR), 1, 15))::BIGINT % 1000000
+        |         < 800000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(gkey::VARCHAR), 1, 15))::BIGINT % 1000000
+        |         < 900000 THEN 'val'
+        |       ELSE 'test' END AS split FROM k)
+        |SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM s GROUP BY split""".stripMargin,
 
     "dedup_simhash" -> simhashSql(),
     "q1_agg" ->

@@ -70,6 +70,55 @@ object Sampling {
     df.filter(sampleBucket(col(idCol), salt) < cut)
   }
 
+  /** Deterministic train/val/test split assignment: each row's split is a
+    * pure function of its id hash, so splits are reproducible anywhere,
+    * disjoint, exhaustive, and stable under corpus growth (an existing
+    * row never changes split when new rows arrive — the property random
+    * splitting lacks). Weights must sum to 1. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0),
+      "split weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be unique")
+    val b = sampleBucket(col(idCol), salt)
+    val cutoffs = splits.scanLeft(0.0)(_ + _._2).tail
+    val chain = splits.zip(cutoffs).init
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cut), rest) =>
+        when(b < lit((cut * Buckets).toLong), name).otherwise(rest)
+      }
+    df.withColumn(splitCol, chain)
+  }
+
+  /** LEAKAGE-SAFE split assignment: rows connected by `pairs` (e.g.
+    * near-duplicate pairs from [[Dedup.minHashDedupPairs]]) always land in
+    * the SAME split — the split key is the row's connected-component
+    * representative (via [[graft.operators.ConnectedComponents]]), its own
+    * id for singletons. Without this, a near-duplicate of a training
+    * document sitting in the eval split silently inflates eval scores —
+    * the train/test contamination the dedup pipeline exists to prevent. */
+  def assignSplitByGroup(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    val comps = graft.operators.ConnectedComponents.connectedComponents(pairs)
+      .select(col("node").as("__graft_sn"), col("component").as("__graft_sc"))
+    val keyed = df
+      .join(comps, col(idCol) === col("__graft_sn"), "left")
+      .withColumn("__graft_gkey", coalesce(col("__graft_sc"), col(idCol)))
+    assignSplit(keyed, "__graft_gkey", splits, salt, splitCol)
+      .drop("__graft_sn", "__graft_sc", "__graft_gkey")
+  }
+
   /** Token-budget corpus selection: keep the best-scored documents until
     * the training budget fills — "take the highest-quality `budget` tokens"
     * — the step that turns a scored corpus into a training set.

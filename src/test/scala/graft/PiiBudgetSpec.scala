@@ -49,6 +49,41 @@ class PiiBudgetSpec extends AnyFunSuite {
     b.ensureDatasetEquals(docs.filter(col("id") <= 3).select("id"))
   }
 
+  test("assignSplit is disjoint, exhaustive, and stable under corpus growth") {
+    import spark.implicits._
+    val small = (1L to 400L).toDF("id")
+    val big = (1L to 1000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Sampling.assignSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplit(big, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: no existing row changes split when rows are added
+    assert(a.forall { case (id, s) => b(id) == s })
+    assert(b.values.toSet == Set("train", "val", "test"))
+    val frac = b.values.count(_ == "train").toDouble / b.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(small, "id", Seq(("a", 0.5), ("b", 0.6)))
+    }
+  }
+
+  test("assignSplitByGroup keeps linked rows in one split (no train/test leakage)") {
+    import spark.implicits._
+    val rows = (1L to 300L).toDF("id")
+    // a chain 1-2-3 plus scattered pairs linking distant ids
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 250L), (77L, 142L), (5L, 299L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.assignSplitByGroup(rows, "id", pairs,
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq((1L, 2L), (2L, 3L), (10L, 250L), (77L, 142L), (5L, 299L)).foreach {
+      case (x, y) => assert(out(x) == out(y), s"pair ($x,$y) split across splits")
+    }
+    assert(out.size == 300)
+  }
+
   test("selectByTokenBudget breaks score ties deterministically by the tie column") {
     import spark.implicits._
     val docs = Seq((10L, 1.0, 4L), (11L, 1.0, 4L), (12L, 1.0, 4L))
