@@ -249,6 +249,15 @@ object SparkEntry {
       graft.llm.Vocab.topTokens(t(s, dir, "documents"), "doc_id", "text", k = 100)
     }),
 
+    "vocab_oov" -> ((s, dir) => {
+      // vocabulary coverage: per-doc OOV rate against the corpus's own
+      // top-100 vocabulary (output bounded to the first 50 docs)
+      val docs = t(s, dir, "documents")
+      val vocab = graft.llm.Vocab.topTokens(docs, "doc_id", "text", k = 100)
+      graft.llm.Vocab.oovCounts(
+        docs.filter(col("doc_id") < 50), "doc_id", "text", vocab)
+    }),
+
     "corpus_mix" -> ((s, dir) => {
       // data-diet mixing: two provenance-tagged corpora resampled at exact
       // binary fractions (0.25 / 0.75 — exact in IEEE, so the hash cutoffs
@@ -1713,6 +1722,24 @@ object SparkEntry {
         |  FROM td GROUP BY token)
         |SELECT token, n_docs, n_occurrences FROM agg
         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT token, sum(c)::BIGINT AS n_occurrences
+        |  FROM td GROUP BY token),
+        |vocab AS (SELECT token FROM agg
+        |  ORDER BY n_occurrences DESC, token LIMIT 100),
+        |per AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |      THEN 0 ELSE 1 END)::BIGINT AS n_oov
+        |  FROM toks WHERE doc_id < 50 GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  n_oov / n_tokens::DOUBLE AS oov_rate FROM per""".stripMargin,
 
     "corpus_mix" ->
       """WITH mixed AS (

@@ -30,4 +30,26 @@ object Vocab {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
   }
+
+  /** Per-document out-of-vocabulary statistics against a vocabulary frame
+    * (typically [[topTokens]] output, or an external token list): token
+    * occurrences, OOV occurrences, and the OOV rate — the coverage check
+    * run before committing to a tokenizer/vocabulary. The vocabulary is a
+    * model parameter (k rows, broadcast); counting is one explode + one
+    * map-side-combined aggregate. Documents with no tokens are absent from
+    * the output (no occurrences to rate). */
+  def oovCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, tokenCol: String = "token"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("__graft_tok"))
+    val v = vocab.select(col(tokenCol).as("__graft_tok"))
+      .distinct().withColumn("__graft_in_v", lit(true))
+    toks
+      .join(broadcast(v), Seq("__graft_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
 }
