@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * smallest qualifying timestamp per stage) make the result a pure
   * function of the data.
   *
+  * '''Plan shape.''' The result is ONE deferred DataFrame — a union of one
+  * global-count row per stage — so no cluster work happens at construction
+  * time, and consuming it runs a single job. Stage k's count branch and
+  * stage k+1's join branch both read stage k's per-user aggregate through
+  * the SAME exchange subtree (the `reached` frames are shared plan
+  * objects), which Spark's ReusedExchange dedupes; the events table is
+  * therefore scanned once per step — each scan a filter-pushed slice of
+  * one step's type, disjoint slices when the steps are distinct — not the
+  * O(steps²) a naive per-stage action would cost. FunnelSpec pins the
+  * scan count mechanically.
+  *
   * Returns one row per funnel step: (step index, step name, users reaching
   * that step). */
 object Funnel {
@@ -27,26 +38,36 @@ object Funnel {
       tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
-    // stage 0: earliest step-0 event per user
-    var reached = events
+    // stage 0: earliest step-0 event per user; stage k: earliest step-k
+    // event strictly after the user's stage-(k-1) timestamp. NULL-SAFE join
+    // on the user key — groupBy made NULL a group in stage 0, so later
+    // stages must not silently drop it.
+    val stage0 = events
       .filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("__u"))
       .agg(min(col(tsCol)).as("__t"))
-    var counts = Vector(reached.count())
-    steps.zipWithIndex.drop(1).foreach { case (step, _) =>
-      reached = events
+    val reached = steps.drop(1).scanLeft(stage0) { (prev, step) =>
+      events
         .filter(col(typeCol) === step)
-        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
-        .join(reached, "__u")
+        .select(col(userCol).as("__eu"), col(tsCol).as("__ts"))
+        .join(prev, col("__eu") <=> col("__u"))
         .filter(col("__ts") > col("__t"))
-        .groupBy("__u")
+        .groupBy(col("__eu").as("__u"))
         .agg(min(col("__ts")).as("__t"))
-      counts :+= reached.count()
     }
-    steps.zipWithIndex.map { case (s, i) =>
-      (i.toLong, s, counts(i))
-    }.toDF("step", "step_name", "n_users")
+    // The count is sum(isnull(__t)+isnotnull(__t)) — exactly 1 per row, so
+    // an exact row count — NOT count(1): the count branch must reference
+    // __t, else column pruning rewrites its copy of the stage aggregate to
+    // a min-less variant whose exchange no longer matches the next stage's
+    // join branch, and ReusedExchange can't dedupe them (count(array(__t))
+    // doesn't survive either — NullPropagation folds count(non-nullable)
+    // back to count(1)). With the identical subtrees, one job scans each
+    // step's filter-pushed events slice exactly once.
+    val one = isnull(col("__t")).cast("long") + isnotnull(col("__t")).cast("long")
+    reached.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(coalesce(sum(one), lit(0L)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_.union(_)).orderBy("step")
   }
 }

@@ -39,9 +39,19 @@ object Quantiles {
     val filtered = df.filter(col(valueCol).isNotNull)
     val totals = filtered.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
-    val ranked = GroupedRank
-      .withGroupRank(filtered, groupCols, Seq(col(valueCol)), "__graft_rn")
-      .join(totals, groupCols)
+    // NULL-SAFE group equality on the totals join: groupBy (and the rank
+    // join inside GroupedRank) treat NULL as an ordinary group, so a plain
+    // using-join here would silently drop every NULL-group row
+    val totR = groupCols.foldLeft(totals) { (d, c) =>
+      d.withColumnRenamed(c, s"__graft_q_$c")
+    }
+    val rankedOnly =
+      GroupedRank.withGroupRank(filtered, groupCols, Seq(col(valueCol)), "__graft_rn")
+    val ranked = (
+      if (groupCols.isEmpty) rankedOnly.crossJoin(totR)
+      else rankedOnly.join(totR,
+        groupCols.map(c => col(c) <=> col(s"__graft_q_$c")).reduce(_ && _))
+    ).drop(groupCols.map(c => s"__graft_q_$c"): _*)
     // column names derive from the exact decimal fraction (p50, p99_5), not a
     // rounded percent — 0.995 and 1.0 must not both become "p100"
     val names = fractions.map(quantileName)

@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.Bridge
@@ -59,8 +59,11 @@ import graft.skew.SkewJoin.SkewJoinOps
   *    earlier in the resolution batch), so it carries the
   *    `df.join(r, Seq("k"), "left_outer")` API form too.
   *
-  * Anything else (non-equi or renamed-key conditions, semi/anti hints)
-  * keeps plain join semantics: the hint is stripped with a warning.
+  * Semi/anti joins take the same two shapes and route to
+  * [[SkewJoin.saltedSemiAnti]]'s exact key-set decomposition (the hint-path
+  * default conf is CrossSkew, so the left side always fragments). Anything
+  * else (non-equi or renamed-key conditions, cross joins) keeps plain join
+  * semantics: the hint is stripped with a warning.
   * Building the replacement runs the CMS sketch jobs at analysis time —
   * once per query, the price of an adaptive rewrite decided before
   * execution.
@@ -106,6 +109,8 @@ case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
     case LeftOuter  => Some("left_outer")
     case RightOuter => Some("right_outer")
     case FullOuter  => Some("full_outer")
+    case LeftSemi   => Some("left_semi")
+    case LeftAnti   => Some("left_anti")
     case _          => None
   }
 
@@ -121,6 +126,12 @@ case class ResolveSkewHint(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteRaw(l: LogicalPlan, r: LogicalPlan,
       pairs: Seq[(AttributeReference, AttributeReference)],
       joinType: String): LogicalPlan = {
+    // semi/anti output is the left side only and never null-pads, so no key
+    // copies are needed — the salted plan ([[SkewJoin.saltedSemiAnti]])
+    // passes l's attributes through withColumn/join/drop untouched, exprIds
+    // intact
+    if (joinType == "left_semi" || joinType == "left_anti")
+      return skewJoined(l, r, pairs.map(_._1.name), joinType)
     val lCopies = pairs.zipWithIndex.map { case ((la, _), i) =>
       Alias(la, s"__graft_lk_$i")()
     }

@@ -26,6 +26,50 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Seq((0L, "A", 4L), (1L, "B", 2L), (2L, "C", 1L)), s"got $got")
   }
 
+  test("one deferred job scans the events source once per step, not O(steps²)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_scans")
+    try {
+      (for (u <- 1L to 50L; (t, i) <- Seq("A", "B", "C", "D").zipWithIndex)
+        yield (u, t, u * 100 + i)).toDF("user_id", "event_type", "ts")
+        .write.parquet(s"$dir/events")
+      val ev = spark.read.parquet(s"$dir/events")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val steps = Seq("A", "B", "C", "D")
+        val q = Funnel.funnel(ev, "user_id", "event_type", "ts", steps)
+        val got = q.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+        assert(got == Map("A" -> 50L, "B" -> 50L, "C" -> 50L, "D" -> 50L))
+        // stage k's per-user frame is shared between its own count branch
+        // and stage k+1's join via ReusedExchange, so the executed plan
+        // carries exactly one (filter-pushed) events scan per step — the
+        // naive per-stage-action formulation re-scans stages 0..k-1 for
+        // every k (10 scans here for 4 steps)
+        val scans = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+        assert(scans.size <= steps.size + 1,
+          s"expected ≤ ${steps.size + 1} events scans, found ${scans.size}:\n" +
+            scans.map(s => s.metadata.getOrElse("PushedFilters", "?")).mkString("\n") +
+            "\n" + q.queryExecution.executedPlan.treeString)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("funnel result is one deferred frame — no jobs run at construction time") {
+    import spark.implicits._
+    val ev = Seq((1L, "A", 10L), (1L, "B", 20L)).toDF("user_id", "event_type", "ts")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val q = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"funnel construction launched ${after - before} job(s); must be deferred")
+    assert(q.collect().map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
   test("earliest-completion: a later step-1 event cannot resurrect the funnel") {
     import spark.implicits._
     // u1's EARLIEST A is at 10; B exists only before it and C after — the

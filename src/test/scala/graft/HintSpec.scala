@@ -51,6 +51,32 @@ class HintSpec extends AnyFunSuite {
     assert(nonEqui.count() == l.join(r, l("k") < r("k")).count())
   }
 
+  test("hint(skew) rewrites semi/anti joins to the salted key-set plan") {
+    import spark.implicits._
+    // a left-only key so the anti leg is non-trivial, plus the hot key
+    val ls = lhs.unionByName(Seq((7777L, "only-left")).toDF("k", "lv"))
+    Seq("left_semi", "left_anti").foreach { jt =>
+      // using-join form
+      val hinted = ls.hint("skew").join(rhs, Seq("k"), jt)
+      withClue(s"joinType=$jt (using): ") {
+        assert(hinted.columns.toSeq == ls.columns.toSeq)
+        hinted.ensureDatasetEquals(ls.join(rhs, Seq("k"), jt))
+        assert(hinted.queryExecution.executedPlan.toString.contains("__graft_salt"),
+          s"hinted $jt join not salted")
+      }
+      // raw equi-condition form
+      val l = ls
+      val r = rhs
+      val rawHinted = l.hint("skew").join(r, l("k") === r("k"), jt)
+      withClue(s"joinType=$jt (raw): ") {
+        val plain = l.join(r, l("k") === r("k"), jt)
+        assert(rawHinted.columns.toSeq == plain.columns.toSeq)
+        rawHinted.ensureDatasetEquals(plain)
+        assert(rawHinted.queryExecution.executedPlan.toString.contains("__graft_salt"))
+      }
+    }
+  }
+
   test("hint(skew) rewrites outer using-joins to the salted single-pass plan") {
     // unmatched rows on both sides so every outer leg is exercised: rhs
     // keys 2..501 step into lhs's 2..501, plus a right-only key

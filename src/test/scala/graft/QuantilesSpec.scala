@@ -44,6 +44,19 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got("c") == ((3.0, 1L)))   // null values excluded from rank and count
   }
 
+  test("a NULL group key is an ordinary group, not silently dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 5.0), (Some("a"), 7.0),
+      (None: Option[String], 1.0), (None: Option[String], 2.0), (None: Option[String], 3.0)
+    ).toDF("g", "v")
+    val rows = groupQuantiles(df, Seq("g"), "v", Seq(0.5)).collect()
+    assert(rows.length == 2, "expected the NULL group to survive the totals join")
+    val got = rows.map(r => Option(r.getString(0)) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(Some("a")) == ((5.0, 2L)))  // ceil(2*0.5)=1st smallest
+    assert(got(None) == ((2.0, 3L)))       // ceil(3*0.5)=2nd smallest of (1,2,3)
+  }
+
   test("fractions rounding to the same percent get distinct column names") {
     import graft.operators.Quantiles.quantileName
     assert(quantileName(0.5) == "p50")
