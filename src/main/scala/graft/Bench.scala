@@ -62,6 +62,14 @@ object Bench {
     val total = results.map(_._2).sum
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // a bounded stdout tail capture can still clip the line's head under
+    // heavy shutdown noise (r5-r7 all lost queries to it) — the file copy is
+    // the canonical, unclippable record
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

@@ -770,6 +770,14 @@ object SparkEntry {
         .select("media_id", "kind", "n_bytes")
     }),
 
+    "multimodal_decode" -> ((s, dir) => {
+      // REAL image decode: a deterministic PNG is synthesized per doc_id,
+      // then ImageIO decodes actual pixels back out; the oracle replays the
+      // generating formula with a lateral range join — so a decoder bug
+      // (wrong pixels, wrong dims) breaks the hash. Shuffle-free narrow maps.
+      graft.llm.Multimodal.documentImageStats(s, t(s, dir, "documents"))
+    }),
+
     "events_quantiles" -> ((s, dir) => {
       // exact order-statistic quantiles (actual elements, no interpolation
       // arithmetic — the engine-portable exact contract)
@@ -2161,6 +2169,23 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS kind,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // replays Multimodal.synthesizePng's pixel formula: channel c of pixel
+    // (x,y) is (id·31 + x·7 + y·13 + c·101) mod 256 on a (8+id%8)×(8+id%5)
+    // grid — integer arithmetic only, so the decoded-pixel sums from the
+    // real ImageIO decode must hash-match these regenerated sums exactly
+    "multimodal_decode" ->
+      """SELECT d.doc_id AS media_id,
+        |  (8 + d.doc_id % 8)::BIGINT AS width,
+        |  (8 + d.doc_id % 5)::BIGINT AS height,
+        |  sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256)::BIGINT AS r_sum,
+        |  sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13 + 101) % 256)::BIGINT AS g_sum,
+        |  sum((d.doc_id * 31 + xs.x * 7 + ys.y * 13 + 202) % 256)::BIGINT AS b_sum
+        |FROM documents d
+        |CROSS JOIN range(0, 15) AS xs(x)
+        |CROSS JOIN range(0, 12) AS ys(y)
+        |WHERE xs.x < 8 + d.doc_id % 8 AND ys.y < 8 + d.doc_id % 5
+        |GROUP BY d.doc_id""".stripMargin,
 
     // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal
     // product, identical IEEE in both engines

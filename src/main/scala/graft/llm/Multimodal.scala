@@ -1,17 +1,31 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * North-star extension surface (SURVEY.md §2.4). The actual codec work
-  * (JPEG decode, resampling, frame sampling) needs native libraries that are
-  * NOT in this environment — those steps are STUBBED with a deterministic
-  * fake (clearly marked below). Everything Spark-side is real and tested:
-  * schema, binary packing, partition-batched processing shape, and the
-  * feature-extraction dataflow.
+  * North-star extension surface (SURVEY.md §2.4). Two decode paths:
+  *
+  *  - '''Real image decode''' ([[decodeImageStats]]): PNG/JPEG/BMP/GIF
+  *    payloads are decoded to actual pixels with the JDK's built-in
+  *    `javax.imageio.ImageIO` (no native dependencies), inside
+  *    `mapPartitions` so a production codec/model context amortizes across
+  *    a batch. Emitted stats (width/height/per-channel integer pixel sums)
+  *    are exact, so a synthesized test pattern is replayable in SQL from
+  *    its generating formula — the `multimodal_decode` oracle does exactly
+  *    that.
+  *  - '''Opaque payload featurization''' ([[extractFeatures]]): for
+  *    payloads with no decoder in this environment (audio/video codecs,
+  *    embedding models), a deterministic byte-hash feature stands in. The
+  *    Spark-side dataflow — schema, binary packing, partition-batched
+  *    processing shape — is the real thing either way.
   */
 object Multimodal {
 
@@ -25,8 +39,23 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       checksum: Long,
-      // STUB output: a real decoder would emit e.g. CLIP features here.
+      // byte-hash stand-in features; a real model head would emit e.g. CLIP
+      // embeddings here (see decodeImageStats for the real-decode path)
       feature: Array[Float])
+
+  /** An image payload and its id. */
+  case class ImageRecord(media_id: Long, content: Array[Byte])
+
+  /** Exact per-image statistics from REAL pixel decode: dimensions plus
+    * per-channel integer pixel-value sums (integers so the stats are
+    * bit-exact across engines — no floating-point means in the contract). */
+  case class ImageStats(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long)
 
   /** Pack any DataFrame with an id and a binary-castable payload column into
     * the canonical media schema. */
@@ -40,14 +69,98 @@ object Multimodal {
         lit(0).as("sampleRateHz")).as("meta"),
       col(payloadCol).cast("binary").as("content"))
 
-  /** ======================= STUB =======================
-    * Deterministic fake decode: real implementation would decode the payload
-    * with a native codec (libjpeg/ffmpeg) here, inside mapPartitions so the
-    * codec context is reused across a batch. The fake derives features from
-    * the byte content only — stable across runs/partitionings, so the
-    * pipeline around it is fully testable.
-    * ==================================================== */
-  private def stubDecode(content: Array[Byte], dims: Int): Array[Float] = {
+  // ---------------------------------------------------------------- images
+
+  /** Deterministic RGB test pattern for `id`, encoded as a real PNG.
+    *
+    * `width = 8 + id%8`, `height = 8 + id%5`, and channel c of pixel (x,y)
+    * is `(id·31 + x·7 + y·13 + c·101) mod 256` — chosen so every statistic
+    * of the decoded image is an integer-arithmetic formula any SQL engine
+    * can replay (the multimodal_decode oracle regenerates the sums with a
+    * lateral `range` join in DuckDB). PNG is lossless, so decode returns
+    * these exact values. */
+  def synthesizePng(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizePng needs a non-negative id, got $id")
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 31 + x * 7 + y * 13
+        val r = (base % 256).toInt
+        val g = ((base + 101) % 256).toInt
+        val b = ((base + 202) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, "png", baos)
+    require(ok, "JDK PNG ImageWriter unavailable")
+    baos.toByteArray
+  }
+
+  /** REAL pixel decode: each payload is parsed by `ImageIO` (PNG/JPEG/BMP/
+    * GIF — the JDK's built-in, dependency-free decoders) and the decoded
+    * raster is reduced to exact integer channel sums. Undecodable bytes
+    * fail loudly rather than emitting garbage stats.
+    *
+    * `mapPartitions`, not a per-row UDF: this is the batch boundary where a
+    * production pipeline holds its codec context / model session open
+    * across rows (the same shape a `mapInPandas` image pipeline has), and
+    * the decode stays a narrow map — no shuffle, scales with input
+    * partitioning. */
+  def decodeImageStats(records: Dataset[ImageRecord]): Dataset[ImageStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // a real model pipeline would open its session here, once per batch
+      it.map { rec =>
+        val img = ImageIO.read(new ByteArrayInputStream(rec.content))
+        require(img != null,
+          s"media_id=${rec.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xFF
+            gs += (rgb >> 8) & 0xFF
+            bs += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(rec.media_id, w.toLong, h.toLong, rs, gs, bs)
+      }
+    }
+  }
+
+  /** End-to-end real-decode pipeline over the documents table: synthesize a
+    * deterministic PNG per doc_id (standing in for an image payload column,
+    * which the synthetic testdata lacks), then decode REAL pixels back out
+    * and reduce to exact stats. Encode and decode both live in narrow
+    * `mapPartitions` stages — the whole query is shuffle-free. */
+  def documentImageStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ImageRecord(id, synthesizePng(id)))
+    }
+    decodeImageStats(records).toDF()
+  }
+
+  // ------------------------------------------------------- opaque payloads
+
+  /** Deterministic byte-hash feature for payloads with no decoder in this
+    * environment (a real pipeline would run its codec/model here; the
+    * image path above shows the same dataflow with a real decoder). */
+  private def byteHashFeature(content: Array[Byte], dims: Int): Array[Float] = {
     var h = 0x9E3779B97F4A7C15L
     var i = 0
     while (i < content.length) { h = (h ^ content(i)) * 0x100000001B3L; i += 1 }
@@ -69,20 +182,19 @@ object Multimodal {
     h
   }
 
-  /** Per-partition batched feature extraction. The mapPartitions boundary is
-    * where a real decoder would amortize codec/model setup per batch (same
-    * shape a Pandas-UDF `mapInPandas` pipeline has in PySpark). */
+  /** Per-partition batched feature extraction for opaque payloads. The
+    * mapPartitions boundary is where codec/model setup amortizes per batch
+    * (same shape a Pandas-UDF `mapInPandas` pipeline has in PySpark). */
   def extractFeatures(records: Dataset[MediaRecord], dims: Int = 8): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // real impl: open codec once here, close at iterator end
       it.map { r =>
         MediaFeatures(
           media_id = r.media_id,
           kind = r.meta.kind,
           n_bytes = r.content.length.toLong,
           checksum = checksum(r.content),
-          feature = stubDecode(r.content, dims))
+          feature = byteHashFeature(r.content, dims))
       }
     }
   }

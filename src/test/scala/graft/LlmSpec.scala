@@ -379,4 +379,40 @@ class LlmSpec extends AnyFunSuite {
     assert(f.getAs[scala.collection.Seq[Float]]("feature").length == 8)
     assert(f.getAs[Long]("n_bytes") > 0)
   }
+
+  test("image decode: REAL ImageIO pixels round-trip the generating formula") {
+    import spark.implicits._
+    // driver-side reference from the synthesis formula — no image code
+    def reference(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = 8 + (id % 8); val h = 8 + (id % 5)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        val base = id * 31 + x * 7 + y * 13
+        rs += base % 256; gs += (base + 101) % 256; bs += (base + 202) % 256
+      }
+      (w, h, rs, gs, bs)
+    }
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.ImageRecord(id, Multimodal.synthesizePng(id)))
+    // the payloads are genuine PNG files, not a fake container
+    val magic = records.head().content.take(8).toSeq
+    assert(magic == Seq[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    val got = Multimodal.decodeImageStats(records).collect()
+      .map(s => s.media_id -> ((s.width, s.height, s.r_sum, s.g_sum, s.b_sum))).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      assert(got(id) == reference(id), s"decoded stats diverge for id=$id")
+    }
+    // repartitioning must not change a narrow deterministic pipeline
+    val got7 = Multimodal.decodeImageStats(records.repartition(7)).collect()
+      .map(s => s.media_id -> ((s.width, s.height, s.r_sum, s.g_sum, s.b_sum))).toMap
+    assert(got7 == got)
+  }
+
+  test("image decode fails loudly on undecodable payloads") {
+    import spark.implicits._
+    val bogus = Seq(Multimodal.ImageRecord(1L, Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[Exception] { Multimodal.decodeImageStats(bogus).collect() }
+    assert(e.getMessage != null)
+  }
 }
