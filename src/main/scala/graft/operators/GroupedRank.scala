@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * so two independent executions could place a row in different physical
   * partitions and the offsets would disagree with the local ranks.
   * `spark.sql.exchange.reuse` (default on) guarantees one instance; the
-  * equivalence specs pin the end-to-end result under that default.
+  * equivalence specs pin the end-to-end result under that default, and a
+  * dedicated spec pins it under `spark.sql.adaptive.enabled=true` with
+  * partition coalescing engaged (AQE's stage-level reuse keeps the shared
+  * range exchange a single materialized instance when it re-plans).
   */
 object GroupedRank {
 

@@ -38,6 +38,42 @@ class GroupedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE on (with coalescing) leaves ranks and ntiles bit-identical to the window forms") {
+    // six production queries sit on this operator, and its correctness
+    // depends on the counts branch and the join branch reading ONE physical
+    // range exchange; AQE replans exchanges at runtime (stage reuse +
+    // partition coalescing), so pin that the default-on production setting
+    // cannot split the shared exchange into two independently-sampled ones
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // force coalescing to actually engage on the tiny test exchange
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val got = GroupedRank.withGroupRank(
+        skewed, Seq("g"), Seq(col("v"), col("id")), "r")
+      val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      val want = skewed.withColumn("r", row_number().over(w).cast("long"))
+      got.ensureDatasetEquals(want)
+      val gotN = GroupedRank.withGroupNtile(
+        skewed, Seq("g"), Seq(col("v"), col("id")), 7, "q")
+      val wantN = skewed.withColumn("q", ntile(7).over(w))
+      gotN.ensureDatasetEquals(wantN)
+      // the global-rank form (empty groupCols) under AQE too
+      val gotG = GroupedRank.withGroupRank(
+        skewed, Nil, Seq(col("v"), col("id"), col("g")), "r")
+      val wantG = skewed.withColumn("r",
+        row_number().over(Window.orderBy(col("v"), col("id"), col("g"))).cast("long"))
+      gotG.ensureDatasetEquals(wantG)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no per-group single-task sort: every window partitions on the physical pid") {
     val got = GroupedRank.withGroupNtile(
       skewed, Seq("g"), Seq(col("v"), col("id")), 4, "q")
