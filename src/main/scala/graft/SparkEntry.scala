@@ -1004,6 +1004,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_views"))
     }),
 
+    "stream_skew_adaptive" -> ((s, dir) => {
+      // the skewed stream-STREAM interval join with a REFRESHED hotness
+      // model: the sketch is seeded from only the even-event-id half of the
+      // day (the "historical sample"), then the odd half streams through a
+      // foreachBatch monitor that folds each micro-batch into the model
+      // before the join starts — the restart-with-fresher-model shape
+      // production uses. Salting stays transparent: oracle = plain batch
+      // interval join, same as stream_skew_interval
+      import graft.streaming.{RefreshableHotness, StreamOps}
+      val hist = events(s, dir)
+        .filter(col("event_id") % 2 === 0).select("user_id")
+      val hot = new RefreshableHotness(
+        Seq("user_id"),
+        graft.skew.SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05),
+        Some(hist))
+      val mon = hot.attachMonitor(
+        StreamOps.eventsStream(s, s"$dir/events.parquet")
+          .filter(col("event_id") % 2 === 1).select("user_id"))
+      try mon.processAllAvailable() finally mon.stop()
+      val ev = StreamOps.eventsStream(s, s"$dir/events.parquet")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_event_id"), col("ts"))
+      val joined = StreamOps.skewedIntervalJoinAdaptive(
+        purch, views, Seq("user_id"), "0 SECOND", "30 MINUTE", hot)
+      StreamOps.runToMemory(s,
+        joined.select("p_event_id", "user_id", "v_event_id"),
+        "graft_stream_adskivj", outputMode = "append")
+        .groupBy("p_event_id", "user_id")
+        .agg(count(lit(1)).as("n_views"))
+    }),
+
     "stream_skewjoin" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
@@ -2269,6 +2302,19 @@ object SparkEntry {
     // salting is transparent to the emitted multiset: the oracle is the
     // plain batch interval join, same µs grain as stream_interval_join
     "stream_skew_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |p AS (SELECT event_id AS p_event_id, user_id, tus FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, tus AS vus FROM e WHERE event_type = 'view')
+        |SELECT p_event_id, p.user_id AS user_id, count(*) AS n_views
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND vus >= p.tus AND vus < p.tus + 1800000000
+        |GROUP BY 1, 2""".stripMargin,
+
+    // adaptive hotness changes only WHICH keys get salted, never the
+    // emitted multiset — same plain-batch oracle as stream_skew_interval
+    "stream_skew_adaptive" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
         |  FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, tus FROM e

@@ -131,15 +131,27 @@ object StreamOps {
       conf: graft.skew.SkewJoinConf,
       hotKeySource: Option[DataFrame]): Column = {
     import graft.skew.SkewJoin
-    val spark = static.sparkSession
-    val cap = conf.maxReplication
-      .getOrElse(spark.sessionState.conf.numShufflePartitions)
     val src = hotKeySource.getOrElse(static)
     val srcKey = concat_ws(SkewJoin.KeSep,
       usingColumns.map(c => src.col(c).cast("string")): _*)
-    val cms = spark.sparkContext.broadcast(
-      graft.sketch.CmsOps.cmsOf(src, srcKey, conf.CMSeps, conf.CMSdelta, conf.CMSseed))
-    val rep = SkewJoin.replicationUdf(cms, conf.CMSeps, conf.replicationFactor, cap)
+    val cms = graft.sketch.CmsOps.cmsOf(
+      src, srcKey, conf.CMSeps, conf.CMSdelta, conf.CMSseed)
+    replicationColFromSketch(static.sparkSession, cms, usingColumns, conf)
+  }
+
+  /** Replication column from an already-built sketch (the refresh path:
+    * [[RefreshableHotness]] hands in its current snapshot). Evaluates to 1
+    * for cold and null keys. */
+  private[graft] def replicationColFromSketch(
+      spark: SparkSession,
+      cms: org.apache.spark.util.sketch.CountMinSketch,
+      usingColumns: Seq[String],
+      conf: graft.skew.SkewJoinConf): Column = {
+    import graft.skew.SkewJoin
+    val cap = conf.maxReplication
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val bc = spark.sparkContext.broadcast(cms)
+    val rep = SkewJoin.replicationUdf(bc, conf.CMSeps, conf.replicationFactor, cap)
     val key = concat_ws(SkewJoin.KeSep,
       usingColumns.map(c => col(c).cast("string")): _*)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
@@ -197,7 +209,10 @@ object StreamOps {
     * The sketch comes from `hotKeySource`, a STATIC frame (yesterday's
     * events, a dimension table): a streaming query cannot scan its own
     * unbounded input up front, so hotness is a model parameter here — the
-    * same historical-sample pattern production skew mitigation uses. */
+    * same historical-sample pattern production skew mitigation uses. A key
+    * hot only in data NEWER than `hotKeySource` stays unsalted for the life
+    * of the query; [[skewedIntervalJoinAdaptive]] + [[RefreshableHotness]]
+    * close that staleness gap across restarts. */
   def skewedIntervalJoin(
       left: DataFrame, right: DataFrame,
       usingCols: Seq[String],
@@ -205,8 +220,33 @@ object StreamOps {
       hotKeySource: DataFrame,
       conf: graft.skew.SkewJoinConf = graft.skew.SkewJoinConf(),
       watermark: String = "1 hour",
-      seed: Long = 1L): DataFrame = {
-    val repCol = replicationCol(hotKeySource, usingCols, conf, None)
+      seed: Long = 1L): DataFrame =
+    skewedIntervalJoinImpl(left, right, usingCols, lower, upper,
+      replicationCol(hotKeySource, usingCols, conf, None), watermark, seed)
+
+  /** [[skewedIntervalJoin]] with an adaptive hotness model: the replication
+    * column probes `hotness`'s CURRENT sketch snapshot — seeded from a
+    * historical sample and folded forward per micro-batch by the model's
+    * `foreachBatch` monitor — so a key that became hot mid-stream is salted
+    * when the join (re)starts. See [[RefreshableHotness]] for the refresh /
+    * restart semantics and the residual one-restart staleness bound. */
+  def skewedIntervalJoinAdaptive(
+      left: DataFrame, right: DataFrame,
+      usingCols: Seq[String],
+      lower: String, upper: String,
+      hotness: RefreshableHotness,
+      watermark: String = "1 hour",
+      seed: Long = 1L): DataFrame =
+    skewedIntervalJoinImpl(left, right, usingCols, lower, upper,
+      hotness.replication(left.sparkSession), watermark, seed)
+
+  private def skewedIntervalJoinImpl(
+      left: DataFrame, right: DataFrame,
+      usingCols: Seq[String],
+      lower: String, upper: String,
+      repCol: Column,
+      watermark: String,
+      seed: Long): DataFrame = {
     val l = left
       .withColumn("__graft_salt", floor(rand(seed) * repCol).cast("int"))
       .withWatermark("ts", watermark)

@@ -110,6 +110,56 @@ class StreamSpec extends AnyFunSuite {
     got.ensureDatasetEquals(want)
   }
 
+  test("adaptive hotness: a mid-stream-hot key salts after a monitor refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.skew.SkewJoinConf
+    import graft.streaming.RefreshableHotness
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05)
+    // historical sample: key 7 hot, key 99 absent (events only has ids
+    // 0..14, each a sizeable share of the tiny sf0.001 table)
+    val hist = (batchEvents.select("user_id") unionAll
+      (1 to 400).map(_ => 7L).toDF("user_id"))
+    val hot = new RefreshableHotness(Seq("user_id"), conf, Some(hist))
+    def repOf(k: Long): Int =
+      Seq(k).toDF("user_id")
+        .withColumn("__rep", hot.replication(spark)).head().getInt(1)
+    // the staleness bound skewedIntervalJoin documents: pre-refresh, the
+    // model IS the historical sketch — key 99's coming hotness is invisible
+    assert(repOf(7L) > 1, s"historical hot key rep = ${repOf(7L)}")
+    assert(repOf(99L) == 1, s"pre-refresh rep(99) = ${repOf(99L)}")
+    // a stream in which key 99 becomes hot; the foreachBatch monitor folds
+    // each micro-batch into the model as it arrives
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotmon_")
+    dir.toFile.deleteOnExit()
+    (1 to 400).map(_ => 99L).toDF("user_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    val mon = hot.attachMonitor(
+      spark.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType))))
+        .parquet(dir.toString))
+    try mon.processAllAvailable() finally mon.stop()
+    assert(repOf(99L) > 1, "mid-stream-hot key must salt after refresh")
+    assert(repOf(7L) > 1, "historical hot key must stay salted")
+    // and a join (re)started on the refreshed model still emits the exact
+    // multiset — salting stays transparent under merged hotness
+    val ev = StreamOps.eventsStream(spark, s"$sf/events.parquet")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), col("ts"))
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.skewedIntervalJoinAdaptive(
+        purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR", hot)
+        .select("p_event_id", "user_id", "c_event_id"),
+      "t_stream_adskivj", outputMode = "append")
+    val want = StreamOps.runToMemory(spark,
+      StreamOps.intervalJoin(purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR")
+        .select("p_event_id", "user_id", "c_event_id"),
+      "t_stream_adskivj_plain", outputMode = "append")
+    got.ensureDatasetEquals(want)
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch counts") {
     val out = StreamOps.runToMemory(spark,
       StreamOps.runningUserCounts(
