@@ -535,10 +535,46 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$path/bands")
     } finally bandsDf.unpersist()
     // parameter manifest: probing with different parameters produces band
-    // keys from a different space and would silently report zero recall
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "params.json"),
-      s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,"maxBucketSize":$maxBucketSize}""")
+    // keys from a different space and would silently report zero recall.
+    // Written through the Hadoop FileSystem resolved from `path` — the
+    // index lives wherever docs/bands live (hdfs://, s3a://, local), and
+    // the manifest must live there too
+    writeIndexManifest(spark, path, Map(
+      "numHashes" -> numHashes, "bands" -> bands,
+      "shingleSize" -> shingleSize, "maxBucketSize" -> maxBucketSize))
+  }
+
+  private def manifestFile(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "params.json")
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeIndexManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      params: Map[String, Int]): Unit = {
+    val (fs, p) = manifestFile(spark, path)
+    val json = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parse the manifest's integer fields by name — key order and
+    * whitespace are not semantics, so two manifests compare equal iff
+    * their parsed fields do. */
+  private def readIndexManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Map[String, Long] = {
+    val (fs, p) = manifestFile(spark, path)
+    val in = fs.open(p)
+    val raw =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"([A-Za-z]+)"\s*:\s*(\d+)""".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
   /** Probe fresh documents against a [[writeMinHashIndex]] index: fresh
@@ -558,12 +594,14 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 256): DataFrame = {
     val spark = fresh.sparkSession
-    val manifest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "params.json"))
-    val expected =
-      s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize,"maxBucketSize":$maxBucketSize}"""
-    require(manifest == expected,
-      s"probe parameters $expected do not match the index manifest $manifest " +
+    val manifest = readIndexManifest(spark, path)
+    val expected = Map[String, Long](
+      "numHashes" -> numHashes, "bands" -> bands,
+      "shingleSize" -> shingleSize, "maxBucketSize" -> maxBucketSize)
+    val mismatched = expected.keys.filter(k => manifest.get(k) != Some(expected(k)))
+    require(mismatched.isEmpty,
+      s"probe parameters do not match the index manifest for " +
+        s"${mismatched.toSeq.sorted.map(k => s"$k: probe=${expected(k)} index=${manifest.get(k).getOrElse("absent")}").mkString(", ")} " +
         "(band keys would come from a different space — zero recall)")
     val freshDocs = shingleDocs(fresh, idCol, textCol, shingleSize)
     val freshBands = bandRows(signedDocs(freshDocs, "sh", numHashes), numHashes, bands)

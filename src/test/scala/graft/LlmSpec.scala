@@ -94,6 +94,46 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash index manifest compares parsed fields, not raw strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "some other historical document about distributed systems"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((5L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhmanifest_").toString
+    try {
+      Dedup.writeMinHashIndex(df, "doc_id", "text", dir)
+      // reordered keys + whitespace are not semantics: rewrite the manifest
+      // shuffled and padded (through the same Hadoop FS the operator uses,
+      // so the checksum sidecar stays consistent); probe must still accept
+      val hp = new org.apache.hadoop.fs.Path(dir, "params.json")
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      def rewrite(s: String): Unit = {
+        val out = fs.create(hp, true)
+        try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      rewrite("""{ "shingleSize" : 5,  "numHashes" : 32,
+          |  "maxBucketSize" : 256, "bands" : 16 }""".stripMargin)
+      assert(Dedup.probeMinHashIndex(fresh, "doc_id", "text", dir).count() >= 1)
+      // a genuinely different parameter must be rejected, naming the field
+      val err = intercept[IllegalArgumentException] {
+        Dedup.probeMinHashIndex(fresh, "doc_id", "text", dir, numHashes = 64)
+      }
+      assert(err.getMessage.contains("numHashes"), err.getMessage)
+      // an absent field is a mismatch too (manifest from a foreign tool)
+      rewrite("""{"numHashes":32,"bands":16}""")
+      val err2 = intercept[IllegalArgumentException] {
+        Dedup.probeMinHashIndex(fresh, "doc_id", "text", dir)
+      }
+      assert(err2.getMessage.contains("shingleSize"), err2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
     import spark.implicits._
     // normalization equates "Seen, Before!" with "seen before"
