@@ -39,6 +39,10 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // a stale BENCH_LAST.json from a previous run must never masquerade as
+    // this run's result if the final write fails — drop it before measuring
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_LAST.json"))
+    catch { case e: Throwable => System.err.println(s"BENCH_LAST.json stale-delete failed: $e") }
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val timings = (1 to iters).map { _ =>
       queries.map { case (name, fn) =>
@@ -69,7 +73,11 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      // stdout still carries the line; the failure itself must be visible
+      // (stderr — stdout stays clean for the JSON tail capture)
+      case e: Throwable => System.err.println(s"BENCH_LAST.json write failed: $e")
+    }
     println(line)
   }
 }

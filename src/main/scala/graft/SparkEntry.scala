@@ -1506,15 +1506,18 @@ object SparkEntry {
         |min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
 
+    // joins are null-safe (IS NOT DISTINCT FROM) to mirror Funnel.funnel's
+    // <=> stage joins: a NULL user with a full journey is one funnel user
+    // in BOTH engines, not silently dropped by the oracle alone
     "events_funnel" ->
       """WITH s0 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),
         |s1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
-        |  JOIN s0 ON e.user_id = s0.user_id
+        |  JOIN s0 ON e.user_id IS NOT DISTINCT FROM s0.user_id
         |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s0.t
         |  GROUP BY e.user_id),
         |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
+        |  JOIN s1 ON e.user_id IS NOT DISTINCT FROM s1.user_id
         |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s1.t
         |  GROUP BY e.user_id)
         |SELECT * FROM (VALUES

@@ -603,6 +603,14 @@ object Dedup {
       s"probe parameters do not match the index manifest for " +
         s"${mismatched.toSeq.sorted.map(k => s"$k: probe=${expected(k)} index=${manifest.get(k).getOrElse("absent")}").mkString(", ")} " +
         "(band keys would come from a different space — zero recall)")
+    // unknown manifest fields are a mismatch too: a foreign writer that
+    // records an extra band-space-affecting parameter must fail loudly here,
+    // not silently probe a different key space
+    val unknown = manifest.keySet -- expected.keySet
+    require(unknown.isEmpty,
+      s"index manifest carries parameters this probe does not understand: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} (a foreign index layout — " +
+        "probing it could silently return zero recall)")
     val freshDocs = shingleDocs(fresh, idCol, textCol, shingleSize)
     val freshBands = bandRows(signedDocs(freshDocs, "sh", numHashes), numHashes, bands)
       .select(col("id").as("fresh_id"), col("band_idx"), col("band_key"))

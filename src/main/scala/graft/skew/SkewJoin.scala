@@ -62,6 +62,19 @@ object SkewJoin {
     * concat ambiguity in frequency estimates too). */
   private[graft] val KeSep = ""
 
+  /** THE canonical CMS key expression. Every sketch build and every probe --
+    * batch skew joins, stream-static and stream-stream salting, the
+    * refreshable hotness model -- must use this byte-identical construction:
+    * a probe whose key expression differs from the build's in any way
+    * (separator, cast, column order) silently reads the wrong counters.
+    * The unbound form resolves against the frame it is applied to; the
+    * df-qualified form disambiguates in self-joins. */
+  private[graft] def cmsKey(usingColumns: Seq[String]): Column =
+    concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
+
+  private[graft] def cmsKey(df: DataFrame, usingColumns: Seq[String]): Column =
+    concat_ws(KeSep, usingColumns.map(c => df.col(c).cast("string")): _*)
+
   implicit class SkewJoinOps(val left: DataFrame) extends AnyVal {
 
     /** Single-column sugar (reference `dfimplicits.scala:26-28`). */
@@ -207,9 +220,8 @@ object SkewJoin {
     val spark = left.sparkSession
     val cap = conf.maxReplication
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
-    def keyOf(df: DataFrame): Column =
-      concat_ws(KeSep, usingColumns.map(c => df.col(c).cast("string")): _*)
-    val key = concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
+    def keyOf(df: DataFrame): Column = cmsKey(df, usingColumns)
+    val key = cmsKey(usingColumns)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
     // fragmentation is driven by the LEFT side's key frequencies — the side
     // whose rows pile onto one reducer without it
@@ -262,9 +274,8 @@ object SkewJoin {
     val cap = conf.maxReplication
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
 
-    def keyOf(df: DataFrame): Column =
-      concat_ws(KeSep, usingColumns.map(c => df.col(c).cast("string")): _*)
-    val key = concat_ws(KeSep, usingColumns.map(c => col(c).cast("string")): _*)
+    def keyOf(df: DataFrame): Column = cmsKey(df, usingColumns)
+    val key = cmsKey(usingColumns)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
 
     // Sketches for the gated side(s), broadcast (KB-to-MB scale). When both

@@ -20,9 +20,10 @@ import graft.sketch.CmsOps
   *
   * Merge mechanics: Spark's `CountMinSketch` is a monoid — sketches built
   * with the same (eps, delta, seed) merge exactly (`mergeInPlace`), so each
-  * micro-batch costs one KB-scale aggregate plus a driver-side merge; the
-  * corpus is never re-scanned. The driver holds only the sketch (KB), never
-  * a key list.
+  * micro-batch costs one sketch-sized aggregate plus a driver-side
+  * merge-in-place; the corpus is never re-scanned. The driver holds only
+  * the sketch — width×depth longs, a pure function of (eps, delta): KBs at
+  * the batch-join defaults, ~4 MB at eps = 1e-4 — never a key list.
   *
   * Refresh semantics — the honest streaming constraint: a running query's
   * replication column probes an immutable broadcast snapshot, so a refresh
@@ -40,49 +41,62 @@ final class RefreshableHotness(
     conf: SkewJoinConf = SkewJoinConf(),
     initialSample: Option[DataFrame] = None) {
 
-  @volatile private var sketch: CountMinSketch = initialSample match {
+  private val sketch: CountMinSketch = initialSample match {
     case Some(df) => sketchOf(df)
     case None =>
       CountMinSketch.create(conf.CMSeps, 1.0 - conf.CMSdelta, conf.CMSseed)
   }
 
-  private def keyOf(df: DataFrame): Column =
-    concat_ws(SkewJoin.KeSep,
-      usingColumns.map(c => df.col(c).cast("string")): _*)
+  private def keyOf(df: DataFrame): Column = SkewJoin.cmsKey(df, usingColumns)
 
   private def sketchOf(df: DataFrame): CountMinSketch =
     CmsOps.cmsOf(df, keyOf(df), conf.CMSeps, conf.CMSdelta, conf.CMSseed)
 
   /** Fold one micro-batch (or any sample frame) into the model: one
-    * aggregate job over the batch, one KB-scale sketch merge on the driver.
-    * Merges into a fresh copy — never mutates a sketch a running query may
-    * hold through a local-mode broadcast. */
+    * aggregate job over the batch, one sketch merge on the driver. The
+    * batch sketch merges INTO the master in place — the master is never
+    * handed out (every [[snapshot]] copies), so no running query can
+    * observe the mutation, and a refresh costs zero master-sized copies
+    * (the sketch is width×depth longs: KBs at the default eps, ~4 MB at
+    * eps = 1e-4 — copying it per batch would dominate the monitor). */
   def observe(batch: DataFrame): Unit = {
     val b = sketchOf(batch)
-    synchronized {
-      val merged = RefreshableHotness.copyOf(sketch)
-      merged.mergeInPlace(b)
-      sketch = merged
-    }
+    synchronized { sketch.mergeInPlace(b) }
   }
 
-  /** Immutable snapshot of the current sketch (safe to broadcast). */
-  def snapshot: CountMinSketch = RefreshableHotness.copyOf(sketch)
+  /** Immutable snapshot of the current sketch (safe to broadcast — the
+    * master keeps mutating underneath). */
+  def snapshot: CountMinSketch =
+    synchronized { RefreshableHotness.copyOf(sketch) }
 
   /** Per-row replication column from the CURRENT snapshot (same debiased
     * formula as the batch skew join). Sampled when the query plan is built:
-    * later `observe` calls do not affect a running query (see class doc). */
+    * later `observe` calls do not affect a running query (see class doc).
+    * Each call broadcasts its snapshot; the broadcast lives as long as the
+    * query plan referencing it and is reclaimed by Spark's ContextCleaner
+    * once the plan is dropped — superseded snapshots are NOT destroyed
+    * eagerly here, because an older still-running query may hold one. */
   def replication(spark: SparkSession): Column =
     StreamOps.replicationColFromSketch(spark, snapshot, usingColumns, conf)
 
   /** Start the monitor: a lightweight side query that folds every
     * micro-batch of `stream` into the model. Projects to the key columns
-    * before the sink, so the monitor ships keys, not payloads. */
-  def attachMonitor(stream: DataFrame): StreamingQuery =
-    stream.select(usingColumns.map(col): _*).writeStream
+    * before the sink, so the monitor ships keys, not payloads.
+    *
+    * Pass `checkpoint` for any monitor that can restart on a live model:
+    * without one, a restarted file-source monitor replays the source from
+    * offset zero and re-folds already-counted history into the sketch —
+    * frequencies inflate per restart cycle, and moderately-warm keys drift
+    * across the hot threshold (replication stays CORRECT at any estimate,
+    * but the join buffers salted state it never needed). With a checkpoint
+    * the restarted monitor resumes from its committed offsets and each
+    * event is folded exactly once. */
+  def attachMonitor(stream: DataFrame, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = stream.select(usingColumns.map(col): _*).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) => observe(batch) }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }
 
 object RefreshableHotness {

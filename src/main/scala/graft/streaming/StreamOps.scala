@@ -132,8 +132,7 @@ object StreamOps {
       hotKeySource: Option[DataFrame]): Column = {
     import graft.skew.SkewJoin
     val src = hotKeySource.getOrElse(static)
-    val srcKey = concat_ws(SkewJoin.KeSep,
-      usingColumns.map(c => src.col(c).cast("string")): _*)
+    val srcKey = SkewJoin.cmsKey(src, usingColumns)
     val cms = graft.sketch.CmsOps.cmsOf(
       src, srcKey, conf.CMSeps, conf.CMSdelta, conf.CMSseed)
     replicationColFromSketch(static.sparkSession, cms, usingColumns, conf)
@@ -152,8 +151,7 @@ object StreamOps {
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
     val bc = spark.sparkContext.broadcast(cms)
     val rep = SkewJoin.replicationUdf(bc, conf.CMSeps, conf.replicationFactor, cap)
-    val key = concat_ws(SkewJoin.KeSep,
-      usingColumns.map(c => col(c).cast("string")): _*)
+    val key = SkewJoin.cmsKey(usingColumns)
     val keyIsNull = usingColumns.map(col(_).isNull).reduce(_ || _)
     when(keyIsNull, lit(1)).otherwise(rep(key))
   }

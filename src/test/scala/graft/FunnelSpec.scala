@@ -26,6 +26,20 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Seq((0L, "A", 4L), (1L, "B", 2L), (2L, "C", 1L)), s"got $got")
   }
 
+  test("a NULL user with a full journey is one funnel user, not dropped") {
+    import spark.implicits._
+    // the stage joins are null-safe (<=>): groupBy made NULL a group at
+    // stage 0, so later stages must carry it — and the DuckDB oracle joins
+    // with IS NOT DISTINCT FROM to match (SparkEntry events_funnel)
+    val ev = Seq(
+      (Some(1L), "A", 10L), (Some(1L), "B", 20L),
+      (None, "A", 5L), (None, "B", 6L), (None, "C", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L), (1L, 2L), (2L, 1L)), s"got $got")
+  }
+
   test("one deferred job scans the events source once per step, not O(steps²)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -129,6 +129,15 @@ class LlmSpec extends AnyFunSuite {
         Dedup.probeMinHashIndex(fresh, "doc_id", "text", dir)
       }
       assert(err2.getMessage.contains("shingleSize"), err2.getMessage)
+      // and so is an EXTRA field: a foreign writer recording another
+      // band-space-affecting parameter must fail loudly, not silently
+      // probe a different key space
+      rewrite("""{"numHashes":32,"bands":16,"shingleSize":5,
+        |"maxBucketSize":256,"normalization":2}""".stripMargin)
+      val err3 = intercept[IllegalArgumentException] {
+        Dedup.probeMinHashIndex(fresh, "doc_id", "text", dir)
+      }
+      assert(err3.getMessage.contains("normalization"), err3.getMessage)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -160,6 +160,36 @@ class StreamSpec extends AnyFunSuite {
     got.ensureDatasetEquals(want)
   }
 
+  test("a checkpointed monitor restart folds each event exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.skew.SkewJoinConf
+    import graft.streaming.RefreshableHotness
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05)
+    val hot = new RefreshableHotness(Seq("user_id"), conf)
+    def repOf(k: Long): Int =
+      Seq(k).toDF("user_id")
+        .withColumn("__rep", hot.replication(spark)).head().getInt(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotckpt_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hotckpt_c_")
+    Seq(dir, ckpt).foreach(_.toFile.deleteOnExit())
+    (1 to 400).map(_ => 5L).toDF("user_id")
+      .write.mode("overwrite").parquet(dir.toString)
+    def mkStream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .parquet(dir.toString)
+    val m1 = hot.attachMonitor(mkStream, Some(ckpt.toString))
+    try m1.processAllAvailable() finally m1.stop()
+    val r1 = repOf(5L)
+    assert(r1 > 1, s"hot key rep after first fold = $r1")
+    // a RESTARTED monitor on the same checkpoint resumes from committed
+    // offsets: history is not re-folded, the estimate (hence rep) is stable
+    val m2 = hot.attachMonitor(mkStream, Some(ckpt.toString))
+    try m2.processAllAvailable() finally m2.stop()
+    assert(repOf(5L) == r1,
+      s"checkpointed restart re-folded history: rep ${repOf(5L)} != $r1")
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch counts") {
     val out = StreamOps.runToMemory(spark,
       StreamOps.runningUserCounts(
