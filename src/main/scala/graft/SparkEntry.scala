@@ -249,6 +249,13 @@ object SparkEntry {
       graft.llm.Vocab.topTokens(t(s, dir, "documents"), "doc_id", "text", k = 100)
     }),
 
+    "bpe_pairs" -> ((s, dir) => {
+      // BPE training inner loop: adjacent character-pair counts weighted by
+      // word frequency over the distinct-word table; top-20 = the first
+      // merge candidates
+      graft.llm.Vocab.bpePairCounts(t(s, dir, "documents"), "text", k = 20)
+    }),
+
     "vocab_oov" -> ((s, dir) => {
       // vocabulary coverage: per-doc OOV rate against the corpus's own
       // top-100 vocabulary (output bounded to the first 50 docs)
@@ -383,6 +390,19 @@ object SparkEntry {
       // first corpus occurrence, documents rebuilt from surviving blocks
       graft.llm.Dedup.dropDuplicateParagraphs(
         t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "boilerplate_strip" -> ((s, dir) => {
+      // corpus-frequency boilerplate removal: a deterministic banner is
+      // prepended to every third document (synthetic corpus has no real
+      // chrome), then every 5-token block present in > 10% of documents is
+      // stripped from ALL documents — the CCNet/RefinedWeb cleaning step
+      val aug = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("subscribe to our newsletter today "), col("text")))
+          .otherwise(col("text")))
+      graft.llm.Dedup.stripBoilerplateBlocks(
+        aug, "doc_id", "text", blockTokens = 5, maxDocFraction = 0.1)
     }),
 
     "quality_model_score" -> ((s, dir) => {
@@ -1767,6 +1787,17 @@ object SparkEntry {
         |SELECT token, n_docs, n_occurrences FROM agg
         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
 
+    // word counts first, pairs exploded over the DISTINCT-word table —
+    // the oracle replays the same two-stage shape; integer sums are exact
+    "bpe_pairs" -> (
+      s"""WITH w AS (SELECT unnest(list_filter(string_split_regex(
+         |    $normSql, '\\s+'), t -> len(t) > 0)) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS wn FROM w WHERE len(w) >= 2 GROUP BY w),
+         |p AS (SELECT w[i:i+1] AS pair, wn
+         |  FROM wc, UNNEST(range(1, len(w))) AS r(i))
+         |SELECT pair, sum(wn)::BIGINT AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+
     "vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(
@@ -1909,6 +1940,32 @@ object SparkEntry {
          |  WHERE rn = 1)
          |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
          |FROM first GROUP BY doc_id""".stripMargin),
+
+    // same deterministic banner injection, same block slicing as
+    // dedup_paragraphs, then the corpus-frequency rule: blocks in > 10% of
+    // docs are dropped everywhere ($normSql reads aug's `text` column)
+    "boilerplate_strip" -> (
+      s"""WITH aug AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'subscribe to our newsletter today ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM aug),
+         |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+         |blk AS (SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i*5+1 : i*5+5], ' ') AS para
+         |  FROM tk2, UNNEST(range(0, (len(toks) + 4) // 5)) AS r(i)),
+         |tot AS (SELECT count(DISTINCT doc_id) AS n FROM blk),
+         |dfq AS (SELECT para, count(DISTINCT doc_id) AS dfn
+         |  FROM blk GROUP BY para),
+         |boiler AS (SELECT para FROM dfq, tot WHERE dfn > n * 0.1),
+         |kept AS (SELECT * FROM blk
+         |  WHERE para NOT IN (SELECT para FROM boiler))
+         |SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+         |FROM kept GROUP BY doc_id""".stripMargin),
 
     "quality_model_score" -> qualityModelSql,
 

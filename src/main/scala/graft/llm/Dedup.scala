@@ -658,28 +658,78 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockTokens: Int = 20): DataFrame = {
+    val blocks = tokenBlocks(df, idCol, textCol, blockTokens)
+    val first = blocks
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("pos"))).as("o"))
+      .select(col("fp"), col("o.id").as("id"), col("o.pos").as("pos"))
+    val kept = blocks.join(first, Seq("fp", "id", "pos"), "left_semi")
+    rebuildDocs(kept, idCol, textCol)
+  }
+
+  /** (id, pos, para, fp) block rows: normalized tokens cut into fixed
+    * `blockTokens`-token blocks, fingerprinted with md5. Shared by the
+    * block-level corpus cleaners ([[dropDuplicateParagraphs]],
+    * [[stripBoilerplateBlocks]]) so their oracles replay ONE slicing rule. */
+  private def tokenBlocks(
+      df: DataFrame, idCol: String, textCol: String, blockTokens: Int): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
     val nBlocks = expr(s"(size(__toks) + ${blockTokens - 1}) DIV $blockTokens")
-    val blocks = toks
+    toks
       .select(col("id"), posexplode(transform(
         sequence(lit(0), nBlocks.cast("int") - 1),
         i => concat_ws(" ", slice(col("__toks"), i * blockTokens + 1, lit(blockTokens))))))
       .withColumnRenamed("col", "para")
       .withColumn("fp", md5(col("para")))
-    val first = blocks
-      .groupBy("fp")
-      .agg(min(struct(col("id"), col("pos"))).as("o"))
-      .select(col("fp"), col("o.id").as("id"), col("o.pos").as("pos"))
-    val kept = blocks.join(first, Seq("fp", "id", "pos"), "left_semi")
+  }
+
+  /** Reassemble (id, pos, para) block rows into documents; a doc none of
+    * whose blocks survived disappears. Per-document `collect_list`,
+    * bounded by document size. */
+  private def rebuildDocs(kept: DataFrame, idCol: String, textCol: String): DataFrame =
     kept.groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),
           s => s.getField("para")), " ").as(textCol))
       .withColumnRenamed("id", idCol)
+
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb cleaning
+    * step, on fixed token blocks like [[dropDuplicateParagraphs]] since the
+    * corpus carries no line delimiters): a block whose DOCUMENT frequency
+    * exceeds `maxDocFraction` of the corpus is boilerplate — headers,
+    * footers, cookie banners, navigation chrome — and is removed from
+    * EVERY document, first occurrence included (the semantic difference
+    * from paragraph dedup, which keeps exactly one copy). Documents made
+    * entirely of boilerplate disappear.
+    *
+    * Scale shape: doc frequency is `distinct(fp, id)` then a map-side-
+    * combined count per fingerprint — a block repeated 10⁹ times costs one
+    * partial row per map task, never a single-task group. The boilerplate
+    * fingerprint set is broadcast for the anti-join: its size is bounded by
+    * avgBlocksPerDoc / maxDocFraction fingerprints INDEPENDENT of corpus
+    * size (each boilerplate fingerprint sits in > maxDocFraction·N docs,
+    * and there are only avgBlocksPerDoc·N block slots), so the broadcast
+    * stays small at any scale. Deterministic and exactly SQL-replayable. */
+  def stripBoilerplateBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 20,
+      maxDocFraction: Double = 0.05): DataFrame = {
+    val blocks = tokenBlocks(df, idCol, textCol, blockTokens)
+    val totalDocs = blocks.select("id").distinct()
+      .agg(count(lit(1)).as("__total"))
+    val docFreq = blocks.select("fp", "id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
+    val boiler = docFreq.crossJoin(broadcast(totalDocs))
+      .filter(col("__df") > col("__total") * maxDocFraction)
+      .select("fp")
+    val kept = blocks.join(broadcast(boiler), Seq("fp"), "left_anti")
+    rebuildDocs(kept, idCol, textCol)
   }
 
   /** Candidate pairs by word-n-gram Jaccard ≥ threshold, using MinHash LSH

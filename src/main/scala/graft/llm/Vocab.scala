@@ -31,6 +31,37 @@ object Vocab {
       .limit(k)
   }
 
+  /** BPE-style adjacent character-pair counts — the inner loop of byte-pair-
+    * encoding tokenizer training: count every adjacent symbol pair across
+    * the corpus weighted by word frequency; the highest-count pair is the
+    * next merge. This computes the first-iteration pair statistics (symbols
+    * = characters) over the normalized word stream, top `k` pairs with
+    * deterministic count-then-pair ordering.
+    *
+    * '''Plan shape (the 100-TB design).''' Words aggregate FIRST (the
+    * classic map-side-combined word count — a word repeated 10⁹ times
+    * becomes one (word, n) row), then pairs explode per DISTINCT word: the
+    * pair explosion runs over the vocabulary, not the corpus, so its cost
+    * is corpus-size independent. Pair totals are an integer sum (exact,
+    * engine-portable); top-k is `TakeOrderedAndProject` (per-partition
+    * heaps, O(k) driver memory). No UDFs — `substr` over a position
+    * sequence stays in codegen. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val words = df.select(
+      explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val wordCounts = words.groupBy("w").agg(count(lit(1)).as("__wn"))
+    wordCounts
+      .select(col("__wn"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("__wn").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-document out-of-vocabulary statistics against a vocabulary frame
     * (typically [[topTokens]] output, or an external token list): token
     * occurrences, OOV occurrences, and the OOV rate — the coverage check

@@ -56,6 +56,43 @@ class LlmSpec extends AnyFunSuite {
       s"got $got") // doc 3 disappears: both its blocks first appeared in docs 1/2
   }
 
+  test("stripBoilerplateBlocks drops high-doc-frequency blocks everywhere") {
+    import spark.implicits._
+    // banner in 3/4 docs (75% > 60% cap) → stripped from ALL docs,
+    // including its first occurrence; blocks a/b sit in 2/4 docs (50%,
+    // under the cap) and stay in BOTH places — paragraph-dedup would have
+    // kept only the first copy, the frequency semantics differ; doc 4 is
+    // all boilerplate and vanishes
+    val banner = "subscribe to our newsletter"
+    val a = "alpha beta gamma delta"
+    val b = "epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"$banner $a"),
+      (2L, s"$banner $b"),
+      (3L, s"$a $b"),
+      (4L, banner)
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateBlocks(
+        df, "doc_id", "text", blockTokens = 4, maxDocFraction = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> a, 2L -> b, 3L -> s"$a $b"), s"got $got")
+    // at a 80% cap nothing is boilerplate: every doc survives verbatim
+    val none = Dedup.stripBoilerplateBlocks(
+        df, "doc_id", "text", blockTokens = 4, maxDocFraction = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none(4L) == banner && none(1L) == s"$banner $a", s"got $none")
+  }
+
+  test("bpePairCounts counts adjacent char pairs weighted by word frequency") {
+    import spark.implicits._
+    // "aab" ×3 → pairs aa, ab each ×3; "ab" ×2 → ab ×2; single-char "a"
+    // contributes nothing. Totals: ab=5, aa=3.
+    val df = Seq((1L, "aab aab a ab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val got = graft.llm.Vocab.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("ab" -> 5L, "aa" -> 3L), s"got $got")
+  }
+
   test("dropDuplicateParagraphs is partitioning-independent and keeps unique corpora intact") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, s"unique$i tokens here block$i content$i item$i"))

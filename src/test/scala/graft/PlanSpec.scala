@@ -167,4 +167,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  test("boilerplate strip anti-joins against a BROADCAST fingerprint set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Dedup.stripBoilerplateBlocks(docs, "doc_id", "text",
+      blockTokens = 5, maxDocFraction = 0.1)
+    val p = plan(q)
+    // the boilerplate set is bounded by blocksPerDoc/maxDocFraction keys
+    // independent of corpus size — the anti-join must probe a broadcast,
+    // never shuffle the block table by fingerprint
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate anti-join not broadcast:\n$p")
+  }
+
+  test("bpe pair counts: top-k is bounded, pairs explode per DISTINCT word") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Vocab.bpePairCounts(docs, "text", k = 20)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k in:\n$p")
+    // the word aggregation must sit BELOW the pair generator: a Generate
+    // above the corpus scan with no intervening aggregate would explode
+    // pairs once per word INSTANCE instead of once per distinct word
+    val gen = p.indexOf("Generate")
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(gen >= 0 && aggBelow > gen,
+      s"pair explosion not over the distinct-word table:\n$p")
+  }
 }
