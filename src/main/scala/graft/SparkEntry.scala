@@ -493,6 +493,26 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
+    "dedup_groups_incremental" -> ((s, dir) => {
+      // daily-ingest clustering: 80% of docs are "yesterday's corpus",
+      // already clustered into an assignment; the fresh 20% arrive with
+      // pairs touching them, folded in WITHOUT re-clustering history.
+      // The fold must reproduce the batch clustering exactly, so the
+      // oracle is the same full transitive closure as dedup_groups
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val histAssign = graft.operators.ConnectedComponents.connectedComponents(
+        graft.llm.Dedup.minHashDedupPairs(hist, "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5).select("id_a", "id_b"))
+      val newPairs = graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents
+        .incrementalComponents(histAssign, newPairs)
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     "winnow_neardup" -> ((s, dir) => {
       graft.llm.Dedup.winnowDedupPairs(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -579,6 +599,14 @@ object SparkEntry {
         docs.filter(col("source") === "src0"), "text", n = 8)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
+    "source_overlap" -> ((s, dir) => {
+      // source-level contamination triage: distinct shared token trigrams
+      // per source pair — mirrored scrapes and syndicated content surface
+      // here before any doc-level check
+      graft.llm.Decontaminate.crossSourceOverlap(
+        t(s, dir, "documents"), "text", "source", n = 3)
     }),
 
     "events_topk" -> ((s, dir) => {
@@ -1435,6 +1463,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql(),
 
+    // exact-length trigram replay (range ends at len-1 so short docs yield
+    // none), DISTINCT per (source, gram), then the pairwise count
+    "source_overlap" -> (
+      s"""WITH tk AS (SELECT source,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |g AS (SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS gram
+         |  FROM tk, UNNEST(range(1, len(toks) - 1)) AS r(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared_grams
+         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin),
+
     "decontaminate_apply" -> (
       s"""WITH contaminated AS (
          |${decontaminateSql()}
@@ -2069,6 +2111,29 @@ object SparkEntry {
     // oracle predicate) via a recursive CTE: labels propagate along edges,
     // component = min reachable id — exactly connectedComponents' contract
     "dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst)
+        |SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node""".stripMargin,
+
+    // incremental ≡ batch is the property under test: folding the fresh
+    // 20%'s pairs into yesterday's assignment must reproduce the full
+    // clustering, so the oracle is dedup_groups' closure verbatim
+    "dedup_groups_incremental" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
         |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh

@@ -37,6 +37,29 @@ object Decontaminate {
         tokens(normalizeText(col(textCol))).as("__toks"))
       .select(col("id"), tokenNgramsExact(col("__toks"), n).as("grams"))
 
+  /** Pairwise cross-source n-gram overlap matrix — the corpus-health
+    * diagnostic behind source-level contamination triage: how many distinct
+    * token n-grams each pair of sources shares (mirrored scrapes, syndicated
+    * content, and benchmark leakage between corpus slices all surface here
+    * before any doc-level check runs).
+    *
+    * Scale shape: distinct (source, gram) is one map-side-combined
+    * aggregate; the gram self-join fans out at most nSources rows per gram
+    * (sources are few); the output is at most nSources² rows. No step
+    * co-locates a full source's grams on one task. */
+  def crossSourceOverlap(
+      df: DataFrame, textCol: String, sourceCol: String, n: Int = 3): DataFrame = {
+    val grams = df.select(col(sourceCol).as("source"),
+        explode(tokenNgramsExact(tokens(normalizeText(col(textCol))), n)).as("gram"))
+      .distinct()
+    val a = grams.select(col("gram"), col("source").as("source_a"))
+    val b = grams.select(col("gram"), col("source").as("source_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Training documents contaminated by `eval`: one row per training doc
     * sharing at least one token `n`-gram with any eval document, with the
     * count of distinct shared grams. Output: (`trainIdCol`, n_overlap).

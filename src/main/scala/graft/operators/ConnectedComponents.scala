@@ -68,6 +68,51 @@ object ConnectedComponents {
       .agg(min("component").as("component"))
   }
 
+  /** Incremental connected components — the daily-ingest shape: fold a
+    * batch of NEW pairs into an existing (node, component) assignment
+    * without re-clustering the historical corpus.
+    *
+    * '''Exactness.''' A component's membership can change only if it
+    * contains an endpoint of a new pair (merging happens exclusively
+    * through new edges), so the affected component ids are EXACTLY the
+    * assignment components of the new pairs' endpoints — a set bounded by
+    * 2·|newPairs|, broadcast. Untouched components pass through verbatim;
+    * the star edges of affected components union with the new pairs and
+    * re-cluster through the same large/small-star loop. The result equals
+    * full [[connectedComponents]] over (historical connectivity ∪ new
+    * pairs): an assignment is a star edge set preserving its components'
+    * connectivity and minimum ids.
+    *
+    * '''Scale shape.''' Per batch: one broadcast semi/anti split of the
+    * assignment (narrow probe, no shuffle of the corpus by component), then
+    * the CC loop over the affected region only — O(affected + new), not
+    * O(corpus). Fresh nodes absent from the assignment cluster via the new
+    * pairs directly. */
+  def incrementalComponents(
+      assignment: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val pairs = newPairs
+      .filter(col(idA).isNotNull && col(idB).isNotNull && col(idA) =!= col(idB))
+      .select(col(idA), col(idB))
+    val ends = pairs.select(col(idA).as("node"))
+      .union(pairs.select(col(idB).as("node"))).distinct()
+    val affected = assignment.join(ends, Seq("node"), "left_semi")
+      .select("component").distinct()
+    val touched = assignment.join(broadcast(affected), Seq("component"), "left_semi")
+    val untouched = assignment.join(broadcast(affected), Seq("component"), "left_anti")
+    // a star's root carries the self-row (r, r); its connectivity is
+    // preserved by the member edges, and a root with no members is a
+    // singleton that is itself a new-pair endpoint (else not affected)
+    val starEdges = touched
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idA), col("component").as(idB))
+    connectedComponents(starEdges.unionByName(pairs), idA, idB, maxIter)
+      .unionByName(untouched.select("node", "component"))
+  }
+
   /** Directed neighbor view of canonical (lo < hi) edges: both orientations. */
   private def directed(e: DataFrame): DataFrame =
     e.select(col("lo").as("x"), col("hi").as("y"))

@@ -68,4 +68,40 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("incremental fold merges across old components and leaves the rest untouched") {
+    import graft.operators.ConnectedComponents.incrementalComponents
+    // old world: {1,2}, {5,6}, {8,9}; new pair 2-5 merges the first two,
+    // pair 20-21 arrives between brand-new nodes; {8,9} must pass through
+    val assign = run(Seq((1L, 2L), (5L, 6L), (8L, 9L)))
+    val got = incrementalComponents(
+        pairsDf(assign.toSeq).toDF("node", "component"),
+        pairsDf(Seq((2L, 5L), (20L, 21L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(Seq((1L, 2L), (5L, 6L), (8L, 9L), (2L, 5L), (20L, 21L)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("incremental fold over random splits equals batch clustering") {
+    import graft.operators.ConnectedComponents.incrementalComponents
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 25L)
+      b <- Gen.choose(0L, 25L)
+    } yield (a, b)
+    val prop = Prop.forAll(
+      Gen.listOfN(18, edgeGen), Gen.listOfN(10, edgeGen)) { (oldE, newE) =>
+      val oldClean = oldE.filter { case (a, b) => a != b }
+      val newClean = newE.filter { case (a, b) => a != b }
+      (oldClean.isEmpty || newClean.isEmpty) || {
+        val assign = connectedComponents(pairsDf(oldClean))
+        val got = incrementalComponents(assign, pairsDf(newClean))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(oldClean ++ newClean)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

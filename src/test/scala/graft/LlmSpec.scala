@@ -180,6 +180,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("crossSourceOverlap counts distinct shared n-grams per source pair") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    // A∩B = {"a b c"}; the within-A duplicate gram counts once; C shares
+    // nothing, so its pairs are absent rather than zero-rows
+    val df = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c", "srcA"),
+      (3L, "a b c x", "srcB"),
+      (4L, "z z z", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = Decontaminate.crossSourceOverlap(df, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("srcA", "srcB", 1L)), s"got $got")
+  }
+
   test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
     import spark.implicits._
     // normalization equates "Seen, Before!" with "seen before"
