@@ -99,8 +99,13 @@ object ConnectedComponents {
       .select(col(idA), col(idB))
     val ends = pairs.select(col(idA).as("node"))
       .union(pairs.select(col(idB).as("node"))).distinct()
+    // localCheckpoint the (small) affected set: its lineage embeds the
+    // possibly-expensive `newPairs` computation, and without the cut every
+    // consumer of the semi/anti split — plus the final union — would
+    // recompute that lineage. The operator already runs eager jobs (the CC
+    // loop below), so an eager checkpoint here changes nothing structural.
     val affected = assignment.join(ends, Seq("node"), "left_semi")
-      .select("component").distinct()
+      .select("component").distinct().localCheckpoint()
     val touched = assignment.join(broadcast(affected), Seq("component"), "left_semi")
     val untouched = assignment.join(broadcast(affected), Seq("component"), "left_anti")
     // a star's root carries the self-row (r, r); its connectivity is

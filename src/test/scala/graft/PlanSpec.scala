@@ -168,6 +168,19 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$p")
   }
 
+  test("incremental CC splits the assignment with BROADCAST probes") {
+    import spark.implicits._
+    val assign = (1L to 200L).map(n => (n, n % 7)).toDF("node", "component")
+    val pairs = Seq((3L, 250L), (251L, 252L)).toDF("id_a", "id_b")
+    val q = graft.operators.ConnectedComponents.incrementalComponents(assign, pairs)
+    val p = plan(q)
+    // the affected-component set is bounded by the new-pair endpoints: the
+    // semi/anti split must probe a broadcast, never shuffle the assignment
+    // by component
+    assert(p.contains("BroadcastHashJoin"), s"affected split not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"assignment shuffled for the split:\n$p")
+  }
+
   test("boilerplate strip anti-joins against a BROADCAST fingerprint set") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.llm.Dedup.stripBoilerplateBlocks(docs, "doc_id", "text",
