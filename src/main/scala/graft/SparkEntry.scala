@@ -609,6 +609,16 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "source", n = 3)
     }),
 
+    "lm_quality_score" -> ((s, dir) => {
+      // reference-LM quality filtering (the CCNet shape): src0 plays the
+      // curated reference corpus; every other doc scored by its mean
+      // quantized conditional bigram probability under the reference model
+      val docs = t(s, dir, "documents")
+      graft.llm.TextStats.bigramLmScore(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    }),
+
     "events_topk" -> ((s, dir) => {
       // global top-100 by value: plans as TakeOrderedAndProject (per-
       // partition top-k, then one bounded merge — never a full global sort)
@@ -1476,6 +1486,30 @@ object SparkEntry {
          |  count(*) AS n_shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin),
+
+    // quantized model replay: floor(1e6·c_ab/c_a) is exact-integer inputs
+    // through one IEEE division — bit-identical across engines; doc scores
+    // are integer sums divided once at the end (same two-division order)
+    "lm_quality_score" -> (
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |rb AS (SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+         |  FROM tk, UNNEST(range(1, len(toks))) AS r(i) WHERE source = 'src0'),
+         |bc AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         |    count(*) AS c_ab
+         |  FROM rb GROUP BY bigram),
+         |pc AS (SELECT w1, sum(c_ab) AS c_a FROM bc GROUP BY w1),
+         |model AS (SELECT bigram, floor(1000000 * c_ab / c_a)::BIGINT AS q
+         |  FROM bc JOIN pc USING (w1)),
+         |db AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+         |  FROM tk, UNNEST(range(1, len(toks))) AS r(i) WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  sum(coalesce(q, 0))::BIGINT AS sum_q,
+         |  sum(coalesce(q, 0))::DOUBLE / count(*) / 1000000 AS lm_score
+         |FROM db LEFT JOIN model USING (bigram)
+         |GROUP BY doc_id""".stripMargin),
 
     "decontaminate_apply" -> (
       s"""WITH contaminated AS (

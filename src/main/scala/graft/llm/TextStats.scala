@@ -191,4 +191,43 @@ object TextStats {
         when(col("n_chars") > 0,
           col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
   }
+
+  /** Bigram language-model quality score — the CCNet-style "score docs by
+    * a reference LM" filter, made exactly reproducible: the model is the
+    * conditional bigram frequency table of a REFERENCE corpus, each
+    * probability quantized to integer millionths (`floor(1e6·c(ab)/c(a·))`
+    * — both operands are exact integers and the product stays under 2⁵³,
+    * so the IEEE division and floor are bit-identical in any engine), and
+    * a document's score is the exact integer sum of its bigram instances'
+    * quantized probabilities divided once at the end. Unseen bigrams score
+    * zero. Documents with fewer than two tokens are absent (no bigrams to
+    * score).
+    *
+    * Scale shape: the model is a broadcast parameter, like the vocabulary
+    * and quality-model weights — reference corpora for LM filtering are
+    * curated slices (Wikipedia-sized), not the 100-TB corpus itself, and
+    * its conditional table is vocabulary-bounded. Scoring is one explode +
+    * one broadcast join + one map-side-combined aggregate; a hot bigram
+    * never co-locates (the join probes a broadcast). */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      quantum: Long = 1000000L): DataFrame = {
+    val refBi = ref.select(
+      explode(tokenNgrams(tokens(normalizeText(col(refTextCol))), 2)).as("bigram"))
+    val biCounts = refBi.groupBy("bigram").agg(count(lit(1)).as("__c_ab"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    val prefCounts = biCounts.groupBy("__w1").agg(sum("__c_ab").as("__c_a"))
+    val model = biCounts.join(prefCounts, "__w1")
+      .select(col("bigram"),
+        floor(lit(quantum) * col("__c_ab") / col("__c_a")).cast("long").as("__q"))
+    val docBi = docs.select(col(idCol),
+      explode(tokenNgrams(tokens(normalizeText(col(textCol))), 2)).as("bigram"))
+    docBi.join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__q"), lit(0L))).as("sum_q"))
+      .withColumn("lm_score",
+        col("sum_q").cast("double") / col("n_bigrams") / quantum)
+  }
 }

@@ -196,6 +196,25 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Set(("srcA", "srcB", 1L)), s"got $got")
   }
 
+  test("bigramLmScore: quantized conditional probabilities, unseen = 0") {
+    import spark.implicits._
+    import graft.llm.TextStats
+    // ref "a b a c": c(a b)=c(b a)=c(a c)=1; prefix a·=2, b·=1 →
+    // q(a b)=q(a c)=500000, q(b a)=1000000
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b a"),  // bigrams "a b","b a" → sum 1500000, n=2, score 0.75
+      (2L, "z z"),    // unseen bigram → sum 0, n=1, score 0.0
+      (3L, "a")       // no bigrams → absent
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1500000L, 0.75)),
+      2L -> ((1L, 0L, 0.0))), s"got $got")
+  }
+
   test("dropKnownDuplicates drops exactly the fingerprint-known fresh docs") {
     import spark.implicits._
     // normalization equates "Seen, Before!" with "seen before"
