@@ -43,19 +43,31 @@ object Decontaminate {
     * content, and benchmark leakage between corpus slices all surface here
     * before any doc-level check runs).
     *
-    * Scale shape: distinct (source, gram) is one map-side-combined
-    * aggregate; the gram self-join fans out at most nSources rows per gram
-    * (sources are few); the output is at most nSources² rows. No step
-    * co-locates a full source's grams on one task. */
+    * Scale shape: ONE shuffle — `collect_set(source)` keyed by gram, whose
+    * partial aggregates dedup map-side to at most nSources values per gram
+    * per task, so even a gram present in every document converges to a
+    * bounded reduce row. Source pairs then expand from each gram's sorted
+    * set inside codegen (no self-join, no second shuffle of the gram
+    * table) into the final nSources²-bounded aggregate. */
   def crossSourceOverlap(
       df: DataFrame, textCol: String, sourceCol: String, n: Int = 3): DataFrame = {
-    val grams = df.select(col(sourceCol).as("source"),
-        explode(tokenNgramsExact(tokens(normalizeText(col(textCol))), n)).as("gram"))
-      .distinct()
-    val a = grams.select(col("gram"), col("source").as("source_a"))
-    val b = grams.select(col("gram"), col("source").as("source_b"))
-    a.join(b, Seq("gram"))
-      .filter(col("source_a") < col("source_b"))
+    // two-step select like [[gramSets]]: the gram expression references the
+    // token array several times, so inlining the tokenizer would re-split
+    // the text once per gram position (measured 7× on this operator)
+    val toked = df.select(col(sourceCol).as("source"),
+      tokens(normalizeText(col(textCol))).as("__toks"))
+    val grams = toked.select(col("source"),
+      explode(tokenNgramsExact(col("__toks"), n)).as("gram"))
+    val ss = col("ss")
+    grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(ss) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ss) - 2),
+        i => transform(sequence(i + 1, size(ss) - 1),
+          j => struct(element_at(ss, i + 1).as("source_a"),
+            element_at(ss, j + 1).as("source_b")))))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared_grams"))
   }

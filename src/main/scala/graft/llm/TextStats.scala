@@ -213,16 +213,21 @@ object TextStats {
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       quantum: Long = 1000000L): DataFrame = {
-    val refBi = ref.select(
-      explode(tokenNgrams(tokens(normalizeText(col(refTextCol))), 2)).as("bigram"))
+    // two-step selects: the bigram expression references the token array
+    // several times — inlining the tokenizer would re-split the text once
+    // per bigram position (see Dedup.ngramJaccardPairs' inlining caveat)
+    val refBi = ref
+      .select(tokens(normalizeText(col(refTextCol))).as("__toks"))
+      .select(explode(tokenNgrams(col("__toks"), 2)).as("bigram"))
     val biCounts = refBi.groupBy("bigram").agg(count(lit(1)).as("__c_ab"))
       .withColumn("__w1", substring_index(col("bigram"), " ", 1))
     val prefCounts = biCounts.groupBy("__w1").agg(sum("__c_ab").as("__c_a"))
     val model = biCounts.join(prefCounts, "__w1")
       .select(col("bigram"),
         floor(lit(quantum) * col("__c_ab") / col("__c_a")).cast("long").as("__q"))
-    val docBi = docs.select(col(idCol),
-      explode(tokenNgrams(tokens(normalizeText(col(textCol))), 2)).as("bigram"))
+    val docBi = docs
+      .select(col(idCol), tokens(normalizeText(col(textCol))).as("__toks"))
+      .select(col(idCol), explode(tokenNgrams(col("__toks"), 2)).as("bigram"))
     docBi.join(broadcast(model), Seq("bigram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
