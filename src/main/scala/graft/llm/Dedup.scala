@@ -721,10 +721,14 @@ object Dedup {
       blockTokens: Int = 20,
       maxDocFraction: Double = 0.05): DataFrame = {
     val blocks = tokenBlocks(df, idCol, textCol, blockTokens)
-    val totalDocs = blocks.select("id").distinct()
+    // both count legs read the SAME distinct (fp, id) subtree, so its
+    // exchange is built once and reused — deriving the doc total straight
+    // from `blocks` would prune to a different exchange payload and cost
+    // an extra pass of the block pipeline
+    val fpDoc = blocks.select("fp", "id").distinct()
+    val totalDocs = fpDoc.select("id").distinct()
       .agg(count(lit(1)).as("__total"))
-    val docFreq = blocks.select("fp", "id").distinct()
-      .groupBy("fp").agg(count(lit(1)).as("__df"))
+    val docFreq = fpDoc.groupBy("fp").agg(count(lit(1)).as("__df"))
     val boiler = docFreq.crossJoin(broadcast(totalDocs))
       .filter(col("__df") > col("__total") * maxDocFraction)
       .select("fp")

@@ -94,20 +94,21 @@ object ConnectedComponents {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    // localCheckpoint the (near-dup-sized) pair list ONCE: it is typically
+    // the expensive lineage here (an LSH pipeline in the dedup flow) and
+    // has two independent consumers — the affected-set computation and the
+    // CC loop's initial edge set. Cutting at the pairs, not the affected
+    // set, covers both. The operator already runs eager jobs (the CC loop
+    // below), so an eager checkpoint changes nothing structural.
     val pairs = newPairs
       .filter(col(idA).isNotNull && col(idB).isNotNull && col(idA) =!= col(idB))
       .select(col(idA), col(idB))
+      .localCheckpoint()
     val ends = pairs.select(col(idA).as("node"))
       .union(pairs.select(col(idB).as("node"))).distinct()
-    // localCheckpoint the (small) affected set: its lineage embeds the
-    // possibly-expensive `newPairs` computation, and without the cut every
-    // consumer of the semi/anti split — plus the final union — would
-    // recompute that lineage. The operator already runs eager jobs (the CC
-    // loop below), so an eager checkpoint here changes nothing structural.
     val affected = assignment.join(ends, Seq("node"), "left_semi")
-      .select("component").distinct().localCheckpoint()
-    val touched = assignment.join(broadcast(affected), Seq("component"), "left_semi")
-    val untouched = assignment.join(broadcast(affected), Seq("component"), "left_anti")
+      .select("component").distinct()
+    val (touched, untouched) = splitByAffected(assignment, affected)
     // a star's root carries the self-row (r, r); its connectivity is
     // preserved by the member edges, and a root with no members is a
     // singleton that is itself a new-pair endpoint (else not affected)
@@ -117,6 +118,16 @@ object ConnectedComponents {
     connectedComponents(starEdges.unionByName(pairs), idA, idB, maxIter)
       .unionByName(untouched.select("node", "component"))
   }
+
+  /** The assignment split [[incrementalComponents]] runs: both probes of
+    * the (bounded, broadcast) affected-component set. Exposed so the plan
+    * shape — broadcast probes, never a shuffle of the assignment by
+    * component — is pinned directly in PlanSpec even though the operator
+    * consumes the touched side eagerly. */
+  private[graft] def splitByAffected(
+      assignment: DataFrame, affected: DataFrame): (DataFrame, DataFrame) = (
+    assignment.join(broadcast(affected), Seq("component"), "left_semi"),
+    assignment.join(broadcast(affected), Seq("component"), "left_anti"))
 
   /** Directed neighbor view of canonical (lo < hi) edges: both orientations. */
   private def directed(e: DataFrame): DataFrame =

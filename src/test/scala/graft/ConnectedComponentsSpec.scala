@@ -89,16 +89,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       a <- Gen.choose(0L, 25L)
       b <- Gen.choose(0L, 25L)
     } yield (a, b)
+    // no vacuous guard on empty splits: an empty newPairs batch must
+    // return the assignment verbatim, and an empty assignment must reduce
+    // to batch clustering of the new pairs — both covered by the same
+    // equation against union-find over the concatenation
     val prop = Prop.forAll(
       Gen.listOfN(18, edgeGen), Gen.listOfN(10, edgeGen)) { (oldE, newE) =>
       val oldClean = oldE.filter { case (a, b) => a != b }
       val newClean = newE.filter { case (a, b) => a != b }
-      (oldClean.isEmpty || newClean.isEmpty) || {
-        val assign = connectedComponents(pairsDf(oldClean))
-        val got = incrementalComponents(assign, pairsDf(newClean))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == unionFind(oldClean ++ newClean)
-      }
+      val assign = connectedComponents(pairsDf(oldClean))
+      val got = incrementalComponents(assign, pairsDf(newClean))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(oldClean ++ newClean)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)

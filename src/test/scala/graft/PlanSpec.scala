@@ -171,14 +171,17 @@ class PlanSpec extends AnyFunSuite {
   test("incremental CC splits the assignment with BROADCAST probes") {
     import spark.implicits._
     val assign = (1L to 200L).map(n => (n, n % 7)).toDF("node", "component")
-    val pairs = Seq((3L, 250L), (251L, 252L)).toDF("id_a", "id_b")
-    val q = graft.operators.ConnectedComponents.incrementalComponents(assign, pairs)
-    val p = plan(q)
-    // the affected-component set is bounded by the new-pair endpoints: the
-    // semi/anti split must probe a broadcast, never shuffle the assignment
-    // by component
-    assert(p.contains("BroadcastHashJoin"), s"affected split not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"assignment shuffled for the split:\n$p")
+    val affected = Seq(3L, 5L).toDF("component")
+    // the touched side is consumed EAGERLY inside incrementalComponents
+    // (its CC loop), so its join never appears in the returned frame's
+    // plan — pin both halves of the split directly instead
+    val (touched, untouched) =
+      graft.operators.ConnectedComponents.splitByAffected(assign, affected)
+    for ((q, name) <- Seq((touched, "semi"), (untouched, "anti"))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$name split not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"assignment shuffled for $name:\n$p")
+    }
   }
 
   test("boilerplate strip anti-joins against a BROADCAST fingerprint set") {
