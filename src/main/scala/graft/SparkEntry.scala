@@ -18,16 +18,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS): read as nanos-long (`ts_ns`,
-    * exact — matches DuckDB's TIMESTAMP_NS ordering bit-for-bit) plus a
-    * microsecond-truncated proper timestamp (`ts`). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session. */
+  /** events with BOTH a nanos-long `ts_ns` (exact — matches DuckDB's
+    * `epoch_ns(ts)` bit-for-bit) and a microsecond timestamp `ts`,
+    * whichever physical type the fixture carries:
+    *  - TIMESTAMP(NANOS) parquet (pre-round-9 fixtures) reads as a long
+    *    under `spark.sql.legacy.parquet.nanosAsLong=true`; `ts` is its
+    *    integer-DIV µs truncation (floor, the DuckDB TIMESTAMP_NS→µs rule —
+    *    double division would round ~25% of values up one µs);
+    *  - TIMESTAMP(MICROS) parquet (round-9 fixtures) reads as a proper
+    *    timestamp; `ts_ns` is exactly `unix_micros·1000` = `epoch_ns`. */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer DIV, not /1000.cast: the double division rounds ~25% of
-      // values up one µs, while DuckDB truncates TIMESTAMP_NS to µs by floor
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.sources.EventTime.withTsNs(t(spark, dir, "events"))
 
   /** Flagship: skew join lineitem ⋈ orders + aggregate. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -689,6 +690,46 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_multiprobe" -> ((s, dir) => {
+      // one LSH table + Hamming-1 probe expansion on the query side: the
+      // single-index recall knob (vs ann_lsh's numTables indexes)
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.multiProbeLshTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "semdedup" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540): within-cluster cosine duplicates, the
+      // nearer-to-centroid member of each pair dropped; seed centroids (ivf
+      // convention) keep the whole pipeline exactly SQL-replayable
+      graft.llm.SemDedup.semDedupFlags(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 16, threshold = 0.45)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+    }),
+
+    "decontaminate_semantic" -> ((s, dir) => {
+      // paraphrase-level decontamination: label-0 vectors act as the eval
+      // benchmark; training vectors within 0.4 cosine of any of them drop
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Decontaminate.dropSemanticContaminated(
+        emb.filter(col("label") =!= 0), "vec_id", "embedding",
+        emb.filter(col("label") === 0), "embedding", threshold = 0.4)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+    }),
+
+    "resample_epochs" -> ((s, dir) => {
+      // fractional-epoch data recipe: src0 ×2.5, src1 ×0.25, src2 ×1.75,
+      // everything else ×1.0 — deterministic hash picks the partial epoch
+      graft.llm.Sampling.resampleByWeight(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.75))
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.ivfTopK(
@@ -1155,6 +1196,30 @@ object SparkEntry {
        |cb AS ($cb),
        |cand AS (SELECT DISTINCT query_id, neighbor_id
        |  FROM qb JOIN cb USING (table_id, bucket)
+       |  WHERE neighbor_id <> query_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qv, cv) AS cos
+       |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** Generated oracle for `ann_multiprobe`: same hyperplane replay as
+    * [[annLshSql]], single table, with the query's probe set expanded to
+    * its bucket plus every one-bit XOR flip — the probe arithmetic is pure
+    * integer XOR, so the expansion replays exactly. */
+  private def annMultiprobeSql(numPlanes: Int = 12, dim: Int = 64,
+      seed: Long = 42L, k: Int = 3): String = {
+    val flips = (0 until numPlanes).map(i => s"xor(b, ${1L << i})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+       |qb AS (SELECT query_id, ${lshBucketSql("qv", numPlanes, dim, seed)} AS b FROM q),
+       |qp AS (SELECT query_id, unnest([b, $flips]) AS bucket FROM qb),
+       |cb AS (SELECT neighbor_id, ${lshBucketSql("cv", numPlanes, dim, seed)} AS bucket FROM c),
+       |cand AS (SELECT query_id, neighbor_id
+       |  FROM qp JOIN cb USING (bucket)
        |  WHERE neighbor_id <> query_id),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
        |    list_cosine_similarity(qv, cv) AS cos
@@ -1653,6 +1718,59 @@ object SparkEntry {
          |FROM g""".stripMargin),
 
     "ann_lsh" -> annLshSql(),
+
+    "ann_multiprobe" -> annMultiprobeSql(),
+
+    // within-cluster pairwise replay of the SemDeDup policy: assignment is
+    // the ann_ivf seed-centroid argmax, each ≥-threshold pair drops its
+    // (cent_cos, id)-larger member; tuple comparison mirrors the Spark
+    // struct comparison, on bit-identical cosine arithmetic
+    "semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, cv) AS cos
+        |  FROM e CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cid AS cluster, cos AS cent_cos FROM (
+        |  SELECT vec_id, cid, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM cs)
+        |  WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.cent_cos AS ca, b.cent_cos AS cb
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45),
+        |dropped AS (SELECT DISTINCT CASE WHEN (ca, id_a) > (cb, id_b)
+        |  THEN id_a ELSE id_b END AS vec_id FROM p)
+        |SELECT vec_id, cluster,
+        |  vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+        |FROM asg""".stripMargin,
+
+    // bipartite cosine predicate (the dedup_embedding arithmetic) against
+    // the label-0 eval set, then the anti-join census
+    "decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE label = 0),
+        |tr AS (SELECT vec_id, v, label FROM e WHERE label <> 0),
+        |flagged AS (SELECT DISTINCT tr.vec_id
+        |  FROM tr JOIN ev ON list_cosine_similarity(tr.v, ev.v) >= 0.4)
+        |SELECT label, count(*) AS n_vecs, sum(vec_id)::BIGINT AS sum_ids
+        |FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+        |GROUP BY label""".stripMargin,
+
+    // copies = floor(w) + (hash-bucket < frac(w)·1e6), replayed with the
+    // same 60-bit md5 bucket as every sampler; epochs from range()
+    "resample_epochs" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 1.75 ELSE 1.0 END AS w,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        |    AS bucket FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  (floor(w)::BIGINT + CASE WHEN bucket < ((w - floor(w)) * 1000000)::BIGINT
+        |    THEN 1 ELSE 0 END) AS copies FROM w)
+        |SELECT doc_id, source, unnest(range(copies)) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "ann_ivf" -> annIvfSql(),
 

@@ -118,4 +118,36 @@ object Decontaminate {
       .select(trainIdCol)
     train.join(broadcast(flagged), Seq(trainIdCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination: drop training examples whose EMBEDDING is
+    * within `threshold` cosine of any evaluation example — the paraphrase
+    * leak the n-gram check cannot see (a benchmark question rewritten in
+    * different words shares no 8-gram but sits next to it in embedding
+    * space; n-gram and embedding decontamination are complementary passes
+    * over the same corpus).
+    *
+    * Scale shape mirrors [[contaminatedDocs]]: the eval side is a benchmark
+    * suite — thousands of vectors against a 100-TB corpus — so it is
+    * BROADCAST and the training side scans map-side with no shuffle; each
+    * training vector pays |eval| codegen'd dot products
+    * ([[Similarity.dot]]) exactly like the validated brute-force ANN scan.
+    * The contaminated id set (the anti-join's build side) is bounded by the
+    * corpus's overlap with the benchmark — vanishing in practice — and
+    * broadcasts too. Deterministic, exactly SQL-replayable. */
+  def dropSemanticContaminated(
+      train: DataFrame, trainIdCol: String, trainVecCol: String,
+      eval: DataFrame, evalVecCol: String,
+      threshold: Double): DataFrame = {
+    val ev = eval.select(col(evalVecCol).as("__ev"),
+      Similarity.l2Norm(col(evalVecCol)).as("__en"))
+    val tv = train.select(col(trainIdCol).as("__tid"), col(trainVecCol).as("__tv"),
+      Similarity.l2Norm(col(trainVecCol)).as("__tn"))
+    val denom = col("__tn") * col("__en")
+    val flagged = tv.crossJoin(broadcast(ev))
+      .filter(when(denom === 0, lit(0.0))
+        .otherwise(Similarity.dot(col("__tv"), col("__ev")) / denom) >= threshold)
+      .select(col("__tid").as(trainIdCol))
+      .distinct()
+    train.join(broadcast(flagged), Seq(trainIdCol), "left_anti")
+  }
 }

@@ -70,6 +70,44 @@ object Sampling {
     df.filter(sampleBucket(col(idCol), salt) < cut)
   }
 
+  /** Deterministic fractional-epoch resampling — the "web ×1.0, books
+    * ×2.5, code ×0.3" multiplier step of a training-data recipe, where
+    * weights may EXCEED 1 (upsampling by repetition): each row emits
+    * `floor(w)` copies plus one more iff its id hash falls below the
+    * fractional part, under an `epoch` column numbering the copies 0..k-1.
+    * A weight of 2.5 repeats every doc twice and a reproducible hash-chosen
+    * half a third time; a weight of 0.3 keeps a 30% sample at epoch 0 —
+    * one operator covers both directions of [[mixCorpora]]'s dial.
+    *
+    * Scale shape: membership and copy count are pure functions of the id
+    * (no RNG, no shuffle); the only data growth is the intended ×w explode,
+    * emitted inside codegen. Unmatched weight keys fall back to
+    * `defaultWeight`. Exactly SQL-replayable (generate_series + the same
+    * md5 bucket). */
+  def resampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      weightKeyCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be >= 0")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(weightKeyCol) === k, lit(v)).otherwise(acc)
+    }
+    // copies = floor(w) + (bucket < frac(w)·1e6): integer arithmetic on the
+    // same hash bucket as every other sampler, so the fractional draw is
+    // engine-portable and independent across salts
+    val copies = (floor(w).cast("long") +
+      when(sampleBucket(col(idCol), salt) <
+        ((w - floor(w)) * Buckets).cast("long"), 1L).otherwise(0L)).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Deterministic train/val/test split assignment: each row's split is a
     * pure function of its id hash, so splits are reproducible anywhere,
     * disjoint, exhaustive, and stable under corpus growth (an existing

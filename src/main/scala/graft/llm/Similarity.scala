@@ -291,6 +291,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** Multi-probe sign-LSH top-k: ONE hash table, but each query probes its
+    * own bucket plus every bucket at Hamming distance 1 in the
+    * `numPlanes`-bit code (flip one sign bit) — `numPlanes + 1` probes.
+    *
+    * The recall/cost trade vs [[lshTopK]]'s multi-table design: the corpus
+    * is hashed and stored ONCE (at 100 TB the index is one (id, bucket)
+    * table, not `numTables` of them), and recall is recovered on the query
+    * side, whose cardinality is tiny — a vector that lands just across one
+    * hyperplane from its near-neighbor is found by the one-bit-flip probe.
+    * Candidate volume per query ≈ (numPlanes+1)/2^numPlanes of the corpus,
+    * still an equi-join on bucket id, never a cross join.
+    *
+    * Exactly replayable: the probe set is a pure function of the query's
+    * deterministic bucket (XOR with each single-bit mask), so the oracle
+    * replays bucketing AND probing bit-identically.
+    */
+  def multiProbeLshTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, numPlanes: Int = 12, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      l2Norm(col(qVecCol)).as("__qn"))
+    val cv = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+      l2Norm(col(cVecCol)).as("__cn"))
+    val cBuckets = cv.select(col("neighbor_id"),
+      lshBucket(col("cv"), numPlanes, dim, seed).as("bucket"))
+    // probe list = own bucket ++ one-bit flips; bucket ids only, the vector
+    // does not ride through the explode
+    val flips = (0 until numPlanes).map(i => col("__b").bitwiseXOR(lit(1L << i)))
+    val qProbes = qv
+      .select(col("query_id"), lshBucket(col("qv"), numPlanes, dim, seed).as("__b"))
+      .select(col("query_id"), explode(array(col("__b") +: flips: _*)).as("bucket"))
+    // a corpus vector can match both the exact bucket and... no — probes of
+    // one query are pairwise distinct codes, so (query, neighbor) pairs are
+    // already unique and need no dedup
+    val denom = col("__qn") * col("__cn")
+    val scored = qProbes
+      .join(cBuckets, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine",
+        when(denom === 0, 0.0).otherwise(dot(col("qv"), col("cv")) / denom))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: bucket corpus and queries with `numTables`
     * independent sign-LSH tables, take exact cosine only within matching
     * buckets. Recall grows with tables; cost stays linear in bucket sizes.

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
 object StreamOps {
 
   /** Schema of events.parquet with TIMESTAMP(NANOS) read as nanos-long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`). */
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`) — the pre-round-9
+    * fixture layout; round-9 fixtures carry a proper TIMESTAMP(MICROS)
+    * `ts`, which [[eventsStream]] detects from the file footer. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos since epoch
@@ -26,7 +28,10 @@ object StreamOps {
     StructField("props", StringType)))
 
   /** File-source stream over an events parquet path; exposes `ts_ns` (exact)
-    * and `ts` (microsecond timestamp). The file source requires a directory,
+    * and `ts` (microsecond timestamp) whatever physical type the fixture
+    * carries (see [[graft.SparkEntry]]'s events reader for the two layouts).
+    * The stream schema comes from a one-footer batch read — a driver-side
+    * metadata probe, not a data scan. The file source requires a directory,
     * so a lone file is exposed through a temp dir holding a symlink. */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
@@ -38,13 +43,9 @@ object StreamOps {
         d.toFile.deleteOnExit()
         d.toString
       } else path
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      // integer DIV: exact floor to µs (double division rounds up ~25% of
-      // sub-µs fractions — breaks boundary agreement with µs-grain oracles)
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.sources.EventTime.withTsNs(
+      spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Tumbling-window counts per event type (with watermark so the query is

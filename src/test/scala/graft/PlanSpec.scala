@@ -112,8 +112,8 @@ class PlanSpec extends AnyFunSuite {
       // broadcast off: at 100 TB neither side fits; the bin equi-join must
       // carry the plan on its own
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val ev = spark.read.parquet(s"$sf/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
+      val ev = graft.sources.EventTime.withTsNs(
+        spark.read.parquet(s"$sf/events.parquet"))
       val pts = ev.select(col("event_id").as("c_id"), col("ts_ns").as("c_ts"))
       val ivl = ev.select(col("event_id").as("p_id"), col("ts_ns").as("p_lo"),
         (col("ts_ns") + 3600000000000L).as("p_hi"))

@@ -35,9 +35,10 @@ class SessionizeSpec extends AnyFunSuite {
     // session_window works on µs-truncated timestamps and splits at
     // gap-or-more; sessionize splits strictly-beyond, so pass gap-1 µs
     val batch = Sessionize.sessionStats(
-      spark.read.parquet(s"$sf/events.parquet")
+      graft.sources.EventTime.withTsNs(
+        spark.read.parquet(s"$sf/events.parquet"))
         .select(col("user_id"), col("event_id"),
-          expr("ts DIV 1000").as("ts_us")),
+          expr("ts_ns DIV 1000").as("ts_us")),
       Seq("user_id"), "ts_us", "event_id", gap = 30L * 60 * 1000 * 1000 - 1)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))

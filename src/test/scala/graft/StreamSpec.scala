@@ -10,9 +10,8 @@ class StreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def batchEvents = spark.read.parquet(s"$sf/events.parquet")
-    .withColumnRenamed("ts", "ts_ns")
-    .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  private def batchEvents = graft.sources.EventTime.withTsNs(
+    spark.read.parquet(s"$sf/events.parquet"))
 
   test("streaming windowed counts equal the batch aggregation") {
     val streamed = StreamOps.runToMemory(spark,
