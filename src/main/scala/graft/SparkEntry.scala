@@ -257,6 +257,12 @@ object SparkEntry {
       graft.llm.Vocab.bpePairCounts(t(s, dir, "documents"), "text", k = 20)
     }),
 
+    "bpe_train" -> ((s, dir) => {
+      // the full BPE training loop: three adopted merges over the corpus
+      // word histogram — the learned tokenizer model head
+      graft.llm.Vocab.bpeTrainMerges(t(s, dir, "documents"), "text", numMerges = 3)
+    }),
+
     "vocab_oov" -> ((s, dir) => {
       // vocabulary coverage: per-doc OOV rate against the corpus's own
       // top-100 vocabulary (output bounded to the first 50 docs)
@@ -1205,6 +1211,38 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Generated oracle for `bpe_train`: the BPE merge loop unrolled as CTEs
+    * — per iteration, pair counts over the bracket-encoded vocabulary, the
+    * (count DESC, pair ASC) top-1 adopted, and a plain (non-regex) global
+    * `replace` rewriting the vocabulary. `replace` substitutes left-to-
+    * right non-overlapping in both engines, which IS BPE's greedy scan, so
+    * the learned merge tables agree exactly. */
+  private def bpeTrainSql(numMerges: Int = 3): String = {
+    val iterCtes = (0 until numMerges).map { i =>
+      s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(n)::BIGINT AS n FROM (
+         |  SELECT n, unnest([{'l': s[i], 'r': s[i+1]} FOR i IN range(1, len(s))]) AS p
+         |  FROM (SELECT regexp_extract_all(enc, '<([^>]*)>', 1) AS s, n FROM e$i)
+         |  WHERE len(s) >= 2) GROUP BY 1, 2),
+         |m$i AS (SELECT $i::BIGINT AS merge_rank, l, r, n FROM p$i
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |e${i + 1} AS (SELECT replace(e$i.enc,
+         |    '<' || m$i.l || '><' || m$i.r || '>',
+         |    '<' || m$i.l || m$i.r || '>') AS enc, e$i.n AS n
+         |  FROM e$i CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until numMerges).map(i => s"SELECT * FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex($normSql, '\\s+'),
+       |    t -> len(t) > 0)) AS w FROM documents),
+       |w0 AS (SELECT w, count(*) AS n FROM toks WHERE len(w) >= 2 GROUP BY w),
+       |e0 AS (SELECT '<' || array_to_string(
+       |    [w[i] FOR i IN range(1, len(w) + 1)], '><') || '>' AS enc, n
+       |  FROM w0),
+       |$iterCtes
+       |SELECT merge_rank, l AS "left", r AS "right", n FROM ($union)""".stripMargin
+  }
+
   /** Generated oracle for `ann_multiprobe`: same hyperplane replay as
     * [[annLshSql]], single table, with the query's probe set expanded to
     * its bucket plus every one-bit XOR flip — the probe arithmetic is pure
@@ -1720,6 +1758,8 @@ object SparkEntry {
     "ann_lsh" -> annLshSql(),
 
     "ann_multiprobe" -> annMultiprobeSql(),
+
+    "bpe_train" -> bpeTrainSql(),
 
     // within-cluster pairwise replay of the SemDeDup policy: assignment is
     // the ann_ivf seed-centroid argmax, each ≥-threshold pair drops its

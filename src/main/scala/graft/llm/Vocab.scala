@@ -62,6 +62,70 @@ object Vocab {
       .limit(k)
   }
 
+  /** Full BPE merge training — `numMerges` iterations of the classic
+    * byte-pair-encoding loop ([[bpePairCounts]] computes only iteration
+    * one's statistics): count adjacent symbol pairs across the corpus
+    * weighted by word frequency, adopt the highest-count pair as the next
+    * merge (ties to the lexicographically smallest pair), rewrite the
+    * vocabulary with the merged symbol, repeat. Returns the learned merge
+    * table `(merge_rank, left, right, n)` — the tokenizer model.
+    *
+    * '''Plan shape (the 100-TB design).''' The corpus is scanned ONCE, into
+    * the map-side-combined word histogram; every iteration then runs over
+    * the DISTINCT-word table (vocabulary-scale, corpus-size independent).
+    * Per iteration: one pair explode + exact integer aggregate, one
+    * `TakeOrderedAndProject` top-1 (per-partition heaps, O(1) driver rows),
+    * and one codegen'd `replace` over the encoded vocabulary. The adopted
+    * merges are MODEL PARAMETERS — one row per iteration on the driver,
+    * like the k-means centroids — and each iteration's vocabulary is
+    * localCheckpointed so lineage stays flat across merges.
+    *
+    * '''Greedy-adjacency exactness.''' Symbols live bracket-delimited in
+    * one string (`"<h><e><l><l><o>"`); a merge is a plain (non-regex)
+    * global `replace("<l><l>" → "<ll>")`, which substitutes left-to-right
+    * and non-overlapping — exactly BPE's greedy scan (`"<a><a><a>"` merges
+    * the FIRST two) — and cannot match inside a multi-char symbol because
+    * the brackets are part of the pattern. Plain `replace` has identical
+    * semantics in every engine, so the whole training loop is exactly
+    * SQL-replayable with unrolled CTEs. Normalized text is `[a-z0-9 ]`
+    * only, so `<`/`>` can never collide with symbol content. */
+  def bpeTrainMerges(
+      df: DataFrame, textCol: String, numMerges: Int = 3): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    val words = df.select(
+      explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+    var vocab = words.groupBy("w").agg(count(lit(1)).as("__wn"))
+      .select(concat(lit("<"),
+          concat_ws("><", split(col("w"), "(?!$)")), lit(">")).as("enc"),
+        col("__wn"))
+      .localCheckpoint()
+    val merges = (0 until numMerges).map { rank =>
+      val syms = regexp_extract_all(col("enc"), lit("<([^>]*)>"), lit(1))
+      val top = vocab
+        .select(col("__wn"), syms.as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__wn"), explode(transform(
+          sequence(lit(1), size(col("__syms")) - 1),
+          i => struct(element_at(col("__syms"), i).as("l"),
+            element_at(col("__syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum("__wn").as("n"))
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1)
+        .head()
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      vocab = vocab
+        .withColumn("enc", expr(
+          s"replace(enc, '<${l}><${r}>', '<${l}${r}>')"))
+        .localCheckpoint()
+      (rank.toLong, l, r, n)
+    }
+    import spark.implicits._
+    merges.toDF("merge_rank", "left", "right", "n")
+  }
+
   /** Per-document out-of-vocabulary statistics against a vocabulary frame
     * (typically [[topTokens]] output, or an external token list): token
     * occurrences, OOV occurrences, and the OOV rate — the coverage check
