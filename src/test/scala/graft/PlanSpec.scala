@@ -209,4 +209,59 @@ class PlanSpec extends AnyFunSuite {
     assert(gen >= 0 && aggBelow > gen,
       s"pair explosion not over the distinct-word table:\n$p")
   }
+
+  test("semdedup pairwise stage is an equi-join on the cluster id, never all-pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: at 100 TB neither side of the within-cluster join
+      // fits; the cluster-id equi-join must carry the plan on its own (and
+      // is then exactly what AQE's skew-join split mitigates per hot cell)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val q = graft.llm.SemDedup.semDedupFlags(emb, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.45)
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"semdedup degenerated to an all-pairs plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on cluster:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("multi-probe LSH: candidates from a bucket equi-join, probes explode ids only") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Similarity.multiProbeLshTopK(
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+    val p = plan(q)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"multi-probe LSH degenerated to an all-pairs plan:\n$p")
+    // the probe explode must carry (query_id, bucket) only — the vector
+    // riding through the 13-way expansion would multiply shuffle payload
+    val gen = p.substring(p.indexOf("Generate explode"))
+      .linesIterator.next()
+    assert(!gen.contains("qv") && !gen.contains("embedding"),
+      s"probe explode carries the vector payload:\n$gen")
+  }
+
+  test("semantic decontamination broadcasts the eval side; train never shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Decontaminate.dropSemanticContaminated(
+      emb.filter(col("label") =!= 0), "vec_id", "embedding",
+      emb.filter(col("label") === 0), "embedding", threshold = 0.4)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"training corpus shuffled for a broadcast-sized eval set:\n$p")
+  }
+
+  test("epoch resampling is a pure narrow map: no exchange anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Sampling.resampleByWeight(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    val p = plan(q)
+    assert(!p.contains("Exchange"), s"resampling introduced a shuffle:\n$p")
+    assert(p.contains("Generate"), s"epoch explode missing:\n$p")
+  }
 }
