@@ -744,6 +744,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      // the production composition: IVF prunes which vectors are scored,
+      // PQ codes bound what the scan reads — FAISS's IVFx,PQy shape
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.pqTopK(
@@ -1416,6 +1427,69 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Generated oracle for `ann_ivfpq`: the [[annIvfSql]] cell-assignment /
+    * probe CTEs composed with the [[pqSql]] code/LUT CTEs — candidates are
+    * the probed cells' members, ranking is the PQ asymmetric distance. The
+    * two replays are independently hash-validated (`ann_ivf`, `ann_pq`);
+    * the composition only changes the candidate predicate. */
+  private def annIvfPqSql(k: Int = 3, nCells: Int = 16, nProbe: Int = 4,
+      numSubspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      nQueries: Int = 20): String = {
+    val subDim = dim / numSubspaces
+    def chain(a: String, b: String, j: Int): String = {
+      val off = j * subDim
+      "(0.0" + (1 to subDim).map(i => s" + $a[${off + i}]*$b[${off + i}]").mkString + ")"
+    }
+    val dCtes = (0 until numSubspaces).map { j =>
+      s"""d$j AS (SELECT e.vec_id AS neighbor_id, cb.code,
+         |  ${chain("cb.cv", "cb.cv", j)} - 2.0*${chain("e.v", "cb.cv", j)} AS d
+         |  FROM e CROSS JOIN cb),
+         |c$j AS (SELECT neighbor_id, code AS c$j FROM (
+         |  SELECT neighbor_id, code, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY d, code) AS rn FROM d$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qlCtes = (0 until numSubspaces).map { j =>
+      s"""ql$j AS (SELECT query_id, cb.code,
+         |  ${chain("cb.cv", "cb.cv", j)} - 2.0*${chain("q.qv", "cb.cv", j)} AS d
+         |  FROM q CROSS JOIN cb)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until numSubspaces)
+      .map(j => s"JOIN c$j USING (neighbor_id)").mkString(" ")
+    val qlJoins = (0 until numSubspaces).map(j =>
+      s"JOIN ql$j ON ql$j.query_id = pair.query_id AND ql$j.code = pair.c$j")
+      .mkString("\n")
+    val adistSum = (0 until numSubspaces).map(j => s"ql$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id::INT AS code, v AS cv FROM e WHERE vec_id < $codebookSize),
+       |cent AS (SELECT vec_id AS cid, v AS ctv FROM e WHERE vec_id < $nCells),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, ctv) AS cos
+       |  FROM e CROSS JOIN cent),
+       |cell AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |qp AS (SELECT query_id, cid AS cell FROM (
+       |  SELECT query_id, cid, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, ctv) AS cos
+       |    FROM q CROSS JOIN cent))
+       |  WHERE rn <= $nProbe),
+       |$dCtes,
+       |codes AS (SELECT * FROM c0 $codesJoin),
+       |$qlCtes,
+       |pair AS (SELECT qp.query_id, codes.* FROM qp
+       |  JOIN cell ON cell.cell = qp.cell
+       |  JOIN codes ON codes.neighbor_id = cell.vec_id
+       |  WHERE codes.neighbor_id <> qp.query_id),
+       |scored AS (SELECT pair.query_id, pair.neighbor_id, ($adistSum) AS adist
+       |  FROM pair $qlJoins),
+       |r AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adist, rank FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Generated oracle for `ann_pq_trained`: replays per-subspace L2
     * k-means training ([[graft.llm.KMeans.fitCodebooks]] — assignment by
     * `2·v·c − ‖c‖²` argmax with ties to the lowest code, quantized-mean
@@ -1813,6 +1887,8 @@ object SparkEntry {
         |FROM c WHERE copies > 0""".stripMargin,
 
     "ann_ivf" -> annIvfSql(),
+
+    "ann_ivfpq" -> annIvfPqSql(),
 
     "ann_ivf_trained" -> annIvfTrainedSql(),
 

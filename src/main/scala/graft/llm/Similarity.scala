@@ -291,6 +291,99 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** IVF+PQ approximate top-k — the production ANN shape (the FAISS
+    * `IVFx,PQy` index): IVF cell pruning bounds WHICH corpus vectors are
+    * scored (`nProbe/nCells` of the corpus per query) and PQ codes bound
+    * WHAT the scan reads (id + `numSubspaces` bytes per vector instead of
+    * the full embedding). [[ivfTopK]] alone still reads full vectors for
+    * the probed cells; [[pqTopK]] alone still scans the whole corpus; the
+    * composition is what a 100-TB vector corpus actually deploys: the
+    * candidate equi-join ships codes, the asymmetric-distance ranking
+    * needs no vector re-join at all, and both the cell assignment and the
+    * code assignment are one narrow map over the corpus.
+    *
+    * Same deterministic seed conventions as the parts ([[ivfTopK]] seed
+    * centroids, [[pqCodebooks]] seed codebooks — or pass
+    * [[KMeans]]-trained parameters), so the composition replays exactly
+    * in the SQL oracle. Ranking is the ADC approximation of [[pqTopK]]
+    * restricted to probed cells; ascending, ties to the lowest id.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      numSubspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None,
+      codebooks: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val subDim = dim / numSubspaces
+    val cents: Seq[(Long, Seq[Double])] = centroids.getOrElse {
+      corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+        .orderBy(col(cIdCol)).limit(nCells).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+        .toSeq
+    }
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, cIdCol, cVecCol, numSubspaces, codebookSize))
+    val cn2: Seq[Seq[Double]] =
+      cbs.map(_.map { case (_, c) => c.foldLeft(0.0)((a, x) => a + x * x) })
+    def scoreStructs(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosineSim(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+    def subv(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
+    def contrib(sub: Column, j: Int, code: Int): Column =
+      lit(cn2(j)(code)) - lit(2.0) * dot(sub, typedLit(cbs(j)(code)._2))
+    // ONE pass over the corpus computes cell + subvector slices (the pqTopK
+    // materialize-once motif keeps contrib's 16 references off a re-slice)
+    val corpusSub = corpus.select(
+      col(cIdCol).as("neighbor_id") +:
+        (-array_max(scoreStructs(col(cVecCol))).getField("ncid")).as("cell") +:
+        (0 until numSubspaces).map(j => subv(col(cVecCol), j).as(s"__s$j")): _*)
+    val withD = corpusSub.select(col("neighbor_id") +: col("cell") +:
+      (for (j <- 0 until numSubspaces; code <- 0 until codebookSize)
+        yield contrib(col(s"__s$j"), j, code).as(s"__d_${j}_$code")): _*)
+    val withMin = withD.select(col("*") +:
+      (0 until numSubspaces).map(j =>
+        least((0 until codebookSize).map(c => col(s"__d_${j}_$c")): _*)
+          .as(s"__min_$j")): _*)
+    def codeFor(j: Int): Column =
+      (0 until codebookSize - 1).foldRight(lit(codebookSize - 1): Column) {
+        (code, rest) =>
+          when(col(s"__d_${j}_$code") === col(s"__min_$j"), code).otherwise(rest)
+      }
+    val codes = withMin.select(
+      col("neighbor_id") +: col("cell") +:
+        (0 until numSubspaces).map(j => codeFor(j).as(s"c$j")): _*)
+    // query side: probe list + distance LUTs, both tiny — broadcast
+    val qSub = queries.select(
+      col(qIdCol).as("query_id") +: col(qVecCol).as("__qv") +:
+        (0 until numSubspaces).map(j => subv(col(qVecCol), j).as(s"__s$j")): _*)
+    val qProbes = qSub
+      .select(col("query_id"),
+        slice(sort_array(scoreStructs(col("__qv")), asc = false), 1, nProbe).as("pr"))
+      .select(col("query_id"), explode(col("pr")).as("p"))
+      .select(col("query_id"), (-col("p.ncid")).as("cell"))
+    val luts = qSub.select(
+      col("query_id") +:
+        (0 until numSubspaces).map(j =>
+          array((0 until codebookSize).map(code =>
+            contrib(col(s"__s$j"), j, code)): _*).as(s"lut$j")): _*)
+    val adist = (0 until numSubspaces)
+      .map(j => element_at(col(s"lut$j"), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val scored = broadcast(qProbes)
+      .join(codes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** Multi-probe sign-LSH top-k: ONE hash table, but each query probes its
     * own bucket plus every bucket at Hamming distance 1 in the
     * `numPlanes`-bit code (flip one sign bit) — `numPlanes + 1` probes.

@@ -120,6 +120,27 @@ class SamplingIvfSpec extends AnyFunSuite {
     assert(ranks == (1 to ranks.length))
   }
 
+  test("ivfPqTopK candidates come only from probed cells; codes agree with pqTopK") {
+    val q = emb.filter(col("vec_id") < 5)
+    // all cells probed -> candidate set equals pqTopK's full scan, and the
+    // ADC ranking is the same arithmetic, so results must agree exactly
+    val full = Similarity.ivfPqTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+    val pq = Similarity.pqTopK(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    full.ensureDatasetEquals(pq)
+    // pruned probing: bounded output, contiguous ranks
+    val pruned = Similarity.ivfPqTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2)
+    assert(pruned.groupBy("query_id").count()
+      .collect().map(_.getLong(1)).forall(_ <= 3))
+    val ranks = pruned.filter(col("query_id") === 0).orderBy("rank")
+      .select("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks == (1 to ranks.length))
+  }
+
   test("ivfTopK accepts explicit centroids (model-parameter path)") {
     val cents = Seq(0L -> Seq.fill(64)(1.0), 1L -> Seq.fill(64)(-1.0))
     val out = Similarity.ivfTopK(
