@@ -263,6 +263,19 @@ object SparkEntry {
       graft.llm.Vocab.bpeTrainMerges(t(s, dir, "documents"), "text", numMerges = 3)
     }),
 
+    "bpe_encode" -> ((s, dir) => {
+      // train → encode round trip: the learned merge table (a KB-scale
+      // model parameter, collected like the k-means centroids) applied
+      // back over the corpus; per-doc word/symbol counts measure the
+      // tokenizer's compression
+      val docs = t(s, dir, "documents")
+      val merges = graft.llm.Vocab
+        .bpeTrainMerges(docs, "text", numMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     "vocab_oov" -> ((s, dir) => {
       // vocabulary coverage: per-doc OOV rate against the corpus's own
       // top-100 vocabulary (output bounded to the first 50 docs)
@@ -1228,7 +1241,7 @@ object SparkEntry {
     * `replace` rewriting the vocabulary. `replace` substitutes left-to-
     * right non-overlapping in both engines, which IS BPE's greedy scan, so
     * the learned merge tables agree exactly. */
-  private def bpeTrainSql(numMerges: Int = 3): String = {
+  private def bpeTrainCtes(numMerges: Int): String = {
     val iterCtes = (0 until numMerges).map { i =>
       s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(n)::BIGINT AS n FROM (
          |  SELECT n, unnest([{'l': s[i], 'r': s[i+1]} FOR i IN range(1, len(s))]) AS p
@@ -1241,17 +1254,48 @@ object SparkEntry {
          |    '<' || m$i.l || m$i.r || '>') AS enc, e$i.n AS n
          |  FROM e$i CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until numMerges).map(i => s"SELECT * FROM m$i")
-      .mkString(" UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(list_filter(string_split_regex($normSql, '\\s+'),
        |    t -> len(t) > 0)) AS w FROM documents),
        |w0 AS (SELECT w, count(*) AS n FROM toks WHERE len(w) >= 2 GROUP BY w),
        |e0 AS (SELECT '<' || array_to_string(
        |    [w[i] FOR i IN range(1, len(w) + 1)], '><') || '>' AS enc, n
        |  FROM w0),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def bpeTrainSql(numMerges: Int = 3): String = {
+    val union = (0 until numMerges).map(i => s"SELECT * FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges)}
        |SELECT merge_rank, l AS "left", r AS "right", n FROM ($union)""".stripMargin
+  }
+
+  /** Generated oracle for `bpe_encode`: the training chain from
+    * [[bpeTrainCtes]] provides the merge table; encoding replays Spark's
+    * merge application — per (doc, word) histogram row, the character
+    * bracket encoding rewritten by each adopted merge in rank order via
+    * scalar subqueries against `m0..m{n-1}`, then per-doc integer sums.
+    * Symbol counting is `len(enc) - len(replace(enc, '<', ''))`, the same
+    * pure string arithmetic Spark runs. */
+  private def bpeEncodeSql(numMerges: Int = 3): String = {
+    val encChain = (0 until numMerges).map { i =>
+      s"""enc${i + 1} AS (SELECT doc_id, wc, replace(enc,
+         |    (SELECT '<' || l || '><' || r || '>' FROM m$i),
+         |    (SELECT '<' || l || r || '>' FROM m$i)) AS enc
+         |  FROM enc$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(numMerges)},
+       |dtoks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex($normSql, '\\s+'),
+       |      t -> len(t) > 0)) AS w FROM documents),
+       |wt AS (SELECT doc_id, w, count(*)::BIGINT AS wc FROM dtoks GROUP BY 1, 2),
+       |enc0 AS (SELECT doc_id, wc, '<' || array_to_string(
+       |    [w[i] FOR i IN range(1, len(w) + 1)], '><') || '>' AS enc FROM wt),
+       |$encChain
+       |SELECT doc_id, sum(wc)::BIGINT AS n_words,
+       |  sum(wc * (len(enc) - len(replace(enc, '<', ''))))::BIGINT AS n_symbols
+       |FROM enc$numMerges GROUP BY doc_id""".stripMargin
   }
 
   /** Generated oracle for `ann_multiprobe`: same hyperplane replay as
@@ -1834,6 +1878,8 @@ object SparkEntry {
     "ann_multiprobe" -> annMultiprobeSql(),
 
     "bpe_train" -> bpeTrainSql(),
+
+    "bpe_encode" -> bpeEncodeSql(),
 
     // within-cluster pairwise replay of the SemDeDup policy: assignment is
     // the ann_ivf seed-centroid argmax, each ≥-threshold pair drops its

@@ -126,6 +126,46 @@ object Vocab {
     merges.toDF("merge_rank", "left", "right", "n")
   }
 
+  /** Apply a trained merge table ([[bpeTrainMerges]] output, collected in
+    * rank order) to tokenize the corpus — the SERVE side of the tokenizer:
+    * encode each word as bracket-delimited characters and replay the merges
+    * in rank order as plain `replace` calls, the same greedy left-to-right
+    * non-overlapping scan the trainer used, so train and encode agree
+    * symbol-for-symbol. Returns per-document token statistics
+    * `(id, n_words, n_symbols)` — the corpus-level compression measurement
+    * a tokenizer rollout is judged on (symbols/word falls as merges land).
+    *
+    * '''Plan shape (the 100-TB design).''' The merge table is a MODEL
+    * PARAMETER (driver-side literals, like the k-means centroids): KB-scale
+    * regardless of the corpus that trained it. Encoding runs over the
+    * per-(doc, word) histogram — map-side combined, so a word repeated 10⁶
+    * times in a doc is encoded once per doc, not per occurrence — and the
+    * merge chain is a fixed stack of codegen'd plain `replace` calls: a
+    * narrow map, no shuffle beyond the one per-doc aggregate. Symbol
+    * counting is `len(enc) - len(replace(enc, "<", ""))` (one `<` per
+    * symbol), pure integer string arithmetic, engine-portable. */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordCounts = df.select(col(idCol).as("__graft_doc"),
+      explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("w"))
+      .groupBy("__graft_doc", "w")
+      .agg(count(lit(1)).as("__graft_wc"))
+    val enc0 = concat(lit("<"),
+      concat_ws("><", split(col("w"), "(?!$)")), lit(">"))
+    val encoded = merges.foldLeft(enc0) { case (e, (l, r)) =>
+      call_function("replace", e, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    val nSym = length(encoded) -
+      length(call_function("replace", encoded, lit("<"), lit("")))
+    wordCounts
+      .withColumn("__graft_sym", nSym)
+      .groupBy("__graft_doc")
+      .agg(sum("__graft_wc").as("n_words"),
+        sum(col("__graft_wc") * col("__graft_sym")).as("n_symbols"))
+      .withColumnRenamed("__graft_doc", idCol)
+  }
+
   /** Per-document out-of-vocabulary statistics against a vocabulary frame
     * (typically [[topTokens]] output, or an external token list): token
     * occurrences, OOV occurrences, and the OOV rate — the coverage check

@@ -51,6 +51,44 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nexpect $expect")
   }
 
+  /** Reference greedy merge application over one word's symbol sequence. */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Int = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == l && s == r)
+          out(out.size - 1) = l + r
+        else out += s
+      }
+      syms = out.toVector
+    }
+    syms.size
+  }
+
+  test("bpeEncode applies trained merges with the trainer's greedy scan (incl. 1-char words)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theme then the a"),
+      (2L, "aaaa aaaa aaaa aaaa aaaa banana"),
+      (3L, "the then banana aaaa i i")
+    ).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainMerges(docs, "text", numMerges = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val expect = docs.as[(Long, String)].collect().toSeq.map { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(w => refEncode(w, merges).toLong).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+    // merges actually compress: fewer symbols than characters
+    val chars = docs.as[(Long, String)].collect()
+      .map(_._2.count(!_.isWhitespace)).sum
+    assert(got.map(_._3).sum < chars)
+  }
+
   test("bpeTrainMerges on the fixture corpus: ranks contiguous, counts non-increasing-ish sane") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Vocab.bpeTrainMerges(docs, "text", numMerges = 3)
