@@ -353,6 +353,14 @@ object SparkEntry {
         .filter(col("n") >= 8)
     }),
 
+    "approx_distinct_kmv" -> ((s, dir) => {
+      // KMV distinct-count sketch: per event type, estimate distinct users
+      // from the 16 smallest value hashes — k longs per group instead of a
+      // full distinct shuffle of every user id
+      graft.sketch.KmvOps.kmvDistinct(
+        events(s, dir), Seq("event_type"), "user_id", k = 16)
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__norm", graft.llm.TextStats.normalizeText(col("text")))
@@ -670,6 +678,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "knn_graph" -> ((s, dir) => {
+      // mutual k-NN graph: undirected edges where each endpoint is in the
+      // other's cosine top-k — the hub-robust neighborhood graph feeding
+      // cluster/density analysis (exact directed top-k at fixture scale;
+      // the operator switches to sign-LSH candidates above exactLimit)
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.mutualKnnGraph(
+        emb, "vec_id", "embedding", k = 3, exactLimit = Long.MaxValue)
+        .select(col("id_a"), col("id_b"),
+          col("rank_ab").cast("long").as("rank_ab"),
+          col("rank_ba").cast("long").as("rank_ba"))
+    }),
+
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard negatives: nearest corpus vectors with a
       // DIFFERENT label per query — the similarity surface applied to
@@ -690,6 +711,14 @@ object SparkEntry {
         aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"))
+    }),
+
+    "embed_project" -> ((s, dir) => {
+      // JL ±1 sign projection over the int8 codes: 8 exact-integer sketch
+      // dims per vector, one shuffle-free narrow map — the shard-level
+      // distance pre-filter sketch
+      graft.llm.Quantize.signProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
     "batch_by_length" -> ((s, dir) => {
@@ -747,6 +776,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.75))
         .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    "sample_temperature" -> ((s, dir) => {
+      // α=1/2 temperature sampling: per-source quotas ∝ √n_s rebalance the
+      // corpus toward tail sources; membership is the per-source hash rank
+      graft.llm.Sampling.sampleByTemperature(
+        t(s, dir, "documents"), "doc_id", "source",
+        totalTarget = 300, salt = "temp")
+        .select("doc_id", "source")
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -1296,6 +1334,33 @@ object SparkEntry {
        |SELECT doc_id, sum(wc)::BIGINT AS n_words,
        |  sum(wc * (len(enc) - len(replace(enc, '<', ''))))::BIGINT AS n_symbols
        |FROM enc$numMerges GROUP BY doc_id""".stripMargin
+  }
+
+  /** Generated oracle for `embed_project`: replays the validated
+    * embed_quantize code arithmetic, then sums the codes under the SAME
+    * ±1 [[graft.llm.Quantize.signMatrix]] the Spark expression embeds —
+    * both sides are literals from one Scala generator, and the sums are
+    * integer, so any summation order agrees. */
+  private def embedProjectSql(outDim: Int = 8, dim: Int = 64,
+      seed: Long = 42L): String = {
+    val signs = graft.llm.Quantize.signMatrix(outDim, dim, seed)
+    val projs = (0 until outDim).map { j =>
+      val terms = (0 until dim).map { i =>
+        val sign = if (signs(j)(i) > 0) "+" else "-"
+        s"$sign codes[${i + 1}]"
+      }.mkString(" ")
+      s"(0 $terms)::BIGINT AS p$j"
+    }.mkString(",\n|  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |q AS (SELECT vec_id,
+       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
+       |      END AS codes FROM m)
+       |SELECT vec_id,
+       |  $projs
+       |FROM q""".stripMargin
   }
 
   /** Generated oracle for `ann_multiprobe`: same hyperplane replay as
@@ -1931,6 +1996,44 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS copies FROM w)
         |SELECT doc_id, source, unnest(range(copies)) AS epoch
         |FROM c WHERE copies > 0""".stripMargin,
+
+    // KMV replay: same 12-hex md5 hash, k smallest distinct hashes per
+    // group via window rank, pure-integer estimator ((k-1)·2^48 // h_k)
+    "approx_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 16 GROUP BY event_type)
+        |SELECT event_type, n_sample, kth_hash,
+        |  CASE WHEN n_sample < 16 OR kth_hash <= 0 THEN n_sample
+        |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
+        |    END AS est_distinct
+        |FROM k""".stripMargin,
+
+    // α=1/2 temperature sampling replay: floor(sqrt) smoothed weights
+    // (IEEE sqrt is correctly rounded — engine-exact), integer quota
+    // division, and the sampleBucket hash rank per source
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS sw FROM c),
+        |tot AS (SELECT sum(sw)::BIGINT AS tot FROM s),
+        |q AS (SELECT source, (300 * sw) // tot AS quota
+        |  FROM s CROSS JOIN tot),
+        |h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || 'temp'), 1, 15))::BIGINT
+        |      % 1000000 AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY hk, doc_id) AS rn FROM h)
+        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |WHERE rn <= quota""".stripMargin,
+
+    "embed_project" -> embedProjectSql(),
 
     "ann_ivf" -> annIvfSql(),
 
@@ -2578,6 +2681,22 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // the validated ann_bruteforce cosine/rank arithmetic over the whole
+    // table, then the mutuality self-join of the directed edge list on both
+    // endpoints — exactly the operator's transpose match
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s),
+        |d AS (SELECT qid, nid, rank FROM r WHERE rank <= 3)
+        |SELECT ab.qid AS id_a, ab.nid AS id_b, ab.rank::BIGINT AS rank_ab,
+        |  ba.rank::BIGINT AS rank_ba
+        |FROM d ab JOIN d ba ON ab.qid = ba.nid AND ab.nid = ba.qid
+        |WHERE ab.qid < ab.nid""".stripMargin,
 
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,

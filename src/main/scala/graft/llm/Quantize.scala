@@ -32,4 +32,46 @@ object Quantize {
   def dequantizeInt8(df: DataFrame, codesCol: String, scaleCol: String): DataFrame =
     df.withColumn("vec_approx",
       transform(col(codesCol), c => c.cast("double") * col(scaleCol) / 127.0))
+
+  /** Deterministic ±1 sign matrix for [[signProject]]: entry (j, i) from a
+    * splitmix64-style avalanche of `(seed, j·dim + i)`. Pure Scala — the
+    * SQL-oracle generator calls the same function, so the Spark expression
+    * and the replay SQL embed identical literals. */
+  def signMatrix(outDim: Int, dim: Int, seed: Long): Seq[Seq[Int]] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    Seq.tabulate(outDim, dim)((j, i) =>
+      if ((mix(seed * 0x100000001b3L + j.toLong * dim + i) & 1L) == 0L) 1 else -1)
+  }
+
+  /** Random sign projection (Achlioptas-style ±1 Johnson–Lindenstrauss)
+    * over the int8-quantized codes: `p_j = Σ_i s_{ji}·code_i` for a
+    * deterministic ±1 [[signMatrix]]. The compact distance-preserving
+    * sketch for shard-level pre-filtering — `outDim` longs per vector
+    * instead of `dim` floats, and because the inputs are the integer
+    * codes, the projection is exact integer arithmetic: bit-identical on
+    * any engine, any summation order (the float-projection variant would
+    * hash-mismatch on accumulation order alone).
+    *
+    * '''Plan shape (the 100-TB design).''' The sign matrix is a model
+    * parameter baked into the expression (outDim·dim literal signs — KB),
+    * so the whole operator is one shuffle-free narrow map over the
+    * vectors, codegen'd adds of `element_at` terms. */
+  def signProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val signs = signMatrix(outDim, dim, seed)
+    val q = quantizeInt8(df, idCol, vecCol)
+    val projections = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val term = element_at(col("codes"), i + 1)
+        if (signs(j)(i) > 0) term else -term
+      }.reduce(_ + _).as(s"p$j")
+    }
+    q.select(col(idCol) +: projections: _*)
+  }
 }

@@ -186,4 +186,47 @@ object Sampling {
       .filter(col("chunk_id") === 0)
       .drop("chunk_id", "__graft_qrank")
   }
+
+  /** Temperature-smoothed source sampling (the multilingual α-sampling
+    * recipe, α = 1/2): each stratum's share of the `totalTarget` output is
+    * proportional to `√n_s` instead of `n_s`, boosting tail
+    * sources/languages at the dominant ones' expense — the standard fix
+    * for head-language takeover when training on raw web proportions.
+    *
+    * Every step is engine-exact: the smoothed weight is `floor(sqrt(n_s))`
+    * (IEEE sqrt is correctly rounded, so floor(sqrt) agrees bit-for-bit
+    * across engines), the per-stratum quota is integer
+    * `totalTarget·s_s div Σs_s`, and membership is the per-stratum
+    * [[sampleBucket]] hash rank — reproducible on any cluster, exactly
+    * SQL-replayable, join-stable. A stratum whose quota exceeds its size
+    * contributes all its rows (rank can't exceed n_s).
+    *
+    * '''Plan shape (the 100-TB design).''' Stratum counts are one
+    * map-side-combined aggregate (rows = #strata — KB-scale), the quota
+    * table broadcast-joins back, and per-stratum ranking is a
+    * [[graft.operators.GroupedRank]] — no single-task per-stratum sort
+    * when one source dominates the corpus, which is precisely the
+    * situation temperature sampling exists for. */
+  def sampleByTemperature(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      totalTarget: Long,
+      salt: String = ""): DataFrame = {
+    require(totalTarget > 0, "totalTarget must be positive")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__graft_n"))
+      .withColumn("__graft_s", floor(sqrt(col("__graft_n"))))
+    val tot = counts.agg(sum("__graft_s").as("__graft_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        expr(s"(${totalTarget}L * __graft_s) div __graft_tot").as("__graft_q"))
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      df.withColumn("__graft_hk", sampleBucket(col(idCol), salt)),
+      Seq(strataCol), Seq(col("__graft_hk"), col(idCol)), "__graft_trank")
+    ranked
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("__graft_trank") <= col("__graft_q"))
+      .drop("__graft_hk", "__graft_trank", "__graft_q")
+  }
 }

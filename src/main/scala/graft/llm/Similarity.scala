@@ -478,4 +478,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Mutual k-NN graph over one embedding table: an undirected edge
+    * `(id_a, id_b)` with `id_a < id_b` exists iff b ranks in a's cosine
+    * top-k AND a ranks in b's — the standard graph-cleaning step before
+    * density/cluster analysis over an embedding corpus (hub vectors lose
+    * their one-way edges, so clusters stop bleeding through hubs).
+    *
+    * '''Plan shape (the 100-TB design).''' Directed top-k comes from
+    * [[bruteForceTopK]] at or below `exactLimit` rows (exact — the oracle
+    * path) and from [[lshTopK]] above it (candidates from the
+    * (table, bucket) equi-join, recall bought with `numTables`). The
+    * mutuality filter is then a self-equi-join of the directed edge list
+    * on BOTH endpoints: edges are (id, id, rank) triples, so the
+    * transpose match shuffles ~24 bytes/row however wide the vectors
+    * are, and `id_a < id_b` keeps each undirected edge exactly once.
+    * Pass `exactLimit = 0` to force LSH, `Long.MaxValue` to force exact
+    * without the count. */
+  def mutualKnnGraph(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      exactLimit: Long = 100000L,
+      numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val useExact = exactLimit > 0 &&
+      (exactLimit == Long.MaxValue || vecs.select(idCol).count() <= exactLimit)
+    val directed =
+      (if (useExact) bruteForceTopK(vecs, idCol, vecCol, vecs, idCol, vecCol, k)
+       else lshTopK(vecs, idCol, vecCol, vecs, idCol, vecCol, k,
+         numPlanes, numTables, dim, seed))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val ab = directed.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("rank").as("rank_ab"))
+    val ba = directed.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"), col("rank").as("rank_ba"))
+    ab.join(ba, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "rank_ab", "rank_ba")
+  }
 }
