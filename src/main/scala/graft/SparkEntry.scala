@@ -1109,6 +1109,33 @@ object SparkEntry {
         Seq("signup", "click", "purchase"))
     }),
 
+    "interval_overlap_join" -> ((s, dir) => {
+      // concurrent-activity detection: per user, click sessions that
+      // overlap view sessions in time — interval×interval overlap where
+      // the bin pinning (overlap-start bin) makes each qualifying pair
+      // meet exactly once, no distinct pass
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
+      // 12 h gap: the fixture's per-user inter-event spacing is tens of
+      // hours, so sub-hour gaps would degenerate every session to a point
+      def sessions(tpe: String, p: String) =
+        graft.operators.Sessionize.sessionStats(
+          ev.filter(col("event_type") === tpe).drop("event_type"),
+          Seq("user_id"), "ts_us", "event_id", gap = 12L * 3600 * 1000 * 1000)
+          .select(col("user_id").as(s"${p}_user"),
+            col("session_id").as(s"${p}_session"),
+            col("start_ts").as(s"${p}_start"),
+            (col("end_ts") + 1L).as(s"${p}_end"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        sessions("click", "a"), "a_start", "a_end",
+        sessions("view", "b"), "b_start", "b_end",
+        binWidth = 24L * 3600 * 1000 * 1000, Seq(("a_user", "b_user")))
+        .select(col("a_user").as("user_id"),
+          col("a_session"), col("b_session"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+    }),
+
     "events_histogram" -> ((s, dir) => {
       // fixed-width binning; bin ids via one IEEE division + floor, so the
       // histogram is engine-portable exact
@@ -1887,6 +1914,32 @@ object SparkEntry {
       """SELECT floor(value / 25.0)::BIGINT AS bin, count(*) AS n,
         |min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the validated events_sessions sessionization replay per event type,
+    // then a plain overlap-predicate join — the binning is transparent
+    "interval_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |l AS (SELECT user_id, event_type, event_id, tus,
+        |  lag(tus) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_type, tus,
+        |  sum(CASE WHEN prev IS NULL OR tus - prev > 43200000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tus, event_id) AS sid
+        |  FROM l),
+        |g AS (SELECT user_id, event_type, sid::BIGINT AS sid,
+        |    min(tus) AS st, max(tus) + 1 AS en
+        |  FROM s GROUP BY user_id, event_type, sid),
+        |a AS (SELECT user_id, sid AS a_session, st AS a_s, en AS a_e
+        |  FROM g WHERE event_type = 'click'),
+        |b AS (SELECT user_id, sid AS b_session, st AS b_s, en AS b_e
+        |  FROM g WHERE event_type = 'view')
+        |SELECT a.user_id, a_session, b_session,
+        |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE a_s < b_e AND b_s < a_e""".stripMargin,
 
     // joins are null-safe (IS NOT DISTINCT FROM) to mirror Funnel.funnel's
     // <=> stage joins: a NULL user with a full journey is one funnel user

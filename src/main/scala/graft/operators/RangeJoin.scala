@@ -76,4 +76,55 @@ object RangeJoin {
       .reduce(_ && _)
     lb.join(rb, cond).drop("__graft_bin")
   }
+
+  /** Interval×interval overlap join: pair each left half-open interval
+    * `[ls, le)` with every right interval `[rs, re)` it overlaps
+    * (`ls < re AND rs < le`), optionally alongside equi-key columns —
+    * "concurrent sessions", "overlapping validity windows", the
+    * interval-interval sibling of [[rangeJoin]]'s point-in-interval.
+    *
+    * '''Plan shape (the 100-TB design).''' Same bin trick as
+    * [[rangeJoin]], with one extra idea: BOTH sides explode to their
+    * covering bins, and a pair would meet once per SHARED bin — so the
+    * join additionally pins the met bin to the bin of the overlap's
+    * START (`bin(greatest(ls, rs))`). The overlap start lies inside both
+    * intervals, so both explosions cover that bin: every qualifying pair
+    * meets exactly once, no `distinct()` pass, and the join stays a plain
+    * equi-join on `(equiKeys…, bin)` with the exact overlap predicate as
+    * a post-filter. Degenerate intervals (`end <= start`) match nothing
+    * and are dropped before the explode. */
+  def intervalOverlapJoin(
+      left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      binWidth: Long,
+      equiKeys: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(overlap.isEmpty,
+      s"intervalOverlapJoin: column names collide across sides: " +
+        s"${overlap.mkString(", ")} — rename before joining")
+
+    def bin(c: Column): Column = {
+      val cl = c.cast("long")
+      val q = Bridge.column(new IntegralDivide(
+        Bridge.expression(cl), Bridge.expression(lit(binWidth))))
+      q - when(cl % binWidth < 0, lit(1L)).otherwise(lit(0L))
+    }
+    def valid(s: String, e: String, df: DataFrame) =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
+
+    val lb = valid(lStartCol, lEndCol, left)
+      .withColumn("__graft_bin",
+        explode(sequence(bin(col(lStartCol)), bin(col(lEndCol) - 1))))
+    val rb = valid(rStartCol, rEndCol, right)
+      .withColumn("__graft_bin",
+        explode(sequence(bin(col(rStartCol)), bin(col(rEndCol) - 1))))
+
+    val equi = equiKeys.map { case (lk, rk) => lb(lk) === rb(rk) }
+    val ovl = lb(lStartCol) < rb(rEndCol) && rb(rStartCol) < lb(lEndCol)
+    val startBin = bin(greatest(lb(lStartCol), rb(rStartCol)))
+    val cond = (equi :+ (lb("__graft_bin") === rb("__graft_bin")) :+
+      ovl :+ (lb("__graft_bin") === startBin)).reduce(_ && _)
+    lb.join(rb, cond).drop("__graft_bin")
+  }
 }

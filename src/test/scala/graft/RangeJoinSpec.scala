@@ -87,4 +87,69 @@ class RangeJoinSpec extends AnyFunSuite {
     val want = pts.join(ivl, col("ts") >= col("s") && col("ts") < col("e"))
     got.ensureDatasetEquals(want)
   }
+
+  // ---- intervalOverlapJoin ----
+
+  private def leftIntervals: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 0L, 10L),
+      (2L, "a", 10L, 20L),   // touches interval 1 at 10: NOT an overlap
+      (3L, "a", 5L, 100L),   // spans many bins
+      (4L, "b", -50L, -10L), // negative coordinates
+      (5L, "b", 7L, 3L),     // degenerate: matches nothing
+      (6L, "c", 0L, 1L)
+    ).toDF("l_id", "lk", "ls", "le")
+  }
+
+  private def rightIntervals: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, "a", 9L, 12L),   // overlaps 1 and 2 and 3
+      (102L, "a", 20L, 30L),  // touches 2 at 20: NOT an overlap; inside 3
+      (103L, "a", 200L, 300L),// overlaps nothing
+      (104L, "b", -20L, 0L),  // overlaps 4
+      (105L, "b", 1L, 2L),    // would overlap degenerate 5's [3,7) range? no
+      (106L, "z", 0L, 100L)   // key with no left intervals
+    ).toDF("r_id", "rk", "rs", "re")
+  }
+
+  private def overlapReference(keyed: Boolean): DataFrame = {
+    val cond0 = col("ls") < col("re") && col("rs") < col("le") &&
+      col("ls") < col("le") && col("rs") < col("re")
+    val cond = if (keyed) col("lk") === col("rk") && cond0 else cond0
+    leftIntervals.join(rightIntervals, cond)
+  }
+
+  test("keyed interval overlap join matches the quadratic reference, each pair once") {
+    val got = RangeJoin.intervalOverlapJoin(leftIntervals, "ls", "le",
+      rightIntervals, "rs", "re", binWidth = 8, equiKeys = Seq("lk" -> "rk"))
+    got.ensureDatasetEquals(overlapReference(keyed = true))
+  }
+
+  test("unkeyed interval overlap join matches across many shared bins (no dup pairs)") {
+    val got = RangeJoin.intervalOverlapJoin(leftIntervals, "ls", "le",
+      rightIntervals, "rs", "re", binWidth = 3)
+    got.ensureDatasetEquals(overlapReference(keyed = false))
+  }
+
+  test("interval overlap join: binWidth larger than every interval still exact") {
+    val got = RangeJoin.intervalOverlapJoin(leftIntervals, "ls", "le",
+      rightIntervals, "rs", "re", binWidth = 1000000,
+      equiKeys = Seq("lk" -> "rk"))
+    got.ensureDatasetEquals(overlapReference(keyed = true))
+  }
+
+  test("interval overlap join beyond 2^53 bins exactly") {
+    import spark.implicits._
+    val base = (1L << 60) + 987654321L
+    val l = Seq((1L, base, base + 1000L), (2L, -base - 1000L, -base))
+      .toDF("l_id", "ls", "le")
+    val r = Seq((10L, base + 999L, base + 2000L), (11L, base + 1000L, base + 1001L),
+      (12L, -base - 500L, -base + 1L)).toDF("r_id", "rs", "re")
+    val got = RangeJoin.intervalOverlapJoin(l, "ls", "le", r, "rs", "re",
+      binWidth = 700L)
+    val want = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+    got.ensureDatasetEquals(want)
+  }
 }
