@@ -264,4 +264,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"resampling introduced a shuffle:\n$p")
     assert(p.contains("Generate"), s"epoch explode missing:\n$p")
   }
+
+  test("sign projection is a pure narrow map: no exchange anywhere") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Quantize.signProject(emb, "vec_id", "embedding")
+    val p = plan(q)
+    assert(!p.contains("Exchange"), s"sign projection introduced a shuffle:\n$p")
+  }
+
+  test("interval overlap join stays an equi-join on bins with broadcast off") {
+    import spark.implicits._
+    val l = Seq.tabulate(50)(i => (i.toLong, i * 10L, i * 10L + 25L))
+      .toDF("l_id", "ls", "le")
+    val r = Seq.tabulate(50)(i => (i.toLong, i * 7L, i * 7L + 15L))
+      .toDF("r_id", "rs", "re")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val q = graft.operators.RangeJoin.intervalOverlapJoin(
+        l, "ls", "le", r, "rs", "re", binWidth = 16L)
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"interval overlap join degenerated to all-pairs:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the bin:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("mutual kNN graph: the transpose match joins id/rank triples, not vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Similarity.mutualKnnGraph(
+      emb, "vec_id", "embedding", k = 3, exactLimit = Long.MaxValue)
+    val p = plan(q)
+    // the mutual self-join must shuffle only (id_a, id_b, rank) triples —
+    // a vector column riding through it would multiply shuffle payload
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty, s"no equi-join in mutual kNN plan:\n$p")
+    assert(!joins.exists(l => l.contains("qv") || l.contains("cv") ||
+      l.contains("embedding")),
+      s"vectors ride through the mutual join:\n${joins.mkString("\n")}")
+  }
+
+  test("KMV sketch pre-aggregates the distinct map-side before the exchange") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val q = graft.sketch.KmvOps.kmvDistinct(ev, Seq("event_type"), "user_id")
+    val p = plan(q)
+    // distinct on (group, hash) must plan as partial+final HashAggregate:
+    // the exchange then carries unique hashes, not raw events
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx > 0, s"no hash exchange in KMV plan:\n$p")
+    assert(p.substring(exIdx).contains("HashAggregate"),
+      s"no map-side partial aggregate below the distinct exchange:\n$p")
+  }
 }
