@@ -509,6 +509,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "dedup_apply_priority" -> ((s, dir) => {
+      // priority-aware transitive apply: each duplicate cluster keeps its
+      // LONGEST member (ties to the smaller id) — keep-the-best-copy
+      // canonicalization, vs dedup_apply_cc's smallest-id representative
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+      graft.llm.Dedup.dropNearDuplicatesByPriority(
+        docs, "doc_id", "n_chars", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "dedup_groups" -> ((s, dir) => {
       // transitive near-dup clusters: LSH pair generation → distributed
       // connected components (large-star/small-star); component = smallest
@@ -2573,6 +2586,37 @@ object SparkEntry {
         |dropped AS (
         |  SELECT node AS doc_id FROM r GROUP BY node
         |  HAVING min(lbl) <> node)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
+
+    // the dedup_apply_cc closure with the keep-policy swapped: per
+    // component the row_number winner by (n_chars DESC, node ASC) survives
+    "dedup_apply_priority" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        |m AS (SELECT comp.node, comp.component, d.n_chars
+        |  FROM comp JOIN d ON d.doc_id = comp.node),
+        |w AS (SELECT node, row_number() OVER (
+        |    PARTITION BY component ORDER BY n_chars DESC, node) AS rn FROM m),
+        |dropped AS (SELECT node AS doc_id FROM w WHERE rn > 1)
         |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,

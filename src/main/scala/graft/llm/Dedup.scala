@@ -253,6 +253,44 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Priority-aware transitive near-dedup apply: connected components over
+    * an externally-supplied near-dup pair graph (`id_a`/`id_b` — any of
+    * the pair generators), keeping per cluster the member with the HIGHEST
+    * `priorityCol` (ties to the smallest id) instead of the smallest id —
+    * "keep the best copy" canonicalization: a page syndicated across
+    * mirrors keeps its longest/highest-quality capture, not whichever
+    * mirror happened to get the smallest id. The keep-policy is a pure
+    * function of (pair set, priorities), so it stays exactly
+    * oracle-checkable (closure + per-component argmax replay).
+    *
+    * '''Plan shape (the 100-TB design).''' The pair graph ships id pairs;
+    * [[graft.operators.ConnectedComponents]] runs its O(log² n) rounds on
+    * ids only; the winner election is ONE map-side-combined
+    * `max(struct(priority, -id))` per component (never a per-component
+    * window over members); and the apply is a broadcast-size anti-join of
+    * loser ids. Priorities join in at id grain — the document payload
+    * never rides through the graph machinery. */
+  def dropNearDuplicatesByPriority(
+      df: DataFrame,
+      idCol: String,
+      priorityCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = graft.operators.ConnectedComponents
+      .connectedComponents(pairs.select("id_a", "id_b"))
+    val members = df
+      .select(col(idCol).as("__graft_node"), col(priorityCol).as("__graft_pri"))
+      .join(comps, col("__graft_node") === col("node"))
+    val winners = members
+      .groupBy("component")
+      .agg(max(struct(col("__graft_pri").as("p"),
+        (-col("__graft_node")).as("ni"))).as("__graft_w"))
+      .select(col("component"), (-col("__graft_w.ni")).as("__graft_keep"))
+    val losers = comps.join(winners, Seq("component"))
+      .filter(col("node") =!= col("__graft_keep"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct candidate id pairs from bucketed rows (`id` + bucket key cols).
     *
     * Two scale guards that a naive bucket self-join lacks:

@@ -98,6 +98,20 @@ class KnnKmvProjectSpec extends AnyFunSuite {
     }
   }
 
+  test("dropNearDuplicatesByPriority keeps the best-priority member per cluster") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // chain 1-2-3: keep 2 (highest pri)
+      (4L, 7L), (5L, 7L),              // pair 4-5, tied pri: keep smaller id 4
+      (6L, 1L)                         // unpaired: always kept
+    ).toDF("id", "pri")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = graft.llm.Dedup
+      .dropNearDuplicatesByPriority(corpus, "id", "pri", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L), s"kept $kept")
+  }
+
   test("sampleByTemperature boosts tail sources and stays within quota") {
     val total = 200L
     val sel = Sampling.sampleByTemperature(docs, "doc_id", "source", total, "t")
