@@ -509,6 +509,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "corpus_profile" -> ((s, dir) => {
+      // the dataset-datasheet rollup: per (source, lang) — doc count, char
+      // and token mass, and Gopher-filter pass count; one map-side-combined
+      // pass over the corpus, integer aggregates only
+      val docs = t(s, dir, "documents")
+      graft.llm.TextStats.gopherFlags(docs, "text")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_total"),
+          sum(graft.llm.TextStats.tokenCount(col("text")).cast("long"))
+            .as("n_tokens_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_pass"))
+    }),
+
     "dedup_apply_priority" -> ((s, dir) => {
       // priority-aware transitive apply: each duplicate cluster keeps its
       // LONGEST member (ties to the smaller id) — keep-the-best-copy
@@ -1077,6 +1091,23 @@ object SparkEntry {
       out.select(
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("min_v"), col("max_v"))
+    }),
+
+    "stream_topk" -> ((s, dir) => {
+      // streaming top-k: the stateful windowed aggregate runs as a real
+      // stream (complete mode — the sink holds the live aggregate); the
+      // serving-side rank over the materialized sink picks each hour's
+      // top-3 event types, the lambda-free "trending now" shape
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.windowedCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
+        "graft_stream_topk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window").orderBy(col("n").desc, col("event_type"))
+      out.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"), col("rank").cast("long").as("rank"))
     }),
 
     "stream_sessions" -> ((s, dir) => {
@@ -1796,8 +1827,37 @@ object SparkEntry {
        |FROM r GROUP BY 1, 2, 3, 4, 5""".stripMargin
   }
 
+  /** Generated oracle for `corpus_profile`: the gopherSql filter arithmetic
+    * grouped by (source, lang) with integer mass sums. */
+  private def corpusProfileSql: String = {
+    val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT source, lang, n_chars,
+       |  length(text)::BIGINT AS nc,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0))::BIGINT AS nt,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS np,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t IN ($sw)))::BIGINT AS nsw
+       |  FROM documents),
+       |r AS (SELECT source, lang, n_chars, nt,
+       |  (nt BETWEEN 30 AND 80)
+       |    AND (nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
+       |      AND (nc - nt + 1) / nt::DOUBLE <= 5.0)
+       |    AND (nc = 0 OR np::DOUBLE / nc <= 0.1)
+       |    AND (nsw > 0) AS keep
+       |  FROM f)
+       |SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS n_chars_total,
+       |  sum(nt)::BIGINT AS n_tokens_total,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass
+       |FROM r GROUP BY source, lang""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql(),
+
+    "corpus_profile" -> corpusProfileSql,
 
     // exact-length trigram replay (range ends at len-1 so short docs yield
     // none), DISTINCT per (source, gram), then the pairwise count
@@ -2915,6 +2975,14 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY hour, event_type""".stripMargin,
+
+    "stream_topk" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY hour, event_type),
+        |r AS (SELECT hour, event_type, n, row_number() OVER (
+        |    PARTITION BY hour ORDER BY n DESC, event_type) AS rank FROM c)
+        |SELECT hour, event_type, n, rank FROM r WHERE rank <= 3""".stripMargin,
 
     // Session semantics: a new session starts when the gap to the previous
     // event is >= 30 min (session_window's window is [start, last+gap)).
