@@ -972,6 +972,16 @@ object SparkEntry {
       graft.llm.Multimodal.documentImageStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode: a deterministic mono 16-bit PCM WAV is written
+      // per doc_id by the JDK's javax.sound.sampled encoder, then
+      // AudioSystem decodes the actual samples back out; the oracle replays
+      // the sample formula with a lateral range join — wrong samples, a
+      // wrong header, or an off-by-one in the zero-crossing scan breaks the
+      // hash. Shuffle-free narrow maps, same batch shape as the image path.
+      graft.llm.Multimodal.documentAudioStats(s, t(s, dir, "documents"))
+    }),
+
     "events_quantiles" -> ((s, dir) => {
       // exact order-statistic quantiles (actual elements, no interpolation
       // arithmetic — the engine-portable exact contract)
@@ -2933,6 +2943,25 @@ object SparkEntry {
         |CROSS JOIN range(0, 15) AS xs(x)
         |CROSS JOIN range(0, 12) AS ys(y)
         |WHERE xs.x < 8 + d.doc_id % 8 AND ys.y < 8 + d.doc_id % 5
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // replays Multimodal.synthesizeWav's sample formula: sample i of clip id
+    // is (id·37 + i·17) mod 4001 − 2000 over n = 64 + id%32 samples — pure
+    // integer arithmetic, so the REAL javax.sound.sampled decode must
+    // hash-match the regenerated sums and zero-crossing count exactly
+    "multimodal_audio" ->
+      """SELECT d.doc_id AS media_id,
+        |  (64 + d.doc_id % 32)::BIGINT AS n_samples,
+        |  8000::BIGINT AS sample_rate,
+        |  sum((d.doc_id * 37 + i.i * 17) % 4001 - 2000)::BIGINT AS s_sum,
+        |  sum(abs((d.doc_id * 37 + i.i * 17) % 4001 - 2000))::BIGINT AS abs_sum,
+        |  sum(CASE WHEN i.i > 0 AND
+        |    (((d.doc_id * 37 + (i.i - 1) * 17) % 4001 - 2000 < 0)
+        |      <> ((d.doc_id * 37 + i.i * 17) % 4001 - 2000 < 0))
+        |    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+        |FROM documents d
+        |CROSS JOIN range(0, 96) AS i(i)
+        |WHERE i.i < 64 + d.doc_id % 32
         |GROUP BY d.doc_id""".stripMargin,
 
     // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal

@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,7 +12,7 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * North-star extension surface (SURVEY.md §2.4). Two decode paths:
+  * North-star extension surface (SURVEY.md §2.4). Three decode paths:
   *
   *  - '''Real image decode''' ([[decodeImageStats]]): PNG/JPEG/BMP/GIF
   *    payloads are decoded to actual pixels with the JDK's built-in
@@ -21,8 +22,14 @@ import org.apache.spark.sql.functions._
   *    are exact, so a synthesized test pattern is replayable in SQL from
   *    its generating formula — the `multimodal_decode` oracle does exactly
   *    that.
+  *  - '''Real audio decode''' ([[decodeAudioStats]]): WAV/PCM payloads are
+  *    decoded to actual samples with the JDK's built-in
+  *    `javax.sound.sampled.AudioSystem` (again dependency-free), same
+  *    `mapPartitions` batch shape. Exact integer stats (sample count,
+  *    sample sums, zero-crossing count) make the `multimodal_audio` oracle
+  *    replayable from the generating formula.
   *  - '''Opaque payload featurization''' ([[extractFeatures]]): for
-  *    payloads with no decoder in this environment (audio/video codecs,
+  *    payloads with no decoder in this environment (video codecs,
   *    embedding models), a deterministic byte-hash feature stands in. The
   *    Spark-side dataflow — schema, binary packing, partition-batched
   *    processing shape — is the real thing either way.
@@ -153,6 +160,109 @@ object Multimodal {
       it.map(id => ImageRecord(id, synthesizePng(id)))
     }
     decodeImageStats(records).toDF()
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** An audio payload (a complete WAV file) and its id. */
+  case class AudioRecord(media_id: Long, content: Array[Byte])
+
+  /** Exact per-clip statistics from REAL PCM decode: sample count and rate
+    * plus integer sample sums and the zero-crossing count — all integers so
+    * the contract is bit-exact across engines. */
+  case class AudioStats(
+      media_id: Long,
+      n_samples: Long,
+      sample_rate: Long,
+      s_sum: Long,
+      abs_sum: Long,
+      zero_crossings: Long)
+
+  /** Sample `i` of clip `id`: a signed 16-bit value from an integer formula,
+    * so every statistic of the decoded clip is replayable in plain SQL. */
+  private[llm] def audioSample(id: Long, i: Int): Int =
+    ((id * 37 + i * 17) % 4001 - 2000).toInt
+
+  private[llm] def audioNumSamples(id: Long): Int = 64 + (id % 32).toInt
+
+  private val AudioRateHz = 8000
+
+  /** Deterministic mono 16-bit PCM clip for `id`, encoded as a real WAV file
+    * by the JDK's `javax.sound.sampled` writer (no native dependencies).
+    *
+    * `n_samples = 64 + id%32` and sample `i` is
+    * `(id·37 + i·17) mod 4001 − 2000` — integer arithmetic only, so the
+    * multimodal_audio oracle regenerates every decoded statistic with a
+    * lateral `range` join in DuckDB. PCM is lossless, so decode returns
+    * these exact values. */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeWav needs a non-negative id, got $id")
+    val n = audioNumSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(id, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new ByteArrayOutputStream()
+    val written = AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    require(written > 0, "JDK WAV AudioFileWriter unavailable")
+    baos.toByteArray
+  }
+
+  /** REAL audio decode: each payload is parsed by `AudioSystem` (WAV/PCM —
+    * the JDK's built-in, dependency-free decoder) and the decoded sample
+    * stream is reduced to exact integer stats. Undecodable bytes fail
+    * loudly rather than emitting garbage.
+    *
+    * Same batch shape as [[decodeImageStats]]: `mapPartitions`, a narrow
+    * map with no shuffle — the boundary where a production pipeline would
+    * hold a codec context open across rows. */
+  def decodeAudioStats(records: Dataset[AudioRecord]): Dataset[AudioStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(rec.content))
+        val fmt = ais.getFormat
+        require(
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"media_id=${rec.media_id}: expected mono 16-bit LE PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L; var absSum = 0L; var crossings = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += s
+          absSum += math.abs(s)
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioStats(rec.media_id, n.toLong, fmt.getSampleRate.toLong, sum, absSum, crossings)
+      }
+    }
+  }
+
+  /** End-to-end real-decode audio pipeline over the documents table:
+    * synthesize a deterministic WAV per doc_id (standing in for an audio
+    * payload column, which the synthetic testdata lacks), then decode REAL
+    * PCM samples back out and reduce to exact stats. Shuffle-free narrow
+    * maps end to end. */
+  def documentAudioStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => AudioRecord(id, synthesizeWav(id)))
+    }
+    decodeAudioStats(records).toDF()
   }
 
   // ------------------------------------------------------- opaque payloads

@@ -536,4 +536,46 @@ class LlmSpec extends AnyFunSuite {
     val e = intercept[Exception] { Multimodal.decodeImageStats(bogus).collect() }
     assert(e.getMessage != null)
   }
+
+  test("audio decode: REAL javax.sound.sampled PCM round-trips the generating formula") {
+    import spark.implicits._
+    // driver-side reference from the synthesis formula — no audio code
+    def reference(id: Long): (Long, Long, Long, Long) = {
+      val n = 64 + (id % 32)
+      var sum = 0L; var absSum = 0L; var crossings = 0L
+      var prevNeg = false
+      for (i <- 0L until n) {
+        val s = (id * 37 + i * 17) % 4001 - 2000
+        sum += s; absSum += math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+      }
+      (n, sum, absSum, crossings)
+    }
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.AudioRecord(id, Multimodal.synthesizeWav(id)))
+    // the payloads are genuine RIFF/WAVE files, not a fake container
+    val head = records.head().content
+    assert(head.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(head.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
+    val got = Multimodal.decodeAudioStats(records).collect()
+      .map(s => s.media_id -> ((s.n_samples, s.s_sum, s.abs_sum, s.zero_crossings))).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      assert(got(id) == reference(id), s"decoded stats diverge for id=$id")
+    }
+    assert(Multimodal.decodeAudioStats(records).head().sample_rate == 8000L)
+    // repartitioning must not change a narrow deterministic pipeline
+    val got7 = Multimodal.decodeAudioStats(records.repartition(7)).collect()
+      .map(s => s.media_id -> ((s.n_samples, s.s_sum, s.abs_sum, s.zero_crossings))).toMap
+    assert(got7 == got)
+  }
+
+  test("audio decode fails loudly on undecodable payloads") {
+    import spark.implicits._
+    val bogus = Seq(Multimodal.AudioRecord(1L, Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[Exception] { Multimodal.decodeAudioStats(bogus).collect() }
+    assert(e.getMessage != null)
+  }
 }
