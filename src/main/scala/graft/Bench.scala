@@ -60,10 +60,20 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // A throwing query must NOT masquerade as a fast one: its time-to-throw
+    // still enters the median (so the line stays shape-stable), but the
+    // error is surfaced in an "errors" field on both metric lines and the
+    // process exits nonzero. The r9 fixture flip (TIMESTAMP_NTZ) showed an
+    // entire query family can throw instantly while the bench prints
+    // plausible sub-0.1 s timings — this channel closes that trap.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val timings = (1 to iters).map { _ =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").trim
+          errors.getOrElseUpdate(name, (e.getClass.getSimpleName + ": " + msg).take(160))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         try sweepLeakedState() catch { case _: Throwable => () }
         name -> dt
@@ -79,12 +89,21 @@ object Bench {
     // logging, stop Spark first, round timings to keep the line short, and
     // only then print.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // JSON string escape for error messages (same contract as Verify.q)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def errJson(maxMsg: Int): String =
+      errors.map { case (k, v) => jq(k) + ":" + jq(v.take(maxMsg)) }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(160)},"queries":$qs,"sf":"$sfDir"}"""
     // a bounded stdout tail capture can still clip the line's head under
     // heavy shutdown noise (r5-r7 all lost queries to it) — the file copy is
     // the canonical, unclippable record
@@ -109,7 +128,9 @@ object Bench {
     // preserves it).
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val byCost = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","omitted":"""
+    // the compact line carries errors too (messages clipped harder) — the
+    // head string includes them so the query budget accounts for their bytes
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(40)},"sf":"$sfDir","omitted":"""
     val budget = 1750 - head.length - 16
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
@@ -120,5 +141,12 @@ object Bench {
     val keptSorted = keep.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     println(s"""$head${results.size - keep.size},"queries":$keptSorted}""")
+    if (errors.nonEmpty) {
+      // the timings above are times-to-THROW for these queries, not real
+      // measurements — make the run itself fail so no pipeline treats them
+      // as a valid bench
+      System.err.println(s"[bench] ${errors.size} queries threw: ${errors.keys.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }
