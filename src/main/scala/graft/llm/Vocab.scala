@@ -90,8 +90,46 @@ object Vocab {
     * SQL-replayable with unrolled CTEs. Normalized text is `[a-z0-9 ]`
     * only, so `<`/`>` can never collide with symbol content. */
   def bpeTrainMerges(
-      df: DataFrame, textCol: String, numMerges: Int = 3): DataFrame = {
+      df: DataFrame, textCol: String, numMerges: Int = 3,
+      batch: Int = 1): DataFrame =
+    bpeTrainMergesWithRounds(df, textCol, numMerges, batch)._1
+
+  /** [[bpeTrainMerges]] plus the number of driver rounds the training loop
+    * actually ran — the observable a batched-adoption caller sizes B by.
+    *
+    * '''Batched adoption (`batch` > 1).''' A production tokenizer adopts
+    * tens of thousands of merges; one driver round-trip per merge is the
+    * scale bottleneck (32k sequential Spark jobs). Per round this takes the
+    * top-B pairs that form a pairwise symbol-disjoint PREFIX of the ranked
+    * pair list and adopts them in one rewrite + one checkpoint. This is
+    * EXACTLY equivalent to one-at-a-time greedy, by construction:
+    *
+    *  - The batch is a prefix of the (count DESC, pair ASC) ranking, cut at
+    *    the first candidate sharing a symbol — left, right, or the merged
+    *    concatenation — with an earlier adoption ("blocked"). So every
+    *    blocked pair ranks strictly below every adopted pair.
+    *  - Merging a batch pair cannot change the count of any pair disjoint
+    *    from the batch's symbols, and any pair it CAN affect (grown or
+    *    newly created, e.g. `(x, lr)` after `l+r`) decomposes each
+    *    occurrence into one of at most 4 pre-batch adjacencies, every one
+    *    of them blocked — so its count is bounded by 4× the best blocked
+    *    count.
+    *  - Adoption is therefore further truncated to candidates whose count
+    *    strictly exceeds 4× the first blocked candidate's count (the
+    *    ranking makes that the max over all blocked pairs; when the
+    *    collected window is full, the tail count bounds everything unseen).
+    *    Under that bound, sequential greedy provably picks the same pairs
+    *    in the same order.
+    *
+    * Interacting corpora (natural text, where top pairs share symbols)
+    * degrade gracefully to 1-pair rounds — identical to `batch = 1` — while
+    * disjoint-heavy corpora adopt up to B per round, bounding driver rounds
+    * by ~numMerges/B. */
+  def bpeTrainMergesWithRounds(
+      df: DataFrame, textCol: String, numMerges: Int = 3,
+      batch: Int = 1): (DataFrame, Int) = {
     require(numMerges > 0, "numMerges must be positive")
+    require(batch > 0, "batch must be positive")
     val spark = df.sparkSession
     val words = df.select(
       explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("w"))
@@ -101,7 +139,12 @@ object Vocab {
           concat_ws("><", split(col("w"), "(?!$)")), lit(">")).as("enc"),
         col("__wn"))
       .localCheckpoint()
-    val merges = (0 until numMerges).map { rank =>
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rounds = 0
+    while (adopted.size < numMerges) {
+      // the window only needs to cover the batch plus enough tail to locate
+      // the first blocked candidate; model-scale rows either way
+      val window = math.max(4 * batch, 16)
       val syms = regexp_extract_all(col("enc"), lit("<([^>]*)>"), lit(1))
       val top = vocab
         .select(col("__wn"), syms.as("__syms"))
@@ -113,17 +156,43 @@ object Vocab {
         .groupBy(col("p.l").as("left"), col("p.r").as("right"))
         .agg(sum("__wn").as("n"))
         .orderBy(col("n").desc, col("left"), col("right"))
-        .limit(1)
-        .head()
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      vocab = vocab
-        .withColumn("enc", expr(
-          s"replace(enc, '<${l}><${r}>', '<${l}${r}>')"))
-        .localCheckpoint()
-      (rank.toLong, l, r, n)
+        .limit(window)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(top.nonEmpty,
+        s"corpus exhausted after ${adopted.size} merges (no adjacent pairs left)")
+      rounds += 1
+      // disjoint-prefix scan: collect up to `batch` mutually disjoint
+      // candidates, keep scanning only to locate the first blocked pair's
+      // count (the truncation bound); unseen below-window pairs are bounded
+      // by the window tail when the window came back full
+      var blockedBound = if (top.length == window) top.last._3 else 0L
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var taken = Set.empty[String]
+      var stopped = false
+      val it = top.iterator
+      while (!stopped && it.hasNext) {
+        val (l, r, n) = it.next()
+        if (taken(l) || taken(r)) { blockedBound = n; stopped = true }
+        else if (picks.size < batch) {
+          picks += ((l, r, n))
+          taken = taken + l + r + (l + r)
+        }
+      }
+      // c_1 is greedy's pick by definition; later candidates survive only
+      // with counts strictly above anything merge interference can produce
+      val safe = picks.head +: picks.tail.takeWhile(_._3 > 4 * blockedBound)
+      val roundMerges = safe.take(numMerges - adopted.size)
+      val newEnc = roundMerges.foldLeft(col("enc")) { case (e, (l, r, _)) =>
+        call_function("replace", e, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+      }
+      vocab = vocab.withColumn("enc", newEnc).localCheckpoint()
+      roundMerges.foreach { case (l, r, n) =>
+        adopted += ((adopted.size.toLong, l, r, n))
+      }
     }
     import spark.implicits._
-    merges.toDF("merge_rank", "left", "right", "n")
+    (adopted.toSeq.toDF("merge_rank", "left", "right", "n"), rounds)
   }
 
   /** Apply a trained merge table ([[bpeTrainMerges]] output, collected in

@@ -89,6 +89,53 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < chars)
   }
 
+  test("batched merge adoption ≡ sequential greedy on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 4).foreach { trial =>
+      // heavy-interaction corpora (tiny alphabet, so top pairs share
+      // symbols) mixed with disjoint structure (so batches actually adopt
+      // more than one pair) — both regimes must match sequential exactly
+      val alphabet = if (trial % 2 == 0) "abcd" else "abcdefgh"
+      val words = (0 until 30).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } ++ Seq("xy", "zw", "uv", "st") // disjoint high-count tail
+      val rows = words.flatMap(w => Seq.fill(1 + rnd.nextInt(20))(w))
+      val df = rows.toDF("text")
+      val seq = Vocab.bpeTrainMerges(df, "text", numMerges = 6, batch = 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      Seq(2, 8).foreach { b =>
+        val bat = Vocab.bpeTrainMerges(df, "text", numMerges = 6, batch = b)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        assert(bat == seq, s"trial=$trial batch=$b diverged:\nbat $bat\nseq $seq")
+      }
+    }
+  }
+
+  test("batched adoption bounds driver rounds: 16 merges in 2 rounds on disjoint pairs") {
+    import spark.implicits._
+    // 16 two-char words over 32 distinct symbols: every round's ranked list
+    // is fully pairwise-disjoint, so B=8 adopts 8 merges per round
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz", "01", "23", "45")
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(100 - i)(w) }
+    val df = rows.toDF("text")
+    val (batched, rounds) = Vocab.bpeTrainMergesWithRounds(df, "text", numMerges = 16, batch = 8)
+    assert(rounds == 2, s"expected 2 driver rounds, got $rounds")
+    val bat = batched.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    val (seqDf, seqRounds) = Vocab.bpeTrainMergesWithRounds(df, "text", numMerges = 16, batch = 1)
+    assert(seqRounds == 16)
+    val seq = seqDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(bat == seq)
+    // and the adopted table is the expected count-ordered disjoint pairs
+    assert(bat.map(m => m._2 + m._3) == words)
+  }
+
   test("bpeTrainMerges on the fixture corpus: ranks contiguous, counts non-increasing-ish sane") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Vocab.bpeTrainMerges(docs, "text", numMerges = 3)
