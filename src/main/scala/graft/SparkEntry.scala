@@ -712,7 +712,8 @@ object SparkEntry {
       // the operator switches to sign-LSH candidates above exactLimit)
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.mutualKnnGraph(
-        emb, "vec_id", "embedding", k = 3, exactLimit = Long.MaxValue)
+        emb, "vec_id", "embedding", k = 3,
+        mode = graft.llm.Similarity.KnnMode.Exact)
         .select(col("id_a"), col("id_b"),
           col("rank_ab").cast("long").as("rank_ab"),
           col("rank_ba").cast("long").as("rank_ba"))

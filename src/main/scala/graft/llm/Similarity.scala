@@ -479,6 +479,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Directed-top-k strategy for [[mutualKnnGraph]]. The caller knows its
+    * corpus; encoding the choice in the plan (rather than probing the data)
+    * keeps graph CONSTRUCTION job-free — a plan-construction-time corpus
+    * scan is a real cost at 100 TB and a surprise inside any composed
+    * pipeline (pinned by KnnKmvProjectSpec). */
+  sealed trait KnnMode
+  object KnnMode {
+    /** Exact [[bruteForceTopK]] directed edges — the oracle path; only for
+      * corpora small enough to broadcast as the query side. */
+    case object Exact extends KnnMode
+    /** [[lshTopK]] candidates from the (table, bucket) equi-join — the
+      * scale path; recall bought with `numTables`. */
+    case object Lsh extends KnnMode
+    /** Data-dependent choice: exact at or below `exactLimit` ids, LSH
+      * above. EAGER — runs a count() job over the vector table the moment
+      * the graph is constructed (and again on re-construction). Prefer
+      * [[Exact]]/[[Lsh]] in composed pipelines. */
+    final case class Auto(exactLimit: Long) extends KnnMode
+  }
+
   /** Mutual k-NN graph over one embedding table: an undirected edge
     * `(id_a, id_b)` with `id_a < id_b` exists iff b ranks in a's cosine
     * top-k AND a ranks in b's — the standard graph-cleaning step before
@@ -486,22 +506,25 @@ object Similarity {
     * their one-way edges, so clusters stop bleeding through hubs).
     *
     * '''Plan shape (the 100-TB design).''' Directed top-k comes from
-    * [[bruteForceTopK]] at or below `exactLimit` rows (exact — the oracle
-    * path) and from [[lshTopK]] above it (candidates from the
+    * [[bruteForceTopK]] under [[KnnMode.Exact]] (the oracle path) and from
+    * [[lshTopK]] under [[KnnMode.Lsh]] (candidates from the
     * (table, bucket) equi-join, recall bought with `numTables`). The
     * mutuality filter is then a self-equi-join of the directed edge list
     * on BOTH endpoints: edges are (id, id, rank) triples, so the
     * transpose match shuffles ~24 bytes/row however wide the vectors
     * are, and `id_a < id_b` keeps each undirected edge exactly once.
-    * Pass `exactLimit = 0` to force LSH, `Long.MaxValue` to force exact
-    * without the count. */
+    * Construction launches no job except under [[KnnMode.Auto]]. */
   def mutualKnnGraph(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      exactLimit: Long = 100000L,
+      mode: KnnMode = KnnMode.Lsh,
       numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val useExact = exactLimit > 0 &&
-      (exactLimit == Long.MaxValue || vecs.select(idCol).count() <= exactLimit)
+    val useExact = mode match {
+      case KnnMode.Exact => true
+      case KnnMode.Lsh => false
+      case KnnMode.Auto(limit) =>
+        limit > 0 && (limit == Long.MaxValue || vecs.select(idCol).count() <= limit)
+    }
     val directed =
       (if (useExact) bruteForceTopK(vecs, idCol, vecCol, vecs, idCol, vecCol, k)
        else lshTopK(vecs, idCol, vecCol, vecs, idCol, vecCol, k,

@@ -38,19 +38,51 @@ class KnnKmvProjectSpec extends AnyFunSuite {
       if topk(a).contains(b) && topk(b).contains(a)
     } yield (a, b)).toSet
     val got = Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", k,
-      exactLimit = Long.MaxValue)
+      mode = Similarity.KnnMode.Exact)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect, s"got ${got.size} edges, expect ${expect.size}")
     assert(got.nonEmpty)
   }
 
+  test("mutualKnnGraph construction launches no Spark job (Exact and Lsh modes)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // the parquet schema-inference job belongs to INPUT construction —
+    // resolve the input frame before the listener attaches so only graph
+    // construction is measured
+    val vecs = emb
+    vecs.schema
+    // settle any in-flight listener traffic from earlier tests
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", 3,
+        mode = Similarity.KnnMode.Exact)
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", 3,
+        mode = Similarity.KnnMode.Lsh)
+      // listener events post asynchronously — give the bus time to drain
+      Thread.sleep(500)
+      assert(jobs.get == 0,
+        s"constructing the graph DataFrame launched ${jobs.get} Spark jobs")
+      // Auto IS the documented eager mode: a finite limit probes the corpus
+      Similarity.mutualKnnGraph(vecs, "vec_id", "embedding", 3,
+        mode = Similarity.KnnMode.Auto(100L))
+      Thread.sleep(500)
+      assert(jobs.get > 0, "Auto mode should run its documented count probe")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("mutualKnnGraph LSH path keeps recall against the exact graph") {
     val k = 3
     val exact = Similarity.mutualKnnGraph(emb, "vec_id", "embedding", k,
-      exactLimit = Long.MaxValue)
+      mode = Similarity.KnnMode.Exact)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.mutualKnnGraph(emb, "vec_id", "embedding", k,
-      exactLimit = 0, numPlanes = 4, numTables = 16)
+      mode = Similarity.KnnMode.Lsh, numPlanes = 4, numTables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH mutual-graph recall $recall below 0.5 " +

@@ -294,7 +294,8 @@ class PlanSpec extends AnyFunSuite {
   test("mutual kNN graph: the transpose match joins id/rank triples, not vectors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = graft.llm.Similarity.mutualKnnGraph(
-      emb, "vec_id", "embedding", k = 3, exactLimit = Long.MaxValue)
+      emb, "vec_id", "embedding", k = 3,
+      mode = graft.llm.Similarity.KnnMode.Exact)
     val p = plan(q)
     // the mutual self-join must shuffle only (id_a, id_b, rank) triples —
     // a vector column riding through it would multiply shuffle payload
