@@ -555,14 +555,19 @@ object SparkEntry {
       // The fold must reproduce the batch clustering exactly, so the
       // oracle is the same full transitive closure as dedup_groups
       val docs = t(s, dir, "documents")
-      val hist = docs.filter(col("doc_id") % 5 =!= 0)
-      val histAssign = graft.operators.ConnectedComponents.connectedComponents(
-        graft.llm.Dedup.minHashDedupPairs(hist, "doc_id", "text",
-          numHashes = 32, bands = 16, threshold = 0.5).select("id_a", "id_b"))
-      val newPairs = graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+      // ONE shingle→minhash→band pass feeds both legs (the dedup_index_probe
+      // single-lineage motif): signatures and band collisions are per-doc,
+      // so the full-corpus pair list filtered to history×history IS the
+      // history-only pair list — localCheckpoint materializes the shingle
+      // stage once and both legs scan the checkpointed frame
+      val allPairs = graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
           numHashes = 32, bands = 16, threshold = 0.5)
-        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
         .select("id_a", "id_b")
+        .localCheckpoint()
+      val histAssign = graft.operators.ConnectedComponents.connectedComponents(
+        allPairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0))
+      val newPairs = allPairs
+        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
       graft.operators.ConnectedComponents
         .incrementalComponents(histAssign, newPairs)
         .select(col("node").as("doc_id"), col("component"))

@@ -308,6 +308,26 @@ class PlanSpec extends AnyFunSuite {
       s"vectors ride through the mutual join:\n${joins.mkString("\n")}")
   }
 
+  test("incremental dedup clustering: one shingle pass feeds both legs") {
+    // the dedup_groups_incremental motif: LSH pair generation is the
+    // dominant cost, so the history and fresh legs must both scan the
+    // checkpointed pair frame — neither may re-run the shingle explode
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val allPairs = graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b")
+      .localCheckpoint()
+    val histPairs = allPairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val newPairs = allPairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    Seq("hist" -> histPairs, "new" -> newPairs).foreach { case (leg, df) =>
+      val p = plan(df)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$leg leg does not scan the checkpointed pair frame:\n$p")
+      assert(!p.contains("Generate"),
+        s"$leg leg re-runs the shingle explode instead of reusing the checkpoint:\n$p")
+    }
+  }
+
   test("KMV sketch pre-aggregates the distinct map-side before the exchange") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val q = graft.sketch.KmvOps.kmvDistinct(ev, Seq("event_type"), "user_id")
