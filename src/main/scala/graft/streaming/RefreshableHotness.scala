@@ -34,11 +34,14 @@ import graft.sketch.CmsOps
   * standard re-plan pattern for streaming joins — changing a running
   * stream-stream join's salt space would orphan rows buffered under the old
   * fragmentation). StreamSpec pins both halves: the pre-refresh bound and
-  * the post-refresh salting.
+  * the post-refresh salting. [[HotnessOrchestrator]] automates the restart
+  * itself: its monitor measures hot-set drift against the running query's
+  * pinned snapshot and re-plans from checkpointed offsets when it crosses
+  * the threshold.
   */
 final class RefreshableHotness(
-    usingColumns: Seq[String],
-    conf: SkewJoinConf = SkewJoinConf(),
+    val usingColumns: Seq[String],
+    val conf: SkewJoinConf = SkewJoinConf(),
     initialSample: Option[DataFrame] = None) {
 
   private val sketch: CountMinSketch = initialSample match {

@@ -159,6 +159,69 @@ class StreamSpec extends AnyFunSuite {
     got.ensureDatasetEquals(want)
   }
 
+  test("orchestrator: a mid-stream-hot key is salted after an AUTOMATED restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.skew.SkewJoinConf
+    import graft.streaming.{HotnessOrchestrator, RefreshableHotness}
+    val conf = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05)
+    // historical model: key 7 hot, key 99 unseen
+    val hist = (batchEvents.select("user_id") unionAll
+      (1 to 400).map(_ => 7L).toDF("user_id"))
+    val hot = new RefreshableHotness(Seq("user_id"), conf, Some(hist))
+    def repOf(k: Long): Int =
+      Seq(k).toDF("user_id")
+        .withColumn("__rep", hot.replication(spark)).head().getInt(1)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_orch_out_")
+    val joinCkpt = java.nio.file.Files.createTempDirectory("graft_orch_ck_")
+    val monDir = java.nio.file.Files.createTempDirectory("graft_orch_mon_")
+    val monCkpt = java.nio.file.Files.createTempDirectory("graft_orch_mck_")
+    Seq(outDir, joinCkpt, monDir, monCkpt).foreach(_.toFile.deleteOnExit())
+    // rep(99) as seen by each (re)started join: the factory records it at
+    // build time, when the model cannot move (folds happen on this thread)
+    val repAtStart = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def factory(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val ev = StreamOps.eventsStream(spark, s"$sf/events.parquet")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event_id"), col("ts"))
+      val joined = StreamOps.skewedIntervalJoinAdaptive(
+        purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR", hot)
+        .select("p_event_id", "user_id", "c_event_id")
+      repAtStart += repOf(99L)
+      // fixed checkpoint = the restartable-sink contract the helper requires
+      joined.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", joinCkpt.toString)
+        .outputMode("append").start()
+    }
+    val orch = new HotnessOrchestrator(hot, () => factory(), driftThreshold = 1)
+    val first = orch.start()
+    try {
+      first.processAllAvailable()
+      // key 99 becomes hot mid-stream; the orchestrated monitor folds it,
+      // sees the drift, and restarts the join on its own
+      (1 to 400).map(_ => 99L).toDF("user_id")
+        .write.mode("overwrite").parquet(monDir.toString)
+      val mon = orch.attachMonitor(
+        spark.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType))))
+          .parquet(monDir.toString),
+        Some(monCkpt.toString))
+      try mon.processAllAvailable() finally mon.stop()
+      assert(orch.restarts == 1, s"expected 1 automated restart, got ${orch.restarts}")
+      assert(orch.activeQuery.isActive, "restarted query is not running")
+      assert(!(orch.activeQuery eq first), "restart must build a NEW query")
+      // the restarted join was BUILT with the refreshed model: hot mid-stream
+      // key salted, historical hot key still salted, cold key untouched
+      assert(repAtStart.toSeq.length == 2, s"factory ran ${repAtStart.size} times")
+      assert(repAtStart(0) == 1, s"initial query already salted 99: ${repAtStart(0)}")
+      assert(repAtStart(1) > 1, s"restarted query does not salt 99: ${repAtStart(1)}")
+      assert(repOf(7L) > 1, "historical hot key lost its salting")
+    } finally orch.stop()
+  }
+
   test("a checkpointed monitor restart folds each event exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
