@@ -1,0 +1,53 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.KmvOps
+
+/** Property pin for the KMV estimator's error envelope: the relative error
+  * of `(k-1)·M div h_k` has standard deviation ≈ 1/√(k−2) (Bar-Yossef et
+  * al.), so any estimate outside 3σ of truth flags a broken hash or
+  * estimator edit. Seeded: a statistical bound must be deterministic to be
+  * a gate (the envelope leaves slack — observed errors sit well inside it —
+  * but a fresh random seed per run would still make rare 3σ excursions a
+  * flake source). Small groups (< k distinct) must be EXACT. */
+class KmvPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val genCase: Gen[(Long, Seq[(String, Int)], Int)] = for {
+    salt <- Gen.choose(0L, 1000000000L) // varies the hashed value universe
+    k <- Gen.oneOf(8, 16, 32, 64)
+    ns <- Gen.listOfN(3, Gen.choose(1, 4000))
+  } yield (salt, ns.zipWithIndex.map { case (n, j) => (s"g$j", n) }, k)
+
+  test("KMV estimate stays inside the 3-sigma relative-error envelope (property)") {
+    import spark.implicits._
+    val prop = Prop.forAll(genCase) { case (salt, groups, k) =>
+      val rows = groups.flatMap { case (g, n) =>
+        (0 until n).map(i => (g, s"${salt}_${g}_$i"))
+      }
+      val got = KmvOps.kmvDistinct(rows.toDF("g", "v"), Seq("g"), "v", k)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      groups.forall { case (g, n) =>
+        val (nSample, est) = got(g)
+        if (n < k) {
+          assert(nSample == n && est == n,
+            s"group $g: sub-k group must report exactly: n=$n sample=$nSample est=$est")
+        } else {
+          assert(nSample == k, s"group $g: expected a full k-sample, got $nSample")
+          val sigma = 1.0 / math.sqrt(k - 2.0)
+          val relErr = math.abs(est.toDouble / n - 1.0)
+          assert(relErr <= 3 * sigma,
+            s"group $g: k=$k n=$n est=$est relErr=$relErr > 3σ=${3 * sigma}")
+        }
+        true
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20)
+        .withInitialSeed(Seed(20260814L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
