@@ -266,25 +266,41 @@ object Dedup {
     * '''Plan shape (the 100-TB design).''' The pair graph ships id pairs;
     * [[graft.operators.ConnectedComponents]] runs its O(log² n) rounds on
     * ids only; the winner election is ONE map-side-combined
-    * `max(struct(priority, -id))` per component (never a per-component
-    * window over members); and the apply is a broadcast-size anti-join of
-    * loser ids. Priorities join in at id grain — the document payload
-    * never rides through the graph machinery. */
+    * `min(struct(...))` per component (never a per-component window over
+    * members); and the apply is a broadcast-size anti-join of loser ids.
+    * Priorities join in at id grain — the document payload never rides
+    * through the graph machinery.
+    *
+    * Contract: `priorityCol` must be NUMERIC (required at plan build; the
+    * election negates it — `Long.MinValue` priorities are out of contract).
+    * Ids may be any orderable type (nothing negates them). A NULL priority
+    * never beats a non-null one; a component whose members ALL have null
+    * priority keeps its smallest id. */
   def dropNearDuplicatesByPriority(
       df: DataFrame,
       idCol: String,
       priorityCol: String,
       pairs: DataFrame): DataFrame = {
+    require(df.schema(priorityCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"priorityCol '$priorityCol' must be numeric, got " +
+        df.schema(priorityCol).dataType.simpleString)
     val comps = graft.operators.ConnectedComponents
       .connectedComponents(pairs.select("id_a", "id_b"))
     val members = df
       .select(col(idCol).as("__graft_node"), col(priorityCol).as("__graft_pri"))
       .join(comps, col("__graft_node") === col("node"))
+    // min(struct(nullFlag, -priority, id)): non-null priorities first, then
+    // highest priority, then smallest id — no id negation, so string ids
+    // work, and null priorities sort last explicitly instead of by struct
+    // null-ordering accident
     val winners = members
       .groupBy("component")
-      .agg(max(struct(col("__graft_pri").as("p"),
-        (-col("__graft_node")).as("ni"))).as("__graft_w"))
-      .select(col("component"), (-col("__graft_w.ni")).as("__graft_keep"))
+      .agg(min(struct(
+        col("__graft_pri").isNull.cast("int").as("z"),
+        (-coalesce(col("__graft_pri"), lit(0))).as("np"),
+        col("__graft_node").as("i"))).as("__graft_w"))
+      .select(col("component"), col("__graft_w.i").as("__graft_keep"))
     val losers = comps.join(winners, Seq("component"))
       .filter(col("node") =!= col("__graft_keep"))
       .select(col("node").as(idCol))

@@ -65,7 +65,16 @@ object Quantize {
       df: DataFrame, idCol: String, vecCol: String,
       outDim: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val signs = signMatrix(outDim, dim, seed)
-    val q = quantizeInt8(df, idCol, vecCol)
+    val q0 = quantizeInt8(df, idCol, vecCol)
+    // a vector shorter than `dim` would make element_at return NULL under
+    // non-ANSI SQL and every projection silently all-NULL — fail loudly on
+    // the first mismatched row instead
+    val q = q0.withColumn("codes",
+      when(size(col("codes")) === dim, col("codes"))
+        .otherwise(raise_error(concat(
+          lit("signProject: vector length "),
+          size(col("codes")).cast("string"),
+          lit(s" != dim=$dim")))))
     val projections = (0 until outDim).map { j =>
       (0 until dim).map { i =>
         val term = element_at(col("codes"), i + 1)

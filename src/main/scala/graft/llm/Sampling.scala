@@ -224,9 +224,14 @@ object Sampling {
     val ranked = graft.operators.GroupedRank.withGroupRank(
       df.withColumn("__graft_hk", sampleBucket(col(idCol), salt)),
       Seq(strataCol), Seq(col("__graft_hk"), col(idCol)), "__graft_trank")
+    // null-safe quota join (<=>, as GroupedRank ranks null groups): a NULL
+    // stratum is a real stratum — its rows counted into __graft_tot above,
+    // so a plain-equality join would silently drop them from the sample
+    // while their weight still deflated every other stratum's quota
+    val q = quotas.withColumnRenamed(strataCol, "__graft_strata")
     ranked
-      .join(broadcast(quotas), Seq(strataCol))
+      .join(broadcast(q), col(strataCol) <=> col("__graft_strata"))
       .filter(col("__graft_trank") <= col("__graft_q"))
-      .drop("__graft_hk", "__graft_trank", "__graft_q")
+      .drop("__graft_hk", "__graft_trank", "__graft_q", "__graft_strata")
   }
 }

@@ -130,6 +130,55 @@ class KnnKmvProjectSpec extends AnyFunSuite {
     }
   }
 
+  test("signProject fails loudly on a dim mismatch instead of emitting NULLs") {
+    import spark.implicits._
+    val short = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Quantize.signProject(short, "vec_id", "embedding", outDim = 4, dim = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("signProject")),
+      s"expected the dim-mismatch error, got: ${messages(e)}")
+  }
+
+  test("dropNearDuplicatesByPriority: string ids and null priorities") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("a", Some(10L)), ("b", None), ("c", Some(50L)), // chain a-b-c: null pri can't win → keep c
+      ("x", None), ("y", None),                        // all-null pair: keep smaller id x
+      ("solo", Some(1L))
+    ).toDF("id", "pri")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val kept = graft.llm.Dedup
+      .dropNearDuplicatesByPriority(corpus, "id", "pri", pairs)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("c", "x", "solo"), s"kept $kept")
+    // and a non-numeric priority is rejected at plan build, not mid-query
+    val bad = corpus.withColumn("pri", col("pri").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Dedup.dropNearDuplicatesByPriority(bad, "id", "pri", pairs)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
+  test("sampleByTemperature: a NULL stratum is sampled, not silently dropped") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) None else Some(s"s${i % 3}")))
+    val df = rows.toDF("id", "src")
+    val sel = Sampling.sampleByTemperature(df, "id", "src", totalTarget = 80L, "t")
+    val byStratum = sel.groupBy("src").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byStratum.contains(None),
+      s"null stratum missing from the sample: $byStratum")
+    // its quota follows the same sqrt rule as every named stratum: 50 rows
+    // of 200 → a substantial share, not an accidental 1-2 rows
+    assert(byStratum(None) >= 10, s"null-stratum share implausible: $byStratum")
+    assert(sel.count() <= 80L)
+  }
+
   test("dropNearDuplicatesByPriority keeps the best-priority member per cluster") {
     import spark.implicits._
     val corpus = Seq(
