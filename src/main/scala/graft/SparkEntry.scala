@@ -578,6 +578,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
     }),
 
+    "dedup_substring" -> ((s, dir) => {
+      // ExactSubstr (Lee et al. 2021) duplication census: every repeated
+      // 8-token window belongs to its smallest-id doc; later docs count the
+      // union of positions their repeated windows cover. Ownership is one
+      // min-per-gram aggregate; no pairwise stage anywhere.
+      graft.llm.Dedup.exactSubstringDupStats(
+        t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
+    }),
+
     "text_subword" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("lang")
@@ -2759,6 +2768,31 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // replays the ExactSubstr census: 8-token windows via a bounded lateral
+    // range (fixture max ~100 tokens/doc), ownership = min doc_id per gram,
+    // coverage = DISTINCT positions under any later-doc occurrence. Pure
+    // integer/string ops — hash-exact against the Spark explode pipeline.
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |g AS (
+        |  SELECT doc_id, r.p AS p, array_to_string(toks[r.p:r.p+7], ' ') AS gram
+        |  FROM tok CROSS JOIN range(1, 128) AS r(p)
+        |  WHERE n >= 8 AND r.p <= n - 7),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+        |dup AS (SELECT g.doc_id, g.p FROM g JOIN own USING (gram)
+        |        WHERE g.doc_id > own.owner),
+        |cov AS (SELECT DISTINCT doc_id, p + q.o AS pos
+        |        FROM dup CROSS JOIN range(0, 8) AS q(o)),
+        |c AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+        |SELECT tok.doc_id, tok.n::BIGINT AS n_tokens,
+        |  coalesce(c.n_dup, 0)::BIGINT AS n_dup_tokens
+        |FROM tok LEFT JOIN c USING (doc_id)""".stripMargin,
 
     // RE2 (DuckDB) has no lookarounds, so the Spark-side boundary split is
     // re-expressed as: maximal alphanumeric runs + non-alnum non-space chars.

@@ -827,4 +827,62 @@ object Dedup {
     lshVerifiedPairs(docs, "gr", numHashes = numHashes, bands = bands,
       threshold = threshold, maxBucketSize = 256)
   }
+
+  /** Exact-substring duplication statistics (the ExactSubstr policy of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at token-window granularity): every `windowTokens`-
+    * token window repeated across documents belongs to the FIRST document
+    * containing it (smallest id — the keep-first convention of
+    * [[dropDuplicateParagraphs]]); in every later document, the positions
+    * its occurrences cover count as duplicated span. Returns per document
+    * `(id, n_tokens, n_dup_tokens)` — n_dup_tokens is the size of the UNION
+    * of covered positions (overlapping duplicated windows are not double
+    * counted), the number a span-stripping pass would remove.
+    *
+    * '''Plan shape (the 100-TB design).''' Window extraction is a narrow
+    * per-doc explode (positions × docs — the same volume the shingle
+    * pipelines already ship). Ownership is one map-side-combined
+    * `min(doc)` per gram. The occurrence⋈owner equi-join carries only
+    * (doc, pos) against a gram-grain table with NO row amplification
+    * (one owner row per gram); a degenerate boilerplate gram skews that
+    * join's key, which is left to AQE's runtime skew split rather than a
+    * plan-construction-time sketch job — the [[stripBoilerplateBlocks]]
+    * pass upstream is the structural fix for chrome-dominated corpora.
+    * Coverage is a bounded explode (≤ windowTokens × duplicated
+    * occurrences) into a map-side-combined distinct. */
+  def exactSubstringDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be at least 2")
+    val w = windowTokens
+    val base = df
+      .select(col(idCol).as("__graft_doc"),
+        TextStats.tokens(normalizeText(col(textCol))).as("__graft_toks"))
+      .withColumn("__graft_n", size(col("__graft_toks")))
+    val grams = base.filter(col("__graft_n") >= w)
+      .select(col("__graft_doc"),
+        explode(transform(
+          sequence(lit(1), col("__graft_n") - (w - 1)),
+          p => struct(p.as("p"),
+            concat_ws(" ", slice(col("__graft_toks"), p, lit(w))).as("gram")))).as("g"))
+      .select(col("__graft_doc"), col("g.p").as("__graft_p"),
+        col("g.gram").as("__graft_gram"))
+    val owners = grams.groupBy("__graft_gram")
+      .agg(min("__graft_doc").as("__graft_owner"))
+    val covered = grams.join(owners, Seq("__graft_gram"))
+      .filter(col("__graft_doc") > col("__graft_owner"))
+      .select(col("__graft_doc"),
+        explode(sequence(col("__graft_p"),
+          col("__graft_p") + (w - 1))).as("__graft_pos"))
+      .distinct()
+      .groupBy("__graft_doc")
+      .agg(count(lit(1)).as("__graft_dup"))
+    base.select(col("__graft_doc"), col("__graft_n"))
+      .join(covered, Seq("__graft_doc"), "left")
+      .select(col("__graft_doc").as(idCol),
+        col("__graft_n").cast("long").as("n_tokens"),
+        coalesce(col("__graft_dup"), lit(0L)).as("n_dup_tokens"))
+  }
 }

@@ -537,6 +537,32 @@ class LlmSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("exactSubstringDupStats: ownership, overlap-union coverage, sub-window docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      // doc 1 owns the repeated span (smallest id)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 one"),
+      // doc 2 repeats the 8-token span at its start: positions 1..8 covered
+      (2L, "alpha beta gamma delta epsilon zeta eta theta unique2 two"),
+      // doc 3 repeats 9 tokens (two OVERLAPPING 8-windows): union = 9, not 16
+      (3L, "alpha beta gamma delta epsilon zeta eta theta unique1 three"),
+      // doc 4 shares nothing
+      (4L, "totally different words with no duplicated span at all here"),
+      // doc 5 too short for any 8-window
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup
+      .exactSubstringDupStats(corpus, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((10L, 0L)), s"owner doc must keep its span: ${got(1L)}")
+    assert(got(2L) == ((10L, 8L)), s"one repeated window covers 8: ${got(2L)}")
+    // doc 3: windows at p=1 (tokens 1-8) and p=2 (tokens 2-9, 'beta..unique1'
+    // owned by doc 1) overlap — union of covered positions is 9
+    assert(got(3L) == ((10L, 9L)), s"overlapping windows must union: ${got(3L)}")
+    assert(got(4L) == ((10L, 0L)), s"disjoint doc flagged: ${got(4L)}")
+    assert(got(5L) == ((2L, 0L)), s"sub-window doc must appear with 0: ${got(5L)}")
+  }
+
   test("audio decode: REAL javax.sound.sampled PCM round-trips the generating formula") {
     import spark.implicits._
     // driver-side reference from the synthesis formula — no audio code
