@@ -587,6 +587,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
     }),
 
+    "dedup_substring_apply" -> ((s, dir) => {
+      // the apply side: rebuild every doc with its duplicated spans removed
+      // (kept tokens rejoined at the normalized grain); the full rewritten
+      // text rides into the hash compare, so a one-token slip anywhere in
+      // the strip or the ordered rebuild breaks it
+      graft.llm.Dedup.stripDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
+    }),
+
     "text_subword" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("lang")
@@ -2793,6 +2802,36 @@ object SparkEntry {
         |SELECT tok.doc_id, tok.n::BIGINT AS n_tokens,
         |  coalesce(c.n_dup, 0)::BIGINT AS n_dup_tokens
         |FROM tok LEFT JOIN c USING (doc_id)""".stripMargin,
+
+    // same coverage CTEs as dedup_substring, then the strip: kept tokens =
+    // positions under no duplicated window, rebuilt in position order
+    "dedup_substring_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |g AS (
+        |  SELECT doc_id, r.p AS p, array_to_string(toks[r.p:r.p+7], ' ') AS gram
+        |  FROM tok CROSS JOIN range(1, 128) AS r(p)
+        |  WHERE n >= 8 AND r.p <= n - 7),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+        |dup AS (SELECT g.doc_id, g.p FROM g JOIN own USING (gram)
+        |        WHERE g.doc_id > own.owner),
+        |cov AS (SELECT DISTINCT doc_id, p + q.o AS pos
+        |        FROM dup CROSS JOIN range(0, 8) AS q(o)),
+        |pos AS (SELECT doc_id, r.p AS pos, toks[r.p] AS tok
+        |        FROM tok CROSS JOIN range(1, 128) AS r(p) WHERE r.p <= n),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+        |         LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+        |         WHERE c.doc_id IS NULL),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY pos) AS txt
+        |      FROM kept GROUP BY doc_id)
+        |SELECT tok.doc_id, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(k.txt, '') AS text_kept
+        |FROM tok LEFT JOIN k USING (doc_id)""".stripMargin,
 
     // RE2 (DuckDB) has no lookarounds, so the Spark-side boundary split is
     // re-expressed as: maximal alphanumeric runs + non-alnum non-space chars.

@@ -855,6 +855,62 @@ object Dedup {
       idCol: String,
       textCol: String,
       windowTokens: Int = 8): DataFrame = {
+    val (base, covered) = substringCoverage(df, idCol, textCol, windowTokens)
+    val dup = covered
+      .groupBy("__graft_doc")
+      .agg(count(lit(1)).as("__graft_dup"))
+    base.select(col("__graft_doc"), col("__graft_n"))
+      .join(dup, Seq("__graft_doc"), "left")
+      .select(col("__graft_doc").as(idCol),
+        col("__graft_n").cast("long").as("n_tokens"),
+        coalesce(col("__graft_dup"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** Apply side of [[exactSubstringDupStats]]: rebuild each document with
+    * its duplicated spans REMOVED — the kept tokens (positions not covered
+    * by any later-doc repeated window) rejoined with single spaces at the
+    * normalized-text grain the census measures. The first (smallest-id)
+    * document of every repeated span keeps it; documents emptied entirely
+    * come back as empty strings, never dropped.
+    *
+    * '''Plan shape.''' Coverage as in the census; the strip is one
+    * posexplode + anti-join on (doc, position) + one per-doc ordered
+    * rebuild (sorted struct collect — per-doc token counts, never a global
+    * sort). */
+  def stripDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val (base, covered) = substringCoverage(df, idCol, textCol, windowTokens)
+    val toks = base
+      .select(col("__graft_doc"),
+        posexplode(col("__graft_toks")).as(Seq("__graft_i", "__graft_tok")))
+      .select(col("__graft_doc"), (col("__graft_i") + 1).as("__graft_pos"),
+        col("__graft_tok"))
+    val rebuilt = toks
+      .join(covered, Seq("__graft_doc", "__graft_pos"), "left_anti")
+      .groupBy("__graft_doc")
+      .agg(count(lit(1)).as("__graft_keep"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            col("__graft_pos").as("p"), col("__graft_tok").as("t")))),
+          s => s.getField("t")), " ").as("__graft_txt"))
+    base.select(col("__graft_doc"))
+      .join(rebuilt, Seq("__graft_doc"), "left")
+      .select(col("__graft_doc").as(idCol),
+        coalesce(col("__graft_keep"), lit(0L)).as("n_kept"),
+        coalesce(col("__graft_txt"), lit("")).as("text_kept"))
+  }
+
+  /** Shared coverage computation for the ExactSubstr census/apply pair:
+    * returns (per-doc base with token arrays, DISTINCT duplicated
+    * positions). See [[exactSubstringDupStats]] for the plan-shape notes. */
+  private def substringCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): (DataFrame, DataFrame) = {
     require(windowTokens >= 2, "windowTokens must be at least 2")
     val w = windowTokens
     val base = df
@@ -877,12 +933,6 @@ object Dedup {
         explode(sequence(col("__graft_p"),
           col("__graft_p") + (w - 1))).as("__graft_pos"))
       .distinct()
-      .groupBy("__graft_doc")
-      .agg(count(lit(1)).as("__graft_dup"))
-    base.select(col("__graft_doc"), col("__graft_n"))
-      .join(covered, Seq("__graft_doc"), "left")
-      .select(col("__graft_doc").as(idCol),
-        col("__graft_n").cast("long").as("n_tokens"),
-        coalesce(col("__graft_dup"), lit(0L)).as("n_dup_tokens"))
+    (base, covered)
   }
 }

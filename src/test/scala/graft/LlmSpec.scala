@@ -561,6 +561,22 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3L) == ((10L, 9L)), s"overlapping windows must union: ${got(3L)}")
     assert(got(4L) == ((10L, 0L)), s"disjoint doc flagged: ${got(4L)}")
     assert(got(5L) == ((2L, 0L)), s"sub-window doc must appear with 0: ${got(5L)}")
+
+    // the apply side strips exactly the census's covered positions and
+    // rebuilds in position order
+    val stripped = graft.llm.Dedup
+      .stripDuplicatedSpans(corpus, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(stripped(1L)._2 ==
+      "alpha beta gamma delta epsilon zeta eta theta unique1 one",
+      s"owner doc must keep its text: ${stripped(1L)}")
+    assert(stripped(2L) == ((2L, "unique2 two")), s"strip failed: ${stripped(2L)}")
+    assert(stripped(3L) == ((1L, "three")), s"overlap strip failed: ${stripped(3L)}")
+    assert(stripped(5L) == ((2L, "short doc")), s"sub-window doc: ${stripped(5L)}")
+    // census and apply agree: n_tokens - n_dup_tokens == n_kept
+    got.foreach { case (id, (n, dup)) =>
+      assert(stripped(id)._1 == n - dup, s"doc $id: census/apply disagree")
+    }
   }
 
   test("audio decode: REAL javax.sound.sampled PCM round-trips the generating formula") {
