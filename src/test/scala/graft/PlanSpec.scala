@@ -328,6 +328,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring census: min-per-gram partial aggregate, no pairwise stage") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Dedup.exactSubstringDupStats(docs, "doc_id", "text", 8)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise/cartesian stage in the substring census:\n$p")
+    // gram ownership must map-side combine: partial HashAggregate below the
+    // gram exchange, so a boilerplate gram ships one row per task, not per
+    // occurrence
+    val exIdx = p.indexOf("Exchange hashpartitioning(__graft_gram")
+    assert(exIdx > 0, s"no gram exchange in census plan:\n$p")
+    assert(p.substring(exIdx).contains("HashAggregate"),
+      s"gram ownership does not pre-aggregate map-side:\n$p")
+  }
+
   test("KMV sketch pre-aggregates the distinct map-side before the exchange") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val q = graft.sketch.KmvOps.kmvDistinct(ev, Seq("event_type"), "user_id")
