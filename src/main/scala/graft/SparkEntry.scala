@@ -1006,6 +1006,16 @@ object SparkEntry {
       graft.llm.Multimodal.documentAudioStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_video" -> ((s, dir) => {
+      // REAL multi-frame video decode: a deterministic animated GIF (an
+      // explicit 256-gray palette makes the encoding lossless) is written
+      // per doc_id by the JDK's ImageIO sequence writer, then the GIF
+      // ImageReader decodes every SAMPLED frame's actual pixels — the
+      // frame-sample shape of a production video featurizer, with the
+      // oracle replaying frame/pixel sums from the generating formula.
+      graft.llm.Multimodal.documentVideoStats(s, t(s, dir, "documents"))
+    }),
+
     "events_quantiles" -> ((s, dir) => {
       // exact order-statistic quantiles (actual elements, no interpolation
       // arithmetic — the engine-portable exact contract)
@@ -3041,6 +3051,25 @@ object SparkEntry {
         |FROM documents d
         |CROSS JOIN range(0, 96) AS i(i)
         |WHERE i.i < 64 + d.doc_id % 32
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // replays Multimodal.synthesizeGif: frames f of clip id are a
+    // (8+id%4)×(8+id%3) gray grid with pixel (x,y) = (id·13 + f·29 + x·7 +
+    // y·3) mod 256 over 2+id%3 frames; frameStride=2 sums frames 0,2,…
+    "multimodal_video" ->
+      """SELECT d.doc_id AS media_id,
+        |  (2 + d.doc_id % 3)::BIGINT AS n_frames,
+        |  (8 + d.doc_id % 4)::BIGINT AS width,
+        |  (8 + d.doc_id % 3)::BIGINT AS height,
+        |  sum(CASE WHEN f.f % 2 = 0
+        |    THEN (d.doc_id * 13 + f.f * 29 + x.x * 7 + y.y * 3) % 256
+        |    ELSE 0 END)::BIGINT AS sampled_gray_sum
+        |FROM documents d
+        |CROSS JOIN range(0, 4) AS f(f)
+        |CROSS JOIN range(0, 11) AS x(x)
+        |CROSS JOIN range(0, 10) AS y(y)
+        |WHERE f.f < 2 + d.doc_id % 3
+        |  AND x.x < 8 + d.doc_id % 4 AND y.y < 8 + d.doc_id % 3
         |GROUP BY d.doc_id""".stripMargin,
 
     // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * North-star extension surface (SURVEY.md §2.4). Three decode paths:
+  * North-star extension surface (SURVEY.md §2.4). Four decode paths, three
+  * of them REAL decoders:
   *
   *  - '''Real image decode''' ([[decodeImageStats]]): PNG/JPEG/BMP/GIF
   *    payloads are decoded to actual pixels with the JDK's built-in
@@ -28,11 +29,16 @@ import org.apache.spark.sql.functions._
   *    `mapPartitions` batch shape. Exact integer stats (sample count,
   *    sample sums, zero-crossing count) make the `multimodal_audio` oracle
   *    replayable from the generating formula.
+  *  - '''Real multi-frame video decode''' ([[decodeVideoStats]]): animated
+  *    GIF payloads — a genuine moving-picture container the JDK decodes
+  *    frame-by-frame — are frame-SAMPLED and each sampled frame decoded to
+  *    actual pixels; with an explicit 256-gray palette the encoding is
+  *    lossless, so the `multimodal_video` oracle replays exactly.
   *  - '''Opaque payload featurization''' ([[extractFeatures]]): for
-  *    payloads with no decoder in this environment (video codecs,
-  *    embedding models), a deterministic byte-hash feature stands in. The
-  *    Spark-side dataflow — schema, binary packing, partition-batched
-  *    processing shape — is the real thing either way.
+  *    payloads whose codecs genuinely don't exist in the JDK (H.264/VP9,
+  *    MP3/Opus, embedding models), a deterministic byte-hash feature
+  *    stands in. The Spark-side dataflow — schema, binary packing,
+  *    partition-batched processing shape — is the real thing either way.
   */
 object Multimodal {
 
@@ -263,6 +269,126 @@ object Multimodal {
       it.map(id => AudioRecord(id, synthesizeWav(id)))
     }
     decodeAudioStats(records).toDF()
+  }
+
+  // ----------------------------------------------------------------- video
+
+  /** A video payload (a complete animated-GIF file) and its id. */
+  case class VideoRecord(media_id: Long, content: Array[Byte])
+
+  /** Exact per-clip statistics from REAL multi-frame decode: frame count,
+    * dimensions, and the integer gray-value sum over the SAMPLED frames
+    * (every `frameStride`-th) — the frame-sampling shape a video feature
+    * pipeline has, with integer stats so the contract is bit-exact. */
+  case class VideoStats(
+      media_id: Long,
+      n_frames: Long,
+      width: Long,
+      height: Long,
+      sampled_gray_sum: Long)
+
+  private def grayPalette = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Deterministic multi-frame grayscale animation for `id`, encoded as a
+    * real animated GIF by the JDK's `ImageIO` sequence writer (no native
+    * dependencies). `n_frames = 2 + id%3`, `width = 8 + id%4`,
+    * `height = 8 + id%3`, and pixel (x,y) of frame f is gray value
+    * `(id·13 + f·29 + x·7 + y·3) mod 256` — the frames use an explicit
+    * 256-gray palette, so GIF encoding is lossless by construction and the
+    * multimodal_video oracle can replay every decoded statistic from the
+    * formula. */
+  def synthesizeGif(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeGif needs a non-negative id, got $id")
+    val nF = 2 + (id % 3).toInt
+    val w = 8 + (id % 4).toInt
+    val h = 8 + (id % 3).toInt
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF ImageWriter unavailable")
+    val writer = writers.next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nF) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id * 13 + f * 29 + x * 7 + y * 3) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** REAL multi-frame decode with frame sampling: each payload is parsed by
+    * the JDK's GIF `ImageReader`, every `frameStride`-th frame is decoded
+    * to actual pixels, and the clip reduces to exact integer stats. The
+    * frame-sample-then-featurize shape of a production video pipeline, with
+    * a real container and a real decoder. Same `mapPartitions` batch
+    * boundary as the image/audio paths. */
+  def decodeVideoStats(
+      records: Dataset[VideoRecord], frameStride: Int = 2): Dataset[VideoStats] = {
+    require(frameStride >= 1, "frameStride must be at least 1")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val readers = ImageIO.getImageReadersByFormatName("gif")
+        require(readers.hasNext, "JDK GIF ImageReader unavailable")
+        val reader = readers.next()
+        reader.setInput(
+          ImageIO.createImageInputStream(new ByteArrayInputStream(rec.content)))
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media_id=${rec.media_id}: payload is not a decodable GIF")
+        var graySum = 0L
+        var w = 0L; var h = 0L
+        var f = 0
+        while (f < n) {
+          if (f % frameStride == 0) {
+            val img = reader.read(f)
+            w = img.getWidth.toLong; h = img.getHeight.toLong
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                graySum += img.getRGB(x, y) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        reader.dispose()
+        VideoStats(rec.media_id, n.toLong, w, h, graySum)
+      }
+    }
+  }
+
+  /** End-to-end real-decode video pipeline over the documents table:
+    * synthesize a deterministic animated GIF per doc_id, decode REAL frames
+    * back out with frame sampling, reduce to exact stats. Shuffle-free
+    * narrow maps end to end. */
+  def documentVideoStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => VideoRecord(id, synthesizeGif(id)))
+    }
+    decodeVideoStats(records).toDF()
   }
 
   // ------------------------------------------------------- opaque payloads

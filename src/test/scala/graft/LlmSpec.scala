@@ -620,4 +620,42 @@ class LlmSpec extends AnyFunSuite {
     val e = intercept[Exception] { Multimodal.decodeAudioStats(bogus).collect() }
     assert(e.getMessage != null)
   }
+
+  test("video decode: REAL multi-frame GIF round-trips the generating formula") {
+    import spark.implicits._
+    // driver-side reference from the synthesis formula — no image code;
+    // frameStride=2 samples frames 0, 2, ...
+    def reference(id: Long): (Long, Long, Long, Long) = {
+      val nF = 2 + (id % 3); val w = 8 + (id % 4); val h = 8 + (id % 3)
+      var s = 0L
+      for (f <- 0L until nF if f % 2 == 0; y <- 0L until h; x <- 0L until w)
+        s += (id * 13 + f * 29 + x * 7 + y * 3) % 256
+      (nF, w, h, s)
+    }
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.VideoRecord(id, Multimodal.synthesizeGif(id)))
+    // the payloads are genuine GIF89a containers, not a fake wrapper
+    val head = records.head().content
+    assert(head.take(6).toSeq == "GIF89a".getBytes("US-ASCII").toSeq ||
+      head.take(6).toSeq == "GIF87a".getBytes("US-ASCII").toSeq,
+      s"not a GIF header: ${head.take(6).toSeq}")
+    val got = Multimodal.decodeVideoStats(records, frameStride = 2).collect()
+      .map(s => s.media_id -> ((s.n_frames, s.width, s.height, s.sampled_gray_sum)))
+      .toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      assert(got(id) == reference(id), s"decoded stats diverge for id=$id")
+    }
+    val got7 = Multimodal.decodeVideoStats(records.repartition(7), frameStride = 2)
+      .collect().map(s => s.media_id -> ((s.n_frames, s.width, s.height,
+        s.sampled_gray_sum))).toMap
+    assert(got7 == got)
+  }
+
+  test("video decode fails loudly on undecodable payloads") {
+    import spark.implicits._
+    val bogus = Seq(Multimodal.VideoRecord(1L, Array[Byte](9, 9, 9, 9))).toDS()
+    val e = intercept[Exception] { Multimodal.decodeVideoStats(bogus).collect() }
+    assert(e.getMessage != null)
+  }
 }
