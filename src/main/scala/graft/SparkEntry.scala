@@ -1023,6 +1023,20 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "value", Seq(0.5, 0.9))
     }),
 
+    "pagerank_bipartite" -> ((s, dir) => {
+      // fixed-point integer PageRank over the user↔event_type bipartite
+      // graph (both directions, so every node has out-edges): integer
+      // multiply-then-div damping and floored per-neighbor contributions
+      // make 4 iterations bit-exact under any partition order — the oracle
+      // unrolls them as CTEs with the same arithmetic
+      val ev = events(s, dir)
+        .select(concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val both = ev.unionAll(ev.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.pageRankInt(both, "src", "dst", iters = 4)
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // interchange sink/source: corpus → JSONL → back, aggregated to prove
       // values (incl. unicode text and long ids) survive bit-exactly
@@ -1422,6 +1436,34 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH ${bpeTrainCtes(numMerges)}
        |SELECT merge_rank, l AS "left", r AS "right", n FROM ($union)""".stripMargin
+  }
+
+  /** Generated oracle for `pagerank_bipartite`: the fixed-point integer
+    * PageRank iterations unrolled as CTEs — identical `//` floor
+    * arithmetic, per-neighbor contributions floored before the sum, so the
+    * ranks are bit-exact. Sums cast back to BIGINT (DuckDB sum(BIGINT) is
+    * HUGEINT; Spark's is BIGINT and the compare is type-sensitive). */
+  private def pageRankSql(iters: Int = 4, scale: Long = 1000000000L): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT no.node,
+         |  ((15 * ${scale}::BIGINT) // (100 * nn.n)
+         |    + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS s
+         |  FROM nodes no CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.s // deg.d)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+       |    'e' || event_type AS dst FROM events),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT node, (${scale}::BIGINT // n)::BIGINT AS s
+       |  FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, s AS rank_scaled FROM r$iters""".stripMargin
   }
 
   /** Generated oracle for `bpe_encode`: the training chain from
@@ -2113,6 +2155,8 @@ object SparkEntry {
     "ann_multiprobe" -> annMultiprobeSql(),
 
     "bpe_train" -> bpeTrainSql(),
+
+    "pagerank_bipartite" -> pageRankSql(),
 
     "bpe_encode" -> bpeEncodeSql(),
 
