@@ -1037,6 +1037,55 @@ object SparkEntry {
       graft.operators.PageRank.pageRankInt(both, "src", "dst", iters = 4)
     }),
 
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot-versioning audit: two simulated materializations of the
+      // corpus (drops on each side + an appended-marker "edit" slice)
+      // diffed to added/removed/changed/unchanged; the join ships 16-byte
+      // md5 fingerprints, never document bodies
+      val docs = t(s, dir, "documents")
+      val oldC = docs.filter(col("doc_id") % 17 =!= 0)
+      val newC = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit("~v2"))).otherwise(col("text")))
+      graft.llm.CorpusDiff.diff(oldC, newC, "doc_id", "text")
+    }),
+
+    "sample_weighted" -> ((s, dir) => {
+      // priority sampling (Duffield–Lund–Thorup): char-count-weighted
+      // without-replacement top-20 per source; priority = w·1e6/(hash+1)
+      // is one exact product + one IEEE division — engine-identical, no
+      // transcendental exponential keys
+      graft.llm.Sampling.samplePriority(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars",
+        k = 20, salt = ":wps")
+        .select("doc_id", "source", "sample_rank")
+    }),
+
+    "outlier_mad" -> ((s, dir) => {
+      // robust per-language length-anomaly filter: |x − median| > 2·MAD
+      // with BOTH medians as discrete order statistics — the whole rule is
+      // exact long arithmetic, no interpolation ulps
+      graft.operators.RobustStats.outliers(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars", threshold = 2L)
+        .select("doc_id", "lang", "n_chars", "med", "mad", "dev")
+    }),
+
+    "inverted_index" -> ((s, dir) => {
+      // retrieval index build: term → (doc, tf, first token position) via
+      // one posexplode + one map-side-combined aggregate — never a
+      // per-term window
+      graft.llm.InvertedIndex.postings(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval with rational Robertson idf (no log ulps) and
+      // per-term micro-scores floored BEFORE the per-doc sum, so the
+      // aggregate is exact integer arithmetic under any shuffle order
+      graft.llm.InvertedIndex.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "merge", "window", "scan"), k = 15)
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // interchange sink/source: corpus → JSONL → back, aggregated to prove
       // values (incl. unicode text and long ids) survive bit-exactly
@@ -2157,6 +2206,98 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql(),
 
     "pagerank_bipartite" -> pageRankSql(),
+
+    // replays the fingerprint diff: the edit slice appends the same marker,
+    // the classification CASE mirrors the operator's null-ness order
+    "corpus_diff" ->
+      """WITH oldc AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 17 != 0),
+        |newc AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+        |    THEN text || '~v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // priority sampling: w·1e6/(hash+1) is one exact integer product and
+    // one IEEE division — bit-identical in both engines; ties break by id
+    "sample_weighted" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':wps'), 1, 15))::BIGINT
+        |      % 1000000 AS b
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |  n_chars::DOUBLE * 1000000.0 / (b + 1) AS pri FROM w),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY pri DESC, doc_id) AS sample_rank FROM p)
+        |SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+
+    // both medians are discrete order statistics (the events_quantiles
+    // motif), so the whole |x−med| > 2·MAD rule is exact long arithmetic
+    "outlier_mad" ->
+      """WITH m AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |med AS (SELECT lang, max(CASE WHEN rn = greatest(1, ceil(n * 0.5))
+        |    THEN n_chars END) AS med FROM m GROUP BY lang),
+        |d AS (SELECT doc_id, documents.lang, n_chars, med.med,
+        |    abs(n_chars - med.med) AS dev
+        |  FROM documents JOIN med ON documents.lang = med.lang),
+        |m2 AS (SELECT lang, dev,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |mad AS (SELECT lang, max(CASE WHEN rn = greatest(1, ceil(n * 0.5))
+        |    THEN dev END) AS mad FROM m2 GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad, d.dev
+        |FROM d JOIN mad ON d.lang = mad.lang
+        |WHERE d.dev > 2 * mad.mad""".stripMargin,
+
+    // postings replay: the dedup_substring bounded-lateral motif gives
+    // token positions; tf + 0-based first position per (term, doc)
+    "inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |g AS (SELECT doc_id, r.p - 1 AS pos, toks[r.p] AS term
+        |  FROM tok CROSS JOIN range(1, 512) AS r(p) WHERE r.p <= n)
+        |SELECT term, doc_id, count(*) AS tf, min(pos)::BIGINT AS first_pos
+        |FROM g GROUP BY term, doc_id""".stripMargin,
+
+    // BM25 with rational Robertson idf — the FP op tree mirrors the Spark
+    // side token for token (every op IEEE correctly-rounded, so the floored
+    // micro-contributions are identical before the exact integer sum)
+    "bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks)::BIGINT AS len FROM t),
+        |stats AS (SELECT sum(len)::BIGINT AS totlen, count(*)::BIGINT AS n
+        |  FROM base),
+        |hits AS (SELECT doc_id, len, unnest(list_filter(toks,
+        |    x -> x IN ('hash', 'merge', 'window', 'scan'))) AS term FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(len) AS len
+        |  FROM hits GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    floor(((n - df_docs + 0.5) / (df_docs + 0.5)) *
+        |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (len::DOUBLE / (totlen::DOUBLE / n))))) *
+        |      1000000.0)::BIGINT AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |s AS (SELECT doc_id, sum(c)::BIGINT AS score_micro FROM c
+        |  GROUP BY doc_id),
+        |r AS (SELECT doc_id, score_micro, row_number() OVER (
+        |  ORDER BY score_micro DESC, doc_id) AS rank FROM s)
+        |SELECT doc_id, score_micro, rank FROM r WHERE rank <= 15""".stripMargin,
 
     "bpe_encode" -> bpeEncodeSql(),
 

@@ -234,4 +234,41 @@ object Sampling {
       .filter(col("__graft_trank") <= col("__graft_q"))
       .drop("__graft_hk", "__graft_trank", "__graft_q", "__graft_strata")
   }
+
+  /** Deterministic weighted sampling without replacement, k rows per
+    * stratum: priority sampling (Duffield–Lund–Thorup, JACM '07). Each row
+    * gets priority `q = w / u` with `u` uniform on (0,1] derived from the
+    * row's own id hash; the k highest-priority rows per stratum are the
+    * sample. Inclusion probability is ∝ weight (length-/quality-weighted
+    * corpus selection), yet membership is a pure function of
+    * (id, weight, salt): reproducible on any cluster, join-stable, exactly
+    * SQL-replayable — none of which holds for RNG-stream `sample()`.
+    *
+    * '''Determinism across engines.''' `u = (bucket+1)/1e6` and
+    * `q = w·1e6/(bucket+1)`: the product is exact for integer weights up to
+    * 2^33 (·1e6 stays under 2^53) and the one division is IEEE
+    * correctly-rounded everywhere — no transcendentals (the classic
+    * exponential-key formulation `u^(1/w)` needs `ln`, whose last ulp is
+    * libm-dependent; priority sampling's `w/u` form avoids it).
+    *
+    * '''Plan shape (100-TB).''' Priorities are a narrow codegen'd map;
+    * per-stratum top-k is a [[graft.operators.GroupedRank]] — no
+    * single-task sort when one stratum dominates. Ties (equal priority)
+    * break by id, so the sample is a total function of the inputs. */
+  def samplePriority(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "",
+      rankCol: String = "sample_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pri = col(weightCol).cast("double") * lit(Buckets.toDouble) /
+      (sampleBucket(col(idCol), salt) + lit(1L)).cast("double")
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      df.withColumn("__graft_pri", pri),
+      Seq(strataCol), Seq(col("__graft_pri").desc, col(idCol)), rankCol)
+    ranked.filter(col(rankCol) <= k).drop("__graft_pri")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: median / MAD
+  * (median-absolute-deviation) z-scores. Mean/stddev outlier rules break on
+  * exactly the data they're meant to find — a handful of giant documents
+  * drags the mean toward themselves — so corpus-quality pipelines flag on
+  * `|x − median| > t·MAD` instead (the standard robust filter for
+  * document-length / field-size anomalies).
+  *
+  * '''All-integer order statistics.''' Both medians are the house "lower
+  * discrete quantile" order statistic ([[Quantiles.groupQuantiles]]):
+  * actual elements of the group, never interpolated — so for integer
+  * inputs the whole rule (`|x − med| > t·mad`) is exact long arithmetic,
+  * bit-identical across engines and partitionings. (Interpolating medians
+  * differ in the last ulp between implementations; approx sketches aren't
+  * deterministic at all.)
+  *
+  * '''Plan shape (100-TB).''' Two [[Quantiles.groupQuantiles]] passes (the
+  * median, then the median of deviations), each a range-partitioned
+  * [[GroupedRank]] — no per-group single-task window sort when one group
+  * holds most of the corpus. The per-group stats frames are #groups rows;
+  * the joins back are null-safe on the group key (NULL is an ordinary
+  * group) and AQE broadcasts them when small.
+  */
+object RobustStats {
+
+  /** `df` plus `medCol` / `madCol` / `devCol`: each row tagged with its
+    * group's median, MAD, and its own absolute deviation. `valueCol` must
+    * be integral (the exactness contract above). */
+  def withRobustStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      medCol: String = "med",
+      madCol: String = "mad",
+      devCol: String = "dev"): DataFrame = {
+    def joinBack(rows: DataFrame, stats: DataFrame, statCol: String,
+        outCol: String): DataFrame = {
+      val renamed = groupCols.foldLeft(
+          stats.select(groupCols.map(col) :+ col(statCol).as(outCol): _*)) {
+        (d, c) => d.withColumnRenamed(c, s"__graft_r_$c")
+      }
+      if (groupCols.isEmpty) rows.crossJoin(broadcast(renamed))
+      else rows.join(renamed,
+        groupCols.map(c => col(c) <=> col(s"__graft_r_$c")).reduce(_ && _))
+        .drop(groupCols.map(c => s"__graft_r_$c"): _*)
+    }
+    val meds = Quantiles.groupQuantiles(df, groupCols, valueCol, Seq(0.5))
+    val withMed = joinBack(df, meds, "p50", medCol)
+      .withColumn(devCol, abs(col(valueCol) - col(medCol)))
+    val mads = Quantiles.groupQuantiles(withMed, groupCols, devCol, Seq(0.5))
+    joinBack(withMed, mads, "p50", madCol)
+  }
+
+  /** The rows flagged as outliers: `|x − med| > threshold·MAD`, exact
+    * integer comparison. A zero-MAD group (over half its values at the
+    * median) flags every value off the median — the conventional
+    * degenerate-MAD behavior, and the right one for "this field should be
+    * constant" checks. */
+  def outliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      threshold: Long = 3L): DataFrame = {
+    require(threshold >= 0, "threshold must be non-negative")
+    withRobustStats(df, groupCols, valueCol)
+      .filter(col("dev") > lit(threshold) * col("mad"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RobustStats
+
+class RobustStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // driver-side reference: the house lower discrete quantile
+  private def med(vs: Seq[Long]): Long = {
+    val s = vs.sorted
+    s(math.max(1, math.ceil(s.size * 0.5).toInt) - 1)
+  }
+
+  test("median, MAD, and deviation match the sorted reference per group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to (g.hashCode.abs % 30 + 5)
+    } yield (g, rng.nextInt(1000).toLong + (if (i == 1) 100000L else 0L))
+    val got = RobustStats.withRobustStats(rows.toDF("g", "v"), Seq("g"), "v")
+      .select("g", "v", "med", "mad", "dev")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byG.foreach { case (g, vs) =>
+      val m = med(vs)
+      val devs = vs.map(v => math.abs(v - m))
+      val ma = med(devs)
+      vs.foreach { v =>
+        assert(got((g, v)) == ((m, ma, math.abs(v - m))),
+          s"stats of ($g, $v)")
+      }
+    }
+  }
+
+  test("outliers flags exactly |x - med| > t*MAD; giant value caught") {
+    import spark.implicits._
+    // group a: med=11 (3rd of 5), devs {2,1,0,1,99989} -> mad=1; only
+    // 100000 exceeds 3*mad
+    val df = Seq(("a", 9L), ("a", 10L), ("a", 11L), ("a", 12L),
+      ("a", 100000L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val got = RobustStats.outliers(df, Seq("g"), "v", threshold = 3L)
+      .select("g", "v").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 100000L)))
+  }
+
+  test("zero-MAD group flags every off-median value") {
+    import spark.implicits._
+    val df = Seq(("c", 7L), ("c", 7L), ("c", 7L), ("c", 8L)).toDF("g", "v")
+    val got = RobustStats.outliers(df, Seq("g"), "v", threshold = 3L)
+      .select("v").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(8L))
+  }
+
+  test("a NULL group key is an ordinary group") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L), (Option("a"), 2L), (Option("a"), 50L),
+      (Option.empty[String], 3L), (None: Option[String], 4L),
+      (None: Option[String], 900L)).toDF("g", "v")
+    val got = RobustStats.withRobustStats(df, Seq("g"), "v")
+    assert(got.count() == 6)
+    val nullG = got.filter("g IS NULL").select("med", "mad")
+      .distinct().collect()
+    // null group values {3,4,900}: med=4, devs {1,0,896} -> mad=1
+    assert(nullG.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 1L)))
+  }
+
+  test("global (no group columns) robust stats work") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L, 1000L).toDF("v")
+    val got = RobustStats.outliers(df, Seq(), "v", threshold = 3L)
+      .select("v").collect().map(_.getLong(0))
+    // med=3 (ceil(2.5)=3rd of sorted), devs {2,1,0,1,997} -> mad=1
+    assert(got.toSeq == Seq(1000L))
+  }
+}
