@@ -44,9 +44,13 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     // a stale BENCH_LAST.json from a previous run must never masquerade as
-    // this run's result if the final write fails — drop it before measuring
-    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_LAST.json"))
-    catch { case e: Throwable => System.err.println(s"BENCH_LAST.json stale-delete failed: $e") }
+    // this run's result if the final write fails — drop it before measuring.
+    // Narrowed (SPARK_GRAFT_ONLY) dev runs leave the tracked full-surface
+    // record alone entirely: a 1-query dev loop must not clobber it.
+    val writeBenchLast = only.isEmpty
+    if (writeBenchLast)
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_LAST.json"))
+      catch { case e: Throwable => System.err.println(s"BENCH_LAST.json stale-delete failed: $e") }
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     // Swept AFTER each timed region: iterative operators (CC loops, k-means)
     // localCheckpoint per round and superseded block sets have no owner to
@@ -107,14 +111,15 @@ object Bench {
     // a bounded stdout tail capture can still clip the line's head under
     // heavy shutdown noise (r5-r7 all lost queries to it) — the file copy is
     // the canonical, unclippable record
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
-      // stdout still carries the line; the failure itself must be visible
-      // (stderr — stdout stays clean for the JSON tail capture)
-      case e: Throwable => System.err.println(s"BENCH_LAST.json write failed: $e")
-    }
+    if (writeBenchLast)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        // stdout still carries the line; the failure itself must be visible
+        // (stderr — stdout stays clean for the JSON tail capture)
+        case e: Throwable => System.err.println(s"BENCH_LAST.json write failed: $e")
+      }
     println(line)
     // The driver's stdout tail capture is 2000 bytes (measured: r7 AND r8
     // "tail" fields are exactly 2000 chars), and the full 96-query line is

@@ -1392,6 +1392,98 @@ object SparkEntry {
       StreamOps.runToMemory(s, agg, "graft_stream_skewjoin")
     }),
 
+    "events_transitions" -> ((s, dir) => {
+      // first-order Markov path analysis: where do users go next. ONE
+      // user-partitioned window + one map-side-combined count; n_from
+      // comes from re-aggregating the (tiny) count table, never a second
+      // events pass
+      graft.operators.Transitions.transitionCounts(
+        events(s, dir), "user_id", "event_type", "ts_ns", "event_id")
+    }),
+
+    "join_size_cms" -> ((s, dir) => {
+      // sketch-based join planning: predict |events ⋈ orders| from two
+      // depth×width CM sketches (constant-size shuffle however big the
+      // inputs), side by side with the true size — the estimate is the
+      // min-of-inner-products upper bound, within e/width·|A|·|B|
+      val ev = events(s, dir)
+      val ord = t(s, dir, "orders")
+      val est = graft.sketch.JoinSizeEstimate.estimate(
+        ev, "user_id", ord, "o_custkey")
+      val actual = ev.join(ord, col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)).as("actual_join_size"))
+      est.crossJoin(actual)
+    }),
+
+    "label_spread" -> ((s, dir) => {
+      // semi-supervised labeling: every 4th vector keeps its hand label
+      // (the broadcast seed set); the rest get the majority vote of their
+      // 5 cosine-nearest seeds — corpus scanned once, shuffle-free until
+      // the per-vector top-k/vote
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") % 4 === 0)
+      val unlabeled = emb.filter(col("vec_id") % 4 =!= 0)
+      graft.llm.Similarity.labelSpread(
+        unlabeled, "vec_id", "embedding",
+        seeds, "vec_id", "embedding", "label", k = 5)
+    }),
+
+    "triangle_count" -> ((s, dir) => {
+      // graph cohesion over the co-purchase graph (parts sharing an
+      // order): degree-ordered wedge join, the skew-safe orientation that
+      // bounds per-node fan-out at O(sqrt(m)) — the oracle counts the same
+      // triangles with the naive a<b<c three-way join
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val co = li.withColumnRenamed("pk", "pa")
+        .join(li.withColumnRenamed("pk", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+      graft.operators.Triangles.triangleCount(co, "pa", "pb")
+    }),
+
+    "dedup_jaccard_exact" -> ((s, dir) => {
+      // EXACT similarity self-join (no LSH misses): prefix-filtered
+      // AllPairs on word 3-gram sets (16k+ distinct grams — the element
+      // cardinality the prefix filter needs; unigrams over this corpus's
+      // 31-token vocabulary would make every pair a candidate), rational
+      // threshold 1/2 so every boundary comparison is integer arithmetic
+      graft.llm.Dedup.exactJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        tNum = 1, tDen = 2, ngram = 3)
+    }),
+
+    "record_linkage" -> ((s, dir) => {
+      // entity resolution: a "dirty" re-keyed copy of every 3rd customer
+      // (one name char deleted) is linked back via two blocking keys —
+      // the name's last 4 digits (deletion-stable) and a
+      // (nation, floor(balance)) composite — then Levenshtein-verified,
+      // best match per dirty record
+      val cust = t(s, dir, "customer")
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 1000000L).as("d_id"),
+          concat(substring(col("c_name"), 1, 9),
+            substring(col("c_name"), 11, 20)).as("d_name"),
+          col("c_nationkey").as("d_nat"), col("c_acctbal").as("d_bal"))
+      graft.operators.RecordLinkage.linkBest(
+        dirty, "d_id", "d_name", cust, "c_custkey", "c_name",
+        Seq(
+          (expr("right(d_name, 4)"), expr("right(c_name, 4)")),
+          (concat(col("d_nat").cast("string"), lit(":"),
+            floor(col("d_bal")).cast("long").cast("string")),
+            concat(col("c_nationkey").cast("string"), lit(":"),
+              floor(col("c_acctbal")).cast("long").cast("string")))),
+        maxDistance = 2)
+    }),
+
+    "frequent_pairs" -> ((s, dir) => {
+      // market-basket affinity: top-25 co-purchased part pairs with both
+      // marginals; per-basket self-join fan-out is basket-size², top-k
+      // plans as TakeOrderedAndProject (no global sort shuffle)
+      graft.operators.MarketBasket.frequentPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", k = 25)
+    }),
+
     "partition_diag" -> ((s, dir) => {
       // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
       // are an execution property, not a data property).
@@ -3369,5 +3461,103 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND vus >= p.tus AND vus < p.tus + 1800000000
         |GROUP BY 1, 2""".stripMargin,
+
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_state AS fs, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, f.n_from
+        |FROM c JOIN f ON c.from_state IS NOT DISTINCT FROM f.fs""".stripMargin,
+
+    // the estimator SQL is GENERATED from the same coefficient function the
+    // Spark plan uses, so the two can never drift
+    "join_size_cms" ->
+      s"""SELECT e.est_join_size, a.actual_join_size
+        |FROM (${graft.sketch.JoinSizeEstimate.oracleSql(
+             "events", "user_id", "orders", "o_custkey")}) e
+        |CROSS JOIN (SELECT count(*) AS actual_join_size
+        |  FROM events ev JOIN orders o ON ev.user_id = o.o_custkey) a""".stripMargin,
+
+    "label_spread" ->
+      """WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS uv
+        |  FROM embeddings WHERE vec_id % 4 <> 0),
+        |s AS (SELECT vec_id AS sid, label, embedding::DOUBLE[] AS sv
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |sc AS (SELECT u.vec_id, s.sid, s.label,
+        |    list_cosine_similarity(uv, sv) AS cos
+        |  FROM u CROSS JOIN s WHERE u.vec_id <> s.sid),
+        |r AS (SELECT vec_id, sid, label, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, sid) AS rnk FROM sc),
+        |v AS (SELECT vec_id, label AS pred_label, count(*) AS votes
+        |  FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+        |w AS (SELECT vec_id, pred_label, votes, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY votes DESC, pred_label) AS wr FROM v)
+        |SELECT vec_id, pred_label, votes FROM w WHERE wr = 1""".stripMargin,
+
+    // naive a<b<c three-way join — triangle count is orientation-invariant,
+    // so it matches the degree-ordered Spark plan exactly
+    "triangle_count" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_partkey % 3 = 0),
+        |E AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |    greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey)
+        |SELECT (SELECT count(*) FROM E) AS n_edges,
+        |  (SELECT count(*) FROM E e1
+        |    JOIN E e2 ON e1.b = e2.a
+        |    JOIN E e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    // all-pairs ground truth — the prefix filter must lose NOTHING
+    "dedup_jaccard_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS gr
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.gr, b.gr))::INT AS n_intersect,
+        |  len(list_distinct(a.gr || b.gr))::INT AS n_union
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gr, b.gr)) * 2 >=
+        |  len(list_distinct(a.gr || b.gr))""".stripMargin,
+
+    "record_linkage" ->
+      """WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 20) AS d_name,
+        |    c_nationkey AS d_nat, c_acctbal AS d_bal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |cand AS (SELECT DISTINCT id_l, id_r FROM (
+        |  SELECT d.d_id AS id_l, c.c_custkey AS id_r FROM dirty d
+        |    JOIN customer c ON right(d.d_name, 4) = right(c.c_name, 4)
+        |  UNION ALL
+        |  SELECT d.d_id, c.c_custkey FROM dirty d JOIN customer c
+        |    ON (d.d_nat::VARCHAR || ':' || floor(d.d_bal)::BIGINT::VARCHAR) =
+        |       (c.c_nationkey::VARCHAR || ':' || floor(c.c_acctbal)::BIGINT::VARCHAR))),
+        |sc AS (SELECT cand.id_l, cand.id_r,
+        |    levenshtein(d.d_name, c.c_name)::INT AS distance
+        |  FROM cand JOIN dirty d ON cand.id_l = d.d_id
+        |    JOIN customer c ON cand.id_r = c.c_custkey
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
+        |r AS (SELECT id_l, id_r, distance, row_number() OVER (
+        |    PARTITION BY id_l ORDER BY distance, id_r) AS rn FROM sc)
+        |SELECT id_l, id_r, distance FROM r WHERE rn = 1""".stripMargin,
+
+    "frequent_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ct AS (SELECT i, count(*) AS n FROM it GROUP BY 1),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |t AS (SELECT * FROM p ORDER BY n_ab DESC, item_a, item_b LIMIT 25)
+        |SELECT t.item_a, t.item_b, t.n_ab, ca.n AS n_a, cb.n AS n_b
+        |FROM t JOIN ct ca ON ca.i = t.item_a JOIN ct cb ON cb.i = t.item_b""".stripMargin,
   )
 }

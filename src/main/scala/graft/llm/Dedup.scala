@@ -828,6 +828,138 @@ object Dedup {
       threshold = threshold, maxBucketSize = 256)
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering — every pair
+    * of documents whose distinct-token Jaccard is ≥ `tNum/tDen`, with NO
+    * probabilistic misses (the guarantee the MinHash family trades away).
+    * The AllPairs/PPJoin scheme (Chaudhuri–Ganti–Kaushik, "A primitive
+    * operator for similarity joins", ICDE 2006; Bayardo–Ma–Srikant,
+    * "Scaling up all pairs similarity search", WWW 2007): order every
+    * document's tokens by ascending global document frequency (rarest
+    * first); a pair with Jaccard ≥ t must share a token inside BOTH
+    * docs' first `|d| − ⌈t·|d|⌉ + 1` tokens (if all common tokens sat in
+    * one doc's suffix, the suffix is too short to hold the ⌈t·max⌉ overlap
+    * Jaccard ≥ t forces), so candidates come from an equi-join on PREFIX
+    * tokens only — and prefixes hold each corpus's rarest tokens, which is
+    * what keeps the join's per-key fan-out small.
+    *
+    * The threshold is a RATIONAL `tNum/tDen`, so every filter — the
+    * ⌈t·sz⌉ prefix bound, the min≥t·max length filter, and the final
+    * `|∩|·tDen ≥ tNum·|∪|` verification — is exact integer arithmetic:
+    * no ulp can move a boundary pair in or out (a float `ceil(0.7·10)`
+    * is already 8, not 7).
+    *
+    * '''Plan shape (the 100-TB design).''' Token df is one
+    * map-side-combined aggregate; the df-order re-sort is a per-doc
+    * `array_sort` after an equi-join token→df (vocab-scale build side).
+    * Candidate generation explodes ONLY prefixes, pair-dedups BEFORE
+    * verification, and verification joins the lex-sorted token sets back
+    * by id for the linear-merge [[graft.functions.SetSimilarity]] count —
+    * the same bucket-then-verify discipline as the LSH family, with the
+    * prefix equi-join playing the bucket role. A pathological token that
+    * is rare-yet-shared-by-millions would skew the prefix join; that is a
+    * skewJoin-compatible equi-join shuffle, left to AQE's runtime skew
+    * split (capping would break exactness).
+    *
+    * @return (id_a, id_b, n_intersect, n_union) with id_a < id_b — all
+    *         integers; jaccard = n_intersect / n_union is derivable.
+    */
+  def exactJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Int = 1,
+      tDen: Int = 2,
+      ngram: Int = 1): DataFrame = {
+    // empty-token filter BEFORE the barrier, grams AFTER it — the
+    // ngramJaccardPairs inlining caveat (a pushed-down size(grams) filter
+    // re-tokenizes per gram position)
+    val base = df
+      .select(col(idCol).as("id"),
+        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .repartition(col("id"))
+    // NB: element cardinality decides whether the prefix filter can prune.
+    // Word UNIGRAMS over a small closed vocabulary (every doc holds most of
+    // the vocab) make almost every pair qualify and no prefix rare — use
+    // ngram ≥ 2 (or char shingles via the sets variant) for natural text.
+    val sets = if (ngram <= 1) array_distinct(col("__toks"))
+      else wordNgrams(col("__toks"), ngram)
+    exactJaccardJoinSets(
+      base.select(col("id"), sets.as("__set")), "id", "__set", tNum, tDen)
+  }
+
+  /** [[exactJaccardJoin]] over a precomputed set column (distinct array
+    * elements). See that method for the algorithm and scale notes. */
+  def exactJaccardJoinSets(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
+    // ONE shared (id, lex-sorted set) frame behind a repartition exchange.
+    // Its four consumers — the df aggregate, the df-order rebuild, and the
+    // two verification joins — all reference exactly (id, __lex), so their
+    // exchange subtrees stay canonically identical and ReusedExchange
+    // computes the frame once (divergent column pruning across consumers
+    // is what forks the subtrees and re-runs the input; the lshVerifiedPairs
+    // motif).
+    // the explicit isnotnull(id) keeps the branches canonically identical
+    // (the verify joins infer it on their branches, the df aggregate's
+    // branch doesn't); the localCheckpoint then materializes the tokenized
+    // corpus ONCE — this frame has four consumers (df aggregate, df-order
+    // rebuild, both verification joins) plus the prefix self-join's two
+    // legs above it, and exchange reuse alone leaves the set-building
+    // expression re-evaluated on every non-identical branch (measured 5×
+    // the checkpointed runtime at sf0.1). One linear materialization of
+    // the (id, sorted set) index is the trade every production AllPairs
+    // implementation makes. The ConnectedComponents/PageRank house rule.
+    val docs = df
+      .select(col(idCol).as("id"), col(setCol).as("__tk"))
+      .filter(col("id").isNotNull && size(col("__tk")) > 0)
+      .select(col("id"), array_sort(col("__tk")).as("__lex"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    // global ascending document frequency (map-side combined, vocab-scale)
+    val tokDf = docs.select(explode(col("__lex")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    // per doc: tokens re-sorted by (df, tok) — rarest first. Consumed once
+    // (prefix generation only); verification reads `docs` directly.
+    val ordered = docs.select(col("id"), explode(col("__lex")).as("tok"))
+      .join(tokDf, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__dt"))
+      .select(col("id"),
+        transform(col("__dt"), x => x.getField("tok")).as("__rare"),
+        size(col("__dt")).as("__sz"))
+    // prefix length sz − ceil(t·sz) + 1, with exact integer ceil
+    val prefLen = col("__sz") -
+      floor((col("__sz") * tNum + (tDen - 1)) / tDen).cast("int") + 1
+    val pref = ordered.select(col("id"), col("__sz"),
+      explode(slice(col("__rare"), lit(1), prefLen)).as("tok"))
+      .repartition(col("tok"))
+    val cand = pref.select(col("id").as("id_a"), col("__sz").as("__sa"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("__sz").as("__sb"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      // Jaccard ≥ t forces min·tDen ≥ tNum·max (exact integers)
+      .filter(least(col("__sa"), col("__sb")) * tDen >=
+        greatest(col("__sa"), col("__sb")) * tNum)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("__lex").as("__la")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("__lex").as("__lb")), Seq("id_b"))
+      // linear merge on pre-sorted arrays (pairs outnumber docs; the
+      // hash-set array_intersect/union form dominates the profile) and
+      // |∪| = |a| + |b| − |∩| keeps everything integer
+      .withColumn("n_intersect",
+        graft.functions.SetSimilarity.sortedIntersect(col("__la"), col("__lb")))
+      .withColumn("n_union",
+        size(col("__la")) + size(col("__lb")) - col("n_intersect"))
+      .filter(col("n_intersect") * tDen >= col("n_union") * tNum)
+      .select("id_a", "id_b", "n_intersect", "n_union")
+  }
+
   /** Exact-substring duplication statistics (the ExactSubstr policy of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, at token-window granularity): every `windowTokens`-

@@ -479,6 +479,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Semi-supervised k-NN label propagation: predict a label for each
+    * unlabeled vector by majority vote of its `k` cosine-nearest LABELED
+    * seed vectors — the workhorse for bootstrapping labels over an
+    * embedding corpus from a small hand-labeled seed set (then feeding the
+    * predictions back as weak supervision).
+    *
+    * '''Plan shape (the 100-TB design).''' The broadcast side FLIPS
+    * relative to [[bruteForceTopK]]: there the query set is small and the
+    * corpus is scanned; here the seed set is the small side (hand labels
+    * are expensive — thousands, not billions) and the unlabeled corpus is
+    * the big side. So seeds broadcast, the corpus is scanned ONCE
+    * shuffle-free, and the only shuffles are corpus-keyed: the top-k
+    * window and the vote aggregate, both partitioned by `vec_id`. When
+    * the seed set outgrows a broadcast, candidate generation swaps to the
+    * (table, bucket) equi-join of [[lshTopK]] exactly as the ANN family
+    * does — the vote logic is unchanged.
+    *
+    * Vote ties break deterministically: more votes wins, then the smaller
+    * label (exact integer comparisons, so the result is engine-portable —
+    * the `label_spread` oracle replays it in SQL).
+    *
+    * @return (vec_id, pred_label, votes) — `votes` of the `k` neighbors
+    *         carried the winning label.
+    */
+  def labelSpread(
+      unlabeled: DataFrame, uIdCol: String, uVecCol: String,
+      seeds: DataFrame, sIdCol: String, sVecCol: String, sLabelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val u = unlabeled.select(col(uIdCol).as("vec_id"), col(uVecCol).as("uv"),
+      l2Norm(col(uVecCol)).as("__un"))
+    val s = seeds.select(col(sIdCol).as("__sid"), col(sVecCol).as("sv"),
+      col(sLabelCol).as("pred_label"), l2Norm(col(sVecCol)).as("__sn"))
+    val denom = col("__un") * col("__sn")
+    val scored = u.crossJoin(broadcast(s))
+      .filter(col("vec_id") =!= col("__sid")) // a seed never votes for itself
+      .withColumn("__cos",
+        when(denom === 0, 0.0).otherwise(dot(col("uv"), col("sv")) / denom))
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(col("__cos").desc, col("__sid"))
+    val votes = scored
+      .withColumn("__rank", row_number().over(wTop))
+      .filter(col("__rank") <= k)
+      .groupBy("vec_id", "pred_label")
+      .agg(count(lit(1)).as("votes"))
+    val wWin = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("pred_label"))
+    votes.withColumn("__w", row_number().over(wWin))
+      .filter(col("__w") === 1)
+      .select("vec_id", "pred_label", "votes")
+  }
+
   /** Directed-top-k strategy for [[mutualKnnGraph]]. The caller knows its
     * corpus; encoding the choice in the plan (rather than probing the data)
     * keeps graph CONSTRUCTION job-free — a plan-construction-time corpus

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge list — the basic
+  * graph-cohesion statistic (clustering coefficient's numerator; community
+  * density before running heavier clustering over a similarity graph).
+  *
+  * '''Algorithm (the 100-TB design): degree-ordered wedge join''' — the
+  * compact-forward / node-iterator++ scheme (Latapy, "Main-memory triangle
+  * computations for very large (sparse (power-law)) graphs", TCS 407, 2008;
+  * the MapReduce form is Suri & Vassilvitskii, "Counting triangles and the
+  * curse of the last reducer", WWW 2011 — the title IS the skew problem).
+  * Each undirected edge is oriented from its lower-(degree, id) endpoint to
+  * the higher; every triangle then has exactly one apex with out-degree 2,
+  * so counting (wedge, closing-edge) matches counts each triangle ONCE.
+  * The payoff is the orientation bound: out-degree after degree-ordering is
+  * O(√m) even on power-law graphs, so the wedge fan-out per node — the
+  * "last reducer" that kills the naive id-ordered variant when a hub has a
+  * small id — is bounded, and the wedge join stays balanced without
+  * salting.
+  *
+  * Plan shape: canonicalize+dedup edges (one shuffle), degree aggregate of
+  * the edge list (edge-scale, map-side combined), two broadcast-friendly
+  * joins to attach endpoint degrees, the wedge self-join on the apex, and
+  * a semi-join of wedges against the canonical edge set for closure. All
+  * equi-joins — no cross product anywhere; counts are exact integers, so
+  * the result is bit-identical to the oracle's naive `a<b<c` three-way
+  * self-join (triangle count is orientation-invariant).
+  */
+object Triangles {
+
+  /** Count triangles in the undirected graph given by an edge list (any
+    * orientation, duplicates and self-loops tolerated — edges are
+    * canonicalized and deduplicated first). Returns one row
+    * `(n_edges, n_triangles)`. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    // degrees from the canonical list: node-scale, map-side combined
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val withDeg = canon
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+    val directed = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("src"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("dst"))
+    // wedges at each apex: out-neighbor pairs, id-ordered so each unordered
+    // pair appears once; out-degree is O(sqrt(m)) post-orientation
+    val e1 = directed.select(col("src"), col("dst").as("v"))
+    val e2 = directed.select(col("src"), col("dst").as("w"))
+    val wedges = e1.join(e2, "src").filter(col("v") < col("w"))
+      .select(col("v").as("a"), col("w").as("b"))
+    // closure: the (v, w) pair is id-canonical, so one semi-join suffices
+    val triangles = wedges.join(canon, Seq("a", "b"), "left_semi")
+    canon.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+}

@@ -354,4 +354,89 @@ class PlanSpec extends AnyFunSuite {
     assert(p.substring(exIdx).contains("HashAggregate"),
       s"no map-side partial aggregate below the distinct exchange:\n$p")
   }
+
+  test("join-size estimate never joins the raw tables: exchanges carry sketch cells") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val q = graft.sketch.JoinSizeEstimate.estimate(ev, "user_id", ord, "o_custkey")
+    val p = plan(q)
+    // each side: posexplode → partial HashAggregate BEFORE its exchange, so
+    // the shuffle is depth×width cells per mapper regardless of input size
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    assert(firstEx > 0, s"no exchange in estimate plan:\n$p")
+    assert(p.substring(firstEx).contains("HashAggregate"),
+      s"no map-side partial aggregate under the sketch exchange:\n$p")
+    // the only join keys are (depth_i, bucket) — the raw key columns never
+    // reach a join
+    assert(!p.contains("CartesianProduct"), s"cartesian in estimate plan:\n$p")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange")).mkString("\n")
+    assert(!joinLines.contains("user_id#") || joinLines.contains("depth_i"),
+      s"join on raw keys instead of sketch cells:\n$joinLines")
+  }
+
+  test("label spread broadcasts the seed side; corpus scan stays unshuffled") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.llm.Similarity.labelSpread(
+      emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", "label", k = 5)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"seed side not broadcast:\n$p")
+    // the first exchange above the corpus scan must be the per-vector
+    // top-k/vote partitioning, not a pre-join shuffle of vectors
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(joinIdx > 0, s"no broadcast join in label-spread plan:\n$p")
+    assert(exIdx < joinIdx, // exchanges print ABOVE the join they feed from
+      s"corpus shuffled before meeting the broadcast seeds:\n$p")
+  }
+
+  test("triangle count: equi-joins only, no cartesian wedge generation") {
+    import spark.implicits._
+    val edges = (1 to 200).map(i => ((i % 37).toLong, (i % 53).toLong))
+    val q = graft.operators.Triangles.triangleCount(edges.toDF("a", "b"), "a", "b")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in triangle plan:\n$p")
+    // the ONLY nested-loop join allowed is the deliberate 1×1 cross of the
+    // two singleton aggregates at the very top
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1,
+      s"nested-loop join beyond the singleton top-level cross:\n$p")
+  }
+
+  test("exact Jaccard join: candidates from a prefix equi-join, never all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Dedup.exactJaccardJoin(
+      docs, "doc_id", "text", 1, 2, ngram = 3)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in AllPairs plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in AllPairs plan:\n$p")
+    // the candidate join must key on the exploded prefix token
+    assert(p.contains("tok"), s"no prefix-token join key visible:\n$p")
+  }
+
+  test("market-basket top-k plans as TakeOrderedAndProject, no global sort") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = graft.operators.MarketBasket.frequentPairs(
+      li, "l_orderkey", "l_partkey", 25)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("transition counts scan the events table exactly once (ReusedExchange)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val q = graft.operators.Transitions.transitionCounts(
+      ev, "user_id", "event_type", "ts", "event_id")
+    // execute so AQE finalizes and exchange reuse is visible
+    q.collect()
+    val planStr = plan(q).split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet[^\\n]*events\\.parquet".r
+      .findAllIn(planStr).length
+    assert(scans <= 1,
+      s"events scanned $scans times (n_from must reuse the count subtree):\n$planStr")
+  }
 }
