@@ -1484,6 +1484,81 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", k = 25)
     }),
 
+    "skew_advisor" -> ((s, dir) => {
+      // measured skew report for a prospective shuffle on user_id: exact
+      // hot-key counts, ppm shares, and the salt count that would level
+      // each key at 32 partitions — the data-derived input to
+      // SkewJoinConf; all integer arithmetic, TakeOrdered top-k
+      graft.skew.SkewAdvisor.advise(
+        events(s, dir).select("user_id"), Seq("user_id"),
+        topK = 20, numPartitions = 32)
+    }),
+
+    "graph_communities" -> ((s, dir) => {
+      // LPA communities over the triangle_count co-purchase graph:
+      // 3 synchronous rounds, deterministic (count desc, label asc) ties
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val co = li.withColumnRenamed("pk", "pa")
+        .join(li.withColumnRenamed("pk", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+      graft.operators.Communities.labelPropagation(co, "pa", "pb", iters = 3)
+    }),
+
+    "q18_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: pre-aggregate lineitem and FILTER before any
+      // join (the group-filter-join order that shrinks the join input to
+      // the qualifying orders), then attach order/customer detail
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    }),
+
+    "pipeline_curate" -> ((s, dir) => {
+      // three curation stages composed end-to-end — the shape a real
+      // pretraining data pipeline chains them in: rule filter → exact
+      // dedup (keep-first on normalized text) → per-source accounting.
+      // Each stage is an operator with its own oracle-gated query; this
+      // pins that they COMPOSE correctly (one plan, no materialization
+      // between stages)
+      val kept = graft.llm.TextStats.gopherFlags(t(s, dir, "documents"), "text")
+        .filter(col("keep"))
+      val deduped = graft.llm.Dedup.exactDedup(
+        kept.withColumn("__norm", graft.llm.TextStats.normalizeText(col("text"))),
+        Seq("__norm"), "doc_id")
+      deduped.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        sum(graft.llm.TextStats.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+    }),
+
+    "intervals_coalesce" -> ((s, dir) => {
+      // per-user activity spans: each event opens a 30-minute window; the
+      // sweep merges overlapping/touching windows into maximal disjoint
+      // spans (one Exchange+Sort for both window passes)
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("s_us"),
+        (expr("ts_ns DIV 1000") + lit(1800000000L)).as("e_us"))
+      graft.operators.Intervals.coalesceIntervals(
+        e, Seq("user_id"), "s_us", "e_us", "event_id")
+    }),
+
+    "table_profile" -> ((s, dir) => {
+      // ANALYZE-style stats for five lineitem columns in ONE pass (single
+      // Expand-fed aggregate, the COMPUTE STATISTICS plan); l_quantity
+      // pre-cast to long so min/max render engine-identically
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      graft.sources.TableProfile.profile(li, Seq("l_orderkey", "l_partkey",
+        "l_quantity", "l_returnflag", "l_shipdate"))
+    }),
+
     "partition_diag" -> ((s, dir) => {
       // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
       // are an execution property, not a data property).
@@ -1605,6 +1680,33 @@ object SparkEntry {
        |  FROM nodes CROSS JOIN nn),
        |$iterCtes
        |SELECT node, s AS rank_scaled FROM r$iters""".stripMargin
+  }
+
+  /** Generated oracle for `graph_communities`: the synchronous LPA rounds
+    * unrolled as CTEs — each round recomputes every node's argmax neighbor
+    * label under the same (count desc, label asc) total tie order the
+    * Spark operator uses, over the same co-purchase graph as
+    * `triangle_count`. */
+  private def lpaSql(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (SELECT src AS id, lbl FROM (
+         |  SELECT a.src, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY a.src
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM adj a JOIN l${i - 1} l ON a.dst = l.id
+         |  GROUP BY a.src, l.lbl) q WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_partkey % 3 = 0),
+       |E AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+       |    greatest(x.l_partkey, y.l_partkey) AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey),
+       |adj AS (SELECT a AS src, b AS dst FROM E
+       |  UNION ALL SELECT b, a FROM E),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
+       |$iterCtes
+       |SELECT id, lbl AS community FROM l$iters""".stripMargin
   }
 
   /** Generated oracle for `bpe_encode`: the training chain from
@@ -2052,6 +2154,56 @@ object SparkEntry {
        |  tokens_ok AND avg_len_ok AND punct_ok AND has_stopword AS keep,
        |  count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
        |FROM r GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** Generated oracle for `table_profile`: one UNION ALL arm per profiled
+    * column, each computing the same count / count-nonnull / exact
+    * distinct / string-rendered min-max over the same pre-cast columns. */
+  private def tableProfileSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_returnflag", "l_shipdate")
+    val arms = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+         |FROM li""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey,
+       |  l_quantity::BIGINT AS l_quantity, l_returnflag, l_shipdate
+       |  FROM lineitem)
+       |$arms""".stripMargin
+  }
+
+  /** Generated oracle for `pipeline_curate`: the three curation stages —
+    * the gopherSql keep rule, keep-first exact dedup on normalized text,
+    * and the per-source rollup — chained exactly as the Spark query chains
+    * the operators. */
+  private def pipelineCurateSql: String = {
+    val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id, source, text,
+       |  length(text)::BIGINT AS nc,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0))::BIGINT AS nt,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS np,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t IN ($sw)))::BIGINT AS nsw
+       |  FROM documents),
+       |k AS (SELECT doc_id, source, text, nt FROM f
+       |  WHERE nt BETWEEN 30 AND 80
+       |    AND nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
+       |    AND (nc - nt + 1) / nt::DOUBLE <= 5.0
+       |    AND (nc = 0 OR np::DOUBLE / nc <= 0.1)
+       |    AND nsw > 0),
+       |d AS (SELECT doc_id, source, nt FROM (
+       |  SELECT doc_id, source, nt, row_number() OVER (
+       |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+       |    ORDER BY doc_id) AS rn
+       |  FROM k) WHERE rn = 1)
+       |SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+       |  sum(nt)::BIGINT AS sum_tokens
+       |FROM d GROUP BY source""".stripMargin
   }
 
   /** Generated oracle for `corpus_profile`: the gopherSql filter arithmetic
@@ -3549,6 +3701,44 @@ object SparkEntry {
         |r AS (SELECT id_l, id_r, distance, row_number() OVER (
         |    PARTITION BY id_l ORDER BY distance, id_r) AS rn FROM sc)
         |SELECT id_l, id_r, distance FROM r WHERE rn = 1""".stripMargin,
+
+    "skew_advisor" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+        |p AS (SELECT user_id, n, total,
+        |    (total + 31) // 32 AS ideal FROM c CROSS JOIN t)
+        |SELECT user_id, n, (n * 1000000) // total AS share_ppm,
+        |  ideal AS ideal_partition_rows,
+        |  (n + ideal - 1) // ideal AS recommended_salts
+        |FROM p ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    "graph_communities" -> lpaSql(),
+
+    "pipeline_curate" -> pipelineCurateSql,
+
+    "intervals_coalesce" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 1800000000 AS e_us FROM events),
+        |m AS (SELECT user_id, event_id, s_us, e_us,
+        |  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM e),
+        |g AS (SELECT user_id, s_us, e_us,
+        |  sum(CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY s_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM m)
+        |SELECT user_id, min(s_us) AS span_start, max(e_us) AS span_end,
+        |  count(*) AS n_merged
+        |FROM g GROUP BY user_id, span""".stripMargin,
+
+    "table_profile" -> tableProfileSql,
+
+    "q18_big_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  sum(l.l_quantity) AS total_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2, 3, 4 HAVING sum(l.l_quantity) > 250""".stripMargin,
 
     "frequent_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
