@@ -1559,6 +1559,18 @@ object SparkEntry {
         "l_quantity", "l_returnflag", "l_shipdate"))
     }),
 
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      // whole-document fuzzy decontamination: train docs ≥ 1/2 3-gram
+      // Jaccard similar to ANY benchmark doc (every 50th doc plays the
+      // benchmark), via the exact R-S prefix join — the policy the
+      // shared-gram decontaminate family can't express
+      val docs = t(s, dir, "documents")
+      graft.llm.Dedup.exactJaccardJoinBetween(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        tNum = 1, tDen = 2, ngram = 3)
+    }),
+
     "partition_diag" -> ((s, dir) => {
       // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
       // are an execution property, not a data property).
@@ -3731,6 +3743,22 @@ object SparkEntry {
         |FROM g GROUP BY user_id, span""".stripMargin,
 
     "table_profile" -> tableProfileSql,
+
+    "decontaminate_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS gr
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |  len(list_intersect(a.gr, b.gr))::INT AS n_intersect,
+        |  len(list_distinct(a.gr || b.gr))::INT AS n_union
+        |FROM d a JOIN d b ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |WHERE len(list_intersect(a.gr, b.gr)) * 2 >=
+        |  len(list_distinct(a.gr || b.gr))""".stripMargin,
 
     "q18_big_orders" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,

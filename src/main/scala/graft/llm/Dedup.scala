@@ -960,6 +960,91 @@ object Dedup {
       .select("id_a", "id_b", "n_intersect", "n_union")
   }
 
+  /** [[exactJaccardJoin]] across TWO corpora (R-S join): every (left,
+    * right) pair at Jaccard ≥ `tNum/tDen`, exactly — the fuzzy
+    * DECONTAMINATION policy ("drop training docs that are ≥ t similar to
+    * any benchmark doc"), where the n-gram [[Decontaminate]] family flags
+    * ANY shared gram and this flags whole-document similarity. Same
+    * prefix-filter algorithm and integer-threshold discipline as the
+    * self-join; the global token order is the ascending document frequency
+    * over the UNION of both corpora (any consistent total order is
+    * correct; union-df keeps prefixes rare on both sides), and candidates
+    * come from the cross-side prefix equi-join only.
+    *
+    * @return (id_l, id_r, n_intersect, n_union) — left/right ids with the
+    *         exact integer overlap. */
+  def exactJaccardJoinBetween(
+      left: DataFrame, lIdCol: String, lTextCol: String,
+      right: DataFrame, rIdCol: String, rTextCol: String,
+      tNum: Int, tDen: Int, ngram: Int = 1): DataFrame = {
+    def sets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val base = df
+        .select(col(idCol).as("id"),
+          TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .repartition(col("id"))
+      val s = if (ngram <= 1) array_distinct(col("__toks"))
+        else wordNgrams(col("__toks"), ngram)
+      base.select(col("id"), s.as("__set"))
+    }
+    exactJaccardJoinBetweenSets(
+      sets(left, lIdCol, lTextCol), "id", "__set",
+      sets(right, rIdCol, rTextCol), "id", "__set", tNum, tDen)
+  }
+
+  /** [[exactJaccardJoinBetween]] over precomputed set columns. See
+    * [[exactJaccardJoinSets]] for the shared plan-shape notes (checkpointed
+    * sorted-set index, prefix equi-join candidates, linear-merge verify). */
+  def exactJaccardJoinBetweenSets(
+      left: DataFrame, lIdCol: String, lSetCol: String,
+      right: DataFrame, rIdCol: String, rSetCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
+    val tagged = left
+      .select(lit(0).as("__side"), col(lIdCol).as("id"), col(lSetCol).as("__tk"))
+      .unionAll(right
+        .select(lit(1).as("__side"), col(rIdCol).as("id"), col(rSetCol).as("__tk")))
+    val docs = tagged
+      .filter(col("id").isNotNull && size(col("__tk")) > 0)
+      .select(col("__side"), col("id"), array_sort(col("__tk")).as("__lex"))
+      .repartition(col("__side"), col("id"))
+      .localCheckpoint()
+    val tokDf = docs.select(explode(col("__lex")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    val ordered = docs
+      .select(col("__side"), col("id"), explode(col("__lex")).as("tok"))
+      .join(tokDf, "tok")
+      .groupBy("__side", "id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__dt"))
+      .select(col("__side"), col("id"),
+        transform(col("__dt"), x => x.getField("tok")).as("__rare"),
+        size(col("__dt")).as("__sz"))
+    val prefLen = col("__sz") -
+      floor((col("__sz") * tNum + (tDen - 1)) / tDen).cast("int") + 1
+    val pref = ordered.select(col("__side"), col("id"), col("__sz"),
+      explode(slice(col("__rare"), lit(1), prefLen)).as("tok"))
+      .repartition(col("tok"))
+    val cand = pref.filter(col("__side") === 0)
+      .select(col("id").as("id_l"), col("__sz").as("__sl"), col("tok"))
+      .join(pref.filter(col("__side") === 1)
+        .select(col("id").as("id_r"), col("__sz").as("__sr"), col("tok")), "tok")
+      .filter(least(col("__sl"), col("__sr")) * tDen >=
+        greatest(col("__sl"), col("__sr")) * tNum)
+      .select("id_l", "id_r").distinct()
+    cand
+      .join(docs.filter(col("__side") === 0)
+        .select(col("id").as("id_l"), col("__lex").as("__ll")), Seq("id_l"))
+      .join(docs.filter(col("__side") === 1)
+        .select(col("id").as("id_r"), col("__lex").as("__lr")), Seq("id_r"))
+      .withColumn("n_intersect",
+        graft.functions.SetSimilarity.sortedIntersect(col("__ll"), col("__lr")))
+      .withColumn("n_union",
+        size(col("__ll")) + size(col("__lr")) - col("n_intersect"))
+      .filter(col("n_intersect") * tDen >= col("n_union") * tNum)
+      .select("id_l", "id_r", "n_intersect", "n_union")
+  }
+
   /** Exact-substring duplication statistics (the ExactSubstr policy of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, at token-window granularity): every `windowTokens`-

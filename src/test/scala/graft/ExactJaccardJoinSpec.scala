@@ -81,6 +81,36 @@ class ExactJaccardJoinSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("R-S join matches a cross-corpus all-pairs reference (ids may collide)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val pool = (1 to 30).map(i => s"tok$i")
+    def mk(n: Int): Seq[(Long, String)] = (1L to n.toLong).map { id =>
+      val base = rng.nextInt(6)
+      id -> (0 until 5 + rng.nextInt(6))
+        .map(_ => pool(math.min(base + rng.nextInt(10), pool.size - 1)))
+        .mkString(" ")
+    }
+    // overlapping id spaces on purpose: sides must not be conflated
+    val (leftDocs, rightDocs) = (mk(35), mk(25))
+    def toks(s: String): Set[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSet
+    val expect = (for {
+      (il, sl) <- leftDocs.map { case (i, s) => i -> toks(s) }
+      (ir, sr) <- rightDocs.map { case (i, s) => i -> toks(s) }
+      inter = (sl & sr).size; union = (sl | sr).size
+      if inter * 3 >= union * 2
+    } yield (il, ir) -> ((inter, union))).toMap
+    val got = Dedup.exactJaccardJoinBetween(
+      leftDocs.toDF("doc_id", "text"), "doc_id", "text",
+      rightDocs.toDF("doc_id", "text"), "doc_id", "text", 2, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got == expect)
+  }
+
   test("identical docs and disjoint docs behave at threshold 1") {
     val docs = Seq((1L, "x y z"), (2L, "z y x  "), (3L, "p q"))
     assert(run(docs, 1, 1) == Map((1L, 2L) -> ((3, 3))))
