@@ -73,7 +73,10 @@ object Dedup {
     * lambda). */
   private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    df.select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
+    df.filter(col(idCol).isNotNull) // align branches for ReusedExchange:
+      // downstream verify joins infer isnotnull(id), the signature branch
+      // doesn't, and the asymmetry would fork this frame's exchange
+      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
       // sorted so pair verification can use the linear-merge SortedJaccard
       .select(col("id"), array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
       .repartition(col("id"))
@@ -473,7 +476,12 @@ object Dedup {
     // shingles AND gram hashes before the repartition was tried and
     // regressed 6× — the shingle arrays rode through the gram explode into
     // the window sort (1.4M rows × ~2 KB payload each at sf0.1)
+    // isnotnull(id) up front: the verify joins infer it on their branches
+    // and the fingerprint branch doesn't — aligning the base subtrees lets
+    // ReusedExchange compute the normalization exchange once (the
+    // exactJaccardJoinSets lesson); null ids can never join anyway
     val base = df
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
       .repartition(col("id"))
     val docs = base.select(col("id"),
