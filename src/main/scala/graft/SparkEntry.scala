@@ -1453,6 +1453,17 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // EXACT directed containment join (quote/mirror detection): every
+      // ordered (a, b) where b holds ≥ 2/3 of a's word-3-gram set —
+      // the asymmetric question Jaccard dilutes away for short-in-long
+      // duplication; probe-prefix × full-postings candidates, integer
+      // thresholds, linear-merge verify
+      graft.llm.Dedup.exactContainmentJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        tNum = 2, tDen = 3, ngram = 3)
+    }),
+
     "record_linkage" -> ((s, dir) => {
       // entity resolution: a "dirty" re-keyed copy of every 3rd customer
       // (one name char deleted) is linked back via two blocking keys —
@@ -1557,6 +1568,22 @@ object SparkEntry {
         col("l_returnflag"), col("l_shipdate"))
       graft.sources.TableProfile.profile(li, Seq("l_orderkey", "l_partkey",
         "l_quantity", "l_returnflag", "l_shipdate"))
+    }),
+
+    "quality_constraints" -> ((s, dir) => {
+      // Deequ-style ingest gate over orders: six constraints, ONE shared
+      // scan for the row-level four (not-null/range/set/regex), one
+      // groupBy for uniqueness, one anti-join against customer for
+      // referential integrity — a mixed pass/fail report by design (the
+      // range and status-set constraints are deliberately violated)
+      import graft.sources.Constraints.Constraint._
+      graft.sources.Constraints.check(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("O", "F")),
+        Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+        SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey")))
     }),
 
     "decontaminate_fuzzy" -> ((s, dir) => {
@@ -3693,6 +3720,23 @@ object SparkEntry {
         |WHERE len(list_intersect(a.gr, b.gr)) * 2 >=
         |  len(list_distinct(a.gr || b.gr))""".stripMargin,
 
+    // directed all-pairs containment ground truth — the probe-prefix ×
+    // full-postings candidate generation must lose nothing
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS gr
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.gr, b.gr))::INT AS n_intersect,
+        |  len(a.gr)::INT AS n_a
+        |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.gr, b.gr)) * 3 >= len(a.gr) * 2""".stripMargin,
+
     "record_linkage" ->
       """WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
         |    substr(c_name, 1, 9) || substr(c_name, 11, 20) AS d_name,
@@ -3743,6 +3787,41 @@ object SparkEntry {
         |FROM g GROUP BY user_id, span""".stripMargin,
 
     "table_profile" -> tableProfileSql,
+
+    // one scalar aggregate per constraint, unioned with the shared total;
+    // labels, counts, and pass flags must all line up
+    "quality_constraints" ->
+      """WITH t AS (SELECT count(*)::BIGINT AS total FROM orders)
+        |SELECT 'not_null(o_custkey)' AS constraint, v.violations, t.total,
+        |  v.violations = 0 AS passed
+        |FROM (SELECT count(*) FILTER (o_custkey IS NULL)::BIGINT
+        |  AS violations FROM orders) v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)', v.violations, t.total, v.violations = 0
+        |FROM (SELECT coalesce(sum(n - 1), 0)::BIGINT AS violations FROM
+        |  (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)) v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'in_range(o_totalprice)', v.violations, t.total, v.violations = 0
+        |FROM (SELECT count(*) FILTER (o_totalprice IS NULL OR
+        |    NOT (o_totalprice >= 0.0 AND o_totalprice <= 300000.0))::BIGINT
+        |  AS violations FROM orders) v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'in_set(o_orderstatus)', v.violations, t.total, v.violations = 0
+        |FROM (SELECT count(*) FILTER (o_orderstatus IS NULL OR
+        |    o_orderstatus NOT IN ('O', 'F'))::BIGINT
+        |  AS violations FROM orders) v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'matches(o_orderpriority)', v.violations, t.total, v.violations = 0
+        |FROM (SELECT count(*) FILTER (o_orderpriority IS NULL OR
+        |    NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z ]+)'))::BIGINT
+        |  AS violations FROM orders) v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'subset_of(o_custkey,c_custkey)', v.violations, t.total,
+        |  v.violations = 0
+        |FROM (SELECT count(*)::BIGINT AS violations FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+        |  v CROSS JOIN t""".stripMargin,
 
     "decontaminate_fuzzy" ->
       """WITH toks AS (

@@ -1069,6 +1069,94 @@ object Dedup {
       .select("id_l", "id_r", "n_intersect", "n_union")
   }
 
+  /** EXACT set-containment join (directed): every ordered pair (a, b),
+    * a ≠ b, where document b contains at least `tNum/tDen` of a's n-gram
+    * set — `|Gₐ∩G_b| ≥ t·|Gₐ|`. The ASYMMETRIC complement of
+    * [[exactJaccardJoin]]: Jaccard misses a short quote embedded in a long
+    * page (the union dilutes it), while containment is exactly the
+    * "is a substantially a subset of b" question — quote/mirror/expansion
+    * detection, the set-grain face of [[exactSubstringDupStats]].
+    *
+    * Prefix filter, containment form: if b shares NO token among a's
+    * `|Gₐ| − ⌈t·|Gₐ|⌉ + 1` RAREST tokens, it shares at most
+    * `⌈t·|Gₐ|⌉ − 1 < t·|Gₐ|` of them — so candidates come from a's prefix
+    * tokens only. The CONTAINING side gets no prefix (a superset can match
+    * on any token), so its leg of the candidate join is the full posting
+    * list — the fundamental asymmetry of containment joins; the size guard
+    * `|G_b| ≥ ⌈t·|Gₐ|⌉` prunes before pair-dedup. Exact-integer thresholds
+    * throughout (`n·tDen ≥ sz·tNum`), no floating point.
+    *
+    * '''Plan shape (the 100-TB design).''' Same bucket-then-verify
+    * discipline as [[exactJaccardJoinSets]] (shared notes there): one
+    * checkpointed (id, lex-sorted set) index feeds everything; the
+    * candidate join explodes prefixes on the probe side against full
+    * postings on the index side — an equi-join on token whose skew is
+    * AQE's runtime split (capping would break exactness); pairs dedup
+    * BEFORE the linear-merge [[graft.functions.SetSimilarity]] verify.
+    *
+    * @return (id_a, id_b, n_intersect, n_a): b contains a, with the exact
+    *         overlap and a's set size — containment = n_intersect / n_a. */
+  def exactContainmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Int = 2,
+      tDen: Int = 3,
+      ngram: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
+    // two-stage materialization — the exactJaccardJoinSets measured
+    // re-evaluation note applies verbatim
+    val raw = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"),
+        (if (ngram <= 1) array_distinct(col("__toks"))
+         else wordNgrams(col("__toks"), ngram)).as("__tk"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val docs = raw
+      .filter(size(col("__tk")) > 0)
+      .select(col("id"), array_sort(col("__tk")).as("__lex"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val tokDf = docs.select(explode(col("__lex")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    val ordered = docs.select(col("id"), explode(col("__lex")).as("tok"))
+      .join(tokDf, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("tok")))).as("__dt"))
+      .select(col("id"),
+        transform(col("__dt"), x => x.getField("tok")).as("__rare"),
+        size(col("__dt")).as("__sz"))
+    // probe prefix: sz − ceil(t·sz) + 1 rarest tokens
+    val prefLen = col("__sz") -
+      floor((col("__sz") * tNum + (tDen - 1)) / tDen).cast("int") + 1
+    val pref = ordered.select(col("id").as("id_a"), col("__sz").as("__sa"),
+      explode(slice(col("__rare"), lit(1), prefLen)).as("tok"))
+    // index side: FULL postings (id, every token) — containment admits no
+    // index-side prefix; built from `docs` so the exchange subtree is the
+    // checkpointed frame, not a second tokenization
+    val postings = docs.select(col("id").as("id_b"),
+      size(col("__lex")).as("__sz_b"), explode(col("__lex")).as("tok"))
+    val cand = pref.repartition(col("tok"))
+      .join(postings.repartition(col("tok")), "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      // b must hold at least ⌈t·|Gₐ|⌉ tokens to contain t of a
+      .filter(col("__sz_b") * tDen >= col("__sa") * tNum)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("__lex").as("__la")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("__lex").as("__lb")), Seq("id_b"))
+      .withColumn("n_intersect",
+        graft.functions.SetSimilarity.sortedIntersect(col("__la"), col("__lb")))
+      .withColumn("n_a", size(col("__la")))
+      .filter(col("n_intersect") * tDen >= col("n_a") * tNum)
+      .select("id_a", "id_b", "n_intersect", "n_a")
+  }
+
   /** Exact-substring duplication statistics (the ExactSubstr policy of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, at token-window granularity): every `windowTokens`-

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Constraints
+import graft.sources.Constraints.Constraint._
+
+class ConstraintsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def report(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Boolean)] =
+    df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+  test("row-level constraints share one pass and count NULLs as violations") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(500.0)),  // range violation
+      (3L, None: Option[String], Some(20.0)), // not-null + set + regex violations
+      (4L, Some("zz"), None: Option[Double])  // set + regex(len) + range(null) violations
+    ).toDF("id", "tag", "v")
+    val got = report(Constraints.check(df, Seq(
+      NotNull("tag"),
+      InRange("v", 0.0, 100.0),
+      InSet("tag", Seq("a", "b")),
+      Matches("tag", "[a-y]"))))
+    assert(got("not_null(tag)") == ((1L, 4L, false)))
+    assert(got("in_range(v)") == ((2L, 4L, false)))
+    assert(got("in_set(tag)") == ((2L, 4L, false)))
+    assert(got("matches(tag)") == ((2L, 4L, false)))
+  }
+
+  test("unique counts surplus rows; subset_of counts dangling foreign keys") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 13L), (3L, 99L))
+      .toDF("k", "fk")
+    val ref = Seq(10L, 11L, 12L, 13L).toDF("pk")
+    val got = report(Constraints.check(df, Seq(
+      Unique(Seq("k")),
+      SubsetOf("fk", ref, "pk"))))
+    assert(got("unique(k)") == ((2L, 5L, false)), "3 copies of k=1 → 2 surplus")
+    assert(got("subset_of(fk,pk)") == ((1L, 5L, false)), "fk=99 dangles")
+  }
+
+  test("a fully-clean table passes every constraint") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "tag", "v")
+    val got = report(Constraints.check(df, Seq(
+      NotNull("id"), Unique(Seq("id")), InRange("v", 0.0, 10.0),
+      InSet("tag", Seq("a", "b")), Matches("tag", "[ab]"))))
+    assert(got.values.forall { case (v, t, p) => v == 0L && t == 2L && p })
+  }
+}

@@ -115,4 +115,55 @@ class ExactJaccardJoinSpec extends AnyFunSuite {
     val docs = Seq((1L, "x y z"), (2L, "z y x  "), (3L, "p q"))
     assert(run(docs, 1, 1) == Map((1L, 2L) -> ((3, 3))))
   }
+
+  // directed all-pairs containment ground truth on unigram token sets
+  private def refContainment(docs: Seq[(Long, String)], tNum: Int, tDen: Int)
+      : Map[(Long, Long), (Int, Int)] = {
+    def toks(s: String): Set[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSet
+    val sets = docs.map { case (id, s) => id -> toks(s) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size
+      if inter * tDen >= sa.size * tNum
+    } yield (ia, ib) -> ((inter, sa.size))).toMap
+  }
+
+  private def runContainment(docs: Seq[(Long, String)], tNum: Int, tDen: Int)
+      : Map[(Long, Long), (Int, Int)] = {
+    import spark.implicits._
+    Dedup.exactContainmentJoin(docs.toDF("doc_id", "text"), "doc_id", "text",
+      tNum, tDen, ngram = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3))))
+      .toMap
+  }
+
+  test("containment: probe-prefix × full-postings loses nothing vs directed all-pairs") {
+    val rng = new scala.util.Random(53)
+    val pool = (1 to 40).map(i => s"tok$i")
+    // short docs drawn from long docs' vocabulary: forces asymmetric pairs
+    // (short ⊂ long qualifies, long ⊄ short) that Jaccard would drop
+    val docs = (1L to 60L).map { id =>
+      val base = rng.nextInt(8)
+      val len = if (id % 4 == 0) 3 + rng.nextInt(3) else 8 + rng.nextInt(8)
+      val words = (0 until len)
+        .map(_ => pool(math.min(base + rng.nextInt(12), pool.size - 1)))
+      id -> words.mkString(" ")
+    }
+    for ((tn, td) <- Seq((1, 2), (2, 3), (9, 10))) {
+      assert(runContainment(docs, tn, td) == refContainment(docs, tn, td),
+        s"threshold $tn/$td")
+    }
+  }
+
+  test("containment is directed: subset qualifies, superset direction does not") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f"))
+    // 1→2: |{a,b,c}∩…|/3 = 1; 2→1: 3/6 = 0.5 < 2/3
+    assert(runContainment(docs, 2, 3) == Map((1L, 2L) -> ((3, 3))))
+    // at 1/2 both directions qualify
+    assert(runContainment(docs, 1, 2) ==
+      Map((1L, 2L) -> ((3, 3)), (2L, 1L) -> ((3, 6))))
+  }
 }
