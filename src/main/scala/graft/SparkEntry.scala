@@ -1217,6 +1217,25 @@ object SparkEntry {
           col("event_type"), col("n"), col("rank").cast("long").as("rank"))
     }),
 
+    "stream_distinct_kmv" -> ((s, dir) => {
+      // streaming KMV distinct sketch (update mode, k longs of state per
+      // group — never the distinct set): the converged state equals the
+      // batch KmvOps sketch exactly, so the same integer-estimator replay
+      // gates it; serve side takes each group's last update (max seq)
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.kmvDistinctUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type", "user_id", k = 16),
+        "graft_stream_kmv", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("n_sample"),
+          col("kth_hash"), col("est_distinct"))).as("__f"))
+        .select(col("event_type"), col("__f.n_sample").as("n_sample"),
+          col("__f.kth_hash").as("kth_hash"),
+          col("__f.est_distinct").as("est_distinct"))
+    }),
+
     "stream_sessions" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
@@ -2638,6 +2657,23 @@ object SparkEntry {
     // KMV replay: same 12-hex md5 hash, k smallest distinct hashes per
     // group via window rank, pure-integer estimator ((k-1)·2^48 // h_k)
     "approx_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 16 GROUP BY event_type)
+        |SELECT event_type, n_sample, kth_hash,
+        |  CASE WHEN n_sample < 16 OR kth_hash <= 0 THEN n_sample
+        |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
+        |    END AS est_distinct
+        |FROM k""".stripMargin,
+
+    // the streaming sketch's converged state must equal the batch KMV
+    // sketch exactly (same hashes, same k-min set, same integer estimator)
+    "stream_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
         |  FROM events),

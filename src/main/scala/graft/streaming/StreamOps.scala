@@ -295,6 +295,56 @@ object StreamOps {
       .toDF("user_id", "n_events")
   }
 
+  /** Streaming KMV distinct-count sketch per group (`flatMapGroupsWithState`
+    * update mode): maintains, per group, the k smallest DISTINCT 48-bit
+    * hashes of `valueCol` — the streaming face of
+    * [[graft.sketch.KmvOps.kmvDistinct]], same md5-prefix hash, same
+    * integer `(k-1)·M div h_k` estimator, so the converged stream state
+    * equals the batch sketch EXACTLY (and the same DuckDB replay gates it).
+    *
+    * The state fold (union distinct hashes, keep k smallest) is
+    * commutative and associative, so the final state is independent of
+    * how the source slices micro-batches — each emitted update carries a
+    * per-group monotone `update_seq`, and the serve side takes the
+    * max-seq row per group as the final sketch.
+    *
+    * '''Plan shape (the 100-TB/∞-time design).''' State is k longs per
+    * group in the state store (bounded, never the distinct set itself —
+    * `count(DISTINCT)` over a stream is unbounded state); the hash is
+    * computed declaratively BEFORE grouping, so the shuffle carries
+    * (group, 8-byte hash), not the value payload. */
+  def kmvDistinctUpdates(
+      stream: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(k <= 32768, s"(k-1)*M must stay inside int64: k=$k exceeds 32768")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val m = graft.sketch.KmvOps.M
+    val hashed = stream.select(
+      col(groupCol).cast("string"),
+      conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+        .cast("long"))
+      .as[(String, Long)]
+    hashed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Long]), (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long)],
+            state: GroupState[(Long, Array[Long])]) =>
+          val (seq, old) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val merged = (old.iterator ++ rows.map(_._2))
+            .toArray.distinct.sorted.take(k)
+          state.update((seq + 1, merged))
+          val n = merged.length.toLong
+          val kth = if (merged.isEmpty) 0L else merged.last
+          val est = if (n < k || kth <= 0L) n else (k - 1).toLong * m / kth
+          Iterator((grp, seq + 1, n, kth, est))
+      }
+      .toDF(groupCol, "update_seq", "n_sample", "kth_hash", "est_distinct")
+  }
+
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */

@@ -262,6 +262,37 @@ class StreamSpec extends AnyFunSuite {
     out.ensureDatasetEquals(batch)
   }
 
+  test("streaming KMV sketch converges to the batch sketch across micro-batch slices") {
+    import spark.implicits._
+    // three separate file writes + maxFilesPerTrigger=1 force multiple
+    // micro-batches, so the state fold's batching-independence is exercised
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_")
+    dir.toFile.deleteOnExit()
+    val data = (1L to 300L).map(i => (s"g${i % 3}", i % 97))
+    data.grouped(100).foreach { chunk =>
+      chunk.toDF("g", "v").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, v BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.kmvDistinctUpdates(stream, "g", "v", k = 8),
+      "t_stream_kmv", outputMode = "update")
+    // multiple updates per group proves the slicing actually happened
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("n_sample"),
+        col("kth_hash"), col("est_distinct"))).as("__f"))
+      .select(col("g"), col("__f.n_sample").as("n_sample"),
+        col("__f.kth_hash").as("kth_hash"),
+        col("__f.est_distinct").as("est_distinct"))
+    val batch = graft.sketch.KmvOps.kmvDistinct(
+      spark.read.parquet(dir.toString), Seq("g"), "v", k = 8)
+    fin.ensureDatasetEquals(batch)
+  }
+
   test("stream-static join replicates nothing on uniform keys, only hot keys on skew") {
     import spark.implicits._
     import graft.skew.SkewJoinConf
