@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   * `(k-1)·M` stays inside int64 for any k ≤ 2^15. A
   * group with fewer than k distinct hashes reports its exact count.
   *
-  * '''Plan shape (the 100-TB design).''' One distinct on (group, hash)
-  * — map-side combined, so a value repeated 10⁹ times in a group ships
-  * once — then a [[graft.operators.GroupedRank]] k-smallest per group
-  * (range partition + local ranks: no single-task sort when one group
-  * holds most of the table, the usual shape for event types), then a
-  * per-group aggregate of k rows. */
+  * '''Plan shape (the 100-TB design).''' ONE aggregate job over the
+  * table: the custom [[graft.functions.KmvSketchAgg]]
+  * `TypedImperativeAggregate` keeps ≤ k longs of partial state per
+  * (group, partition) — map-side combined like a sum, so a group with
+  * 10⁹ distinct values ships k longs per partition, and its merge (set
+  * union, keep k smallest) is the KMV monoid, order-insensitive by
+  * construction. The previous composable formulation (distinct on
+  * (group, hash) → GroupedRank k-smallest) shipped every distinct hash
+  * through two exchanges before discarding all but k — correct, but a
+  * full-distinct-cardinality shuffle this version never pays. NULL
+  * values contribute no distinct value. */
 object KmvOps {
 
   /** Hash range: 12 hex chars = 48 bits. */
@@ -37,14 +42,15 @@ object KmvOps {
     require(k <= 32768, s"(k-1)*M must stay inside int64: k=$k exceeds 32768")
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
-    val hashed = df
-      .select(groupCols.map(col) :+ h.as("__graft_h"): _*)
-      .distinct()
-    val ranked = graft.operators.GroupedRank.withGroupRank(
-      hashed, groupCols, Seq(col("__graft_h")), "__graft_r")
-    ranked.filter(col("__graft_r") <= k)
+    df.select(groupCols.map(col) :+ h.as("__graft_h"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_sample"), max("__graft_h").as("kth_hash"))
+      .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
+        .as("__graft_km"))
+      .select(groupCols.map(col) :+
+        size(col("__graft_km")).cast("long").as("n_sample") :+
+        // get() is 0-based and null-on-out-of-bounds: an all-NULL group's
+        // empty sketch yields kth_hash NULL instead of an index error
+        get(col("__graft_km"), size(col("__graft_km")) - 1).as("kth_hash"): _*)
       .withColumn("est_distinct",
         when(col("n_sample") < k || col("kth_hash") <= 0, col("n_sample"))
           .otherwise(expr(s"${(k - 1).toLong * M}L div kth_hash")))

@@ -343,16 +343,20 @@ class PlanSpec extends AnyFunSuite {
       s"gram ownership does not pre-aggregate map-side:\n$p")
   }
 
-  test("KMV sketch pre-aggregates the distinct map-side before the exchange") {
+  test("KMV sketch: one exchange, k-longs partial aggregate map-side, pruned scan") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val q = graft.sketch.KmvOps.kmvDistinct(ev, Seq("event_type"), "user_id")
     val p = plan(q)
-    // distinct on (group, hash) must plan as partial+final HashAggregate:
-    // the exchange then carries unique hashes, not raw events
+    // the TypedImperativeAggregate must plan partial+final: the exchange
+    // carries ≤ k longs per (group, partition), never the distinct hashes
     val exIdx = p.indexOf("Exchange hashpartitioning")
     assert(exIdx > 0, s"no hash exchange in KMV plan:\n$p")
-    assert(p.substring(exIdx).contains("HashAggregate"),
-      s"no map-side partial aggregate below the distinct exchange:\n$p")
+    assert(p.substring(exIdx).contains("partial_kmv_kmins"),
+      s"no map-side partial KMV aggregate below the exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"KMV sketch must be a single-exchange aggregate:\n$p")
+    assert(p.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      s"KMV scan did not prune to (group, value) columns:\n$p")
   }
 
   test("join-size estimate never joins the raw tables: exchanges carry sketch cells") {
