@@ -209,6 +209,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
 
+    "q1_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS lattice — finer than cube/rollup: exactly
+      // ((flag,status),(flag),()) — still one Expand + one aggregate;
+      // grouping_id() disambiguates a NULL data value from an ALL margin
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          sum("l_quantity").as("sum_qty"))
+    }),
+
     "events_pivot" -> ((s, dir) => {
       // wide per-user activity features: one row per user, one counter per
       // event type. The explicit value list keeps the output schema static —
@@ -338,6 +351,23 @@ object SparkEntry {
           max("value").over(w3).as("roll_max"))
     }),
 
+    "events_rolling_range" -> ((s, dir) => {
+      // TIME-based rolling features (RANGE frame over the µs axis, not N
+      // rows): events and max value in each event's trailing hour — the
+      // rate-limiter/abuse-counter shape; a range frame bounds the state
+      // by TIME whatever the event rate, where a row frame silently
+      // changes meaning with density
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).filter(col("user_id") < 500)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        max("value").over(w).as("max_hour"))
+    }),
+
     "cms_heavyhitters" -> ((s, dir) => {
       // sketch-prefiltered exact heavy hitters: CMS never undercounts, so the
       // estimate>=T filter keeps every true heavy key; the exact re-count
@@ -359,6 +389,20 @@ object SparkEntry {
       // full distinct shuffle of every user id
       graft.sketch.KmvOps.kmvDistinct(
         events(s, dir), Seq("event_type"), "user_id", k = 16)
+    }),
+
+    "approx_distinct_rollup" -> ((s, dir) => {
+      // sketch-TABLE rollup: per-(event_type, day) KMV sketches (the
+      // persistable k-longs form) merged up to event_type — the k-min-of-
+      // union merge is the KMV monoid, so the rolled-up estimate must
+      // equal sketching the union directly; the oracle is
+      // approx_distinct_kmv's replay VERBATIM, which is the point
+      val ev = events(s, dir)
+        .withColumn("day", expr("ts_ns DIV 86400000000000"))
+      val daily = graft.sketch.KmvOps.kmvSketch(
+        ev, Seq("event_type", "day"), "user_id", k = 16)
+      graft.sketch.KmvOps.kmvMergeDistinct(
+        daily, Seq("event_type"), "kmv_sketch", k = 16)
     }),
 
     "dedup_exact" -> ((s, dir) => {
@@ -546,6 +590,20 @@ object SparkEntry {
         .select("id_a", "id_b")
       graft.operators.ConnectedComponents.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("component"))
+    }),
+
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // dedup QA histogram: how big are the near-dup clusters? (size → how
+      // many clusters that size) — the one-glance audit that catches a
+      // boilerplate-driven mega-cluster before the apply pass destroys a
+      // corpus; two map-side-combined aggregates over the CC assignment
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents.connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
     "dedup_groups_incremental" -> ((s, dir) => {
@@ -2688,6 +2746,24 @@ object SparkEntry {
         |    END AS est_distinct
         |FROM k""".stripMargin,
 
+    // the KMV monoid property IS the check: day-sketches merged up to
+    // event_type must equal sketching the union directly, so this oracle
+    // is approx_distinct_kmv's replay verbatim
+    "approx_distinct_rollup" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 16 GROUP BY event_type)
+        |SELECT event_type, n_sample, kth_hash,
+        |  CASE WHEN n_sample < 16 OR kth_hash <= 0 THEN n_sample
+        |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
+        |    END AS est_distinct
+        |FROM k""".stripMargin,
+
     // α=1/2 temperature sampling replay: floor(sqrt) smoothed weights
     // (IEEE sqrt is correctly rounded — engine-exact), integer quota
     // division, and the sampleBucket hash rank per source
@@ -2881,6 +2957,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // both engines number grouping_id over (flag, status) identically:
+    // bit 0 = status aggregated, bit 1 = flag aggregated
+    "q1_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    // numeric RANGE frame over the µs axis — 3600000000 preceding
+    "events_rolling_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id < 500)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_hour, max(value) OVER w AS max_hour
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "events_pivot" ->
       """SELECT user_id,
@@ -3251,6 +3345,31 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
         |  WHERE r.lbl < e.dst)
         |SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node""".stripMargin,
+
+    // the same closure, aggregated twice: component → size → histogram
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp
+        |  GROUP BY component)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sz
+        |GROUP BY cluster_size""".stripMargin,
 
     // incremental ≡ batch is the property under test: folding the fresh
     // 20%'s pairs into yesterday's assignment must reproduce the full

@@ -35,24 +35,64 @@ object KmvOps {
   /** Hash range: 12 hex chars = 48 bits. */
   val M: Long = 1L << 48
 
-  def kmvDistinct(
-      df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Int = 16): DataFrame = {
+  private def requireK(k: Int): Unit = {
     require(k >= 2, "k must be at least 2")
     require(k <= 32768, s"(k-1)*M must stay inside int64: k=$k exceeds 32768")
+  }
+
+  /** Raw per-group sketches: `(groupCols..., kmv_sketch)` where the sketch
+    * is the ascending array of the group's k smallest distinct hashes —
+    * the persistable/mergeable form ([[kmvMergeDistinct]] re-aggregates
+    * stored sketches to coarser groups without touching the raw data). */
+  def kmvSketch(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 16): DataFrame = {
+    requireK(k)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
     df.select(groupCols.map(col) :+ h.as("__graft_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
-        .as("__graft_km"))
+        .as("kmv_sketch"))
+  }
+
+  private def estimateFrom(
+      sketches: DataFrame, groupCols: Seq[String], sketchCol: String,
+      k: Int): DataFrame =
+    sketches
       .select(groupCols.map(col) :+
-        size(col("__graft_km")).cast("long").as("n_sample") :+
+        size(col(sketchCol)).cast("long").as("n_sample") :+
         // get() is 0-based and null-on-out-of-bounds: an all-NULL group's
         // empty sketch yields kth_hash NULL instead of an index error
-        get(col("__graft_km"), size(col("__graft_km")) - 1).as("kth_hash"): _*)
+        get(col(sketchCol), size(col(sketchCol)) - 1).as("kth_hash"): _*)
       .withColumn("est_distinct",
         when(col("n_sample") < k || col("kth_hash") <= 0, col("n_sample"))
           .otherwise(expr(s"${(k - 1).toLong * M}L div kth_hash")))
+
+  def kmvDistinct(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 16): DataFrame = {
+    requireK(k)
+    estimateFrom(kmvSketch(df, groupCols, valueCol, k), groupCols,
+      "kmv_sketch", k)
+  }
+
+  /** Sketch ROLLUP: merge fine-grain sketches (each a [[kmvSketch]] array
+    * built with the same k) up to `groupCols` and estimate. The k-min-of-
+    * union merge is the KMV monoid, so the rolled-up estimate is
+    * IDENTICAL to sketching the raw union directly — the re-aggregatable
+    * sketch-table pattern: persist per-(source, day) sketches once (k
+    * longs each), answer any coarser distinct-count query from the
+    * sketch table, never rescanning the corpus. */
+  def kmvMergeDistinct(
+      df: DataFrame, groupCols: Seq[String], sketchCol: String,
+      k: Int = 16): DataFrame = {
+    requireK(k)
+    val merged = df
+      .select(groupCols.map(col) :+ explode(col(sketchCol)).as("__graft_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
+        .as("kmv_sketch"))
+    estimateFrom(merged, groupCols, "kmv_sketch", k)
   }
 }
