@@ -1074,6 +1074,17 @@ object SparkEntry {
       graft.llm.Multimodal.documentVideoStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_gzip" -> ((s, dir) => {
+      // REAL DEFLATE decode (the WARC/WET web-archive codec path): a
+      // deterministic ASCII text is gzipped per doc_id by the JDK's
+      // GZIPOutputStream, then GZIPInputStream inflates the actual bytes
+      // back out; the oracle replays the token formula arithmetically —
+      // wrong bytes anywhere in the inflate break the hash. Compressed
+      // size is deliberately NOT in the contract (encoder output is
+      // implementation-defined; only the decompressed stream is canonical)
+      graft.llm.Multimodal.documentGzipStats(s, t(s, dir, "documents"))
+    }),
+
     "events_quantiles" -> ((s, dir) => {
       // exact order-statistic quantiles (actual elements, no interpolation
       // arithmetic — the engine-portable exact contract)
@@ -3694,6 +3705,23 @@ object SparkEntry {
         |WHERE f.f < 2 + d.doc_id % 3
         |  AND x.x < 8 + d.doc_id % 4 AND y.y < 8 + d.doc_id % 3
         |GROUP BY d.doc_id""".stripMargin,
+
+    // replays Multimodal.archiveText arithmetically: token j of doc id is
+    // 'w' ++ digits of (id·7+j) mod 23 — so per-token byte length is
+    // 2 or 3, per-token byte sum is 119 + digit bytes, and n−1 spaces
+    // (32 each) join them; the REAL gzip inflate must reproduce exactly
+    "multimodal_gzip" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 17 AS n FROM documents),
+        |t AS (SELECT d.doc_id, d.n, (d.doc_id * 7 + j.j) % 23 AS v
+        |  FROM d CROSS JOIN range(0, 37) AS j(j) WHERE j.j < d.n)
+        |SELECT doc_id AS media_id,
+        |  (sum(CASE WHEN v < 10 THEN 2 ELSE 3 END) + max(n) - 1)::BIGINT
+        |    AS n_bytes,
+        |  (sum(119 + CASE WHEN v < 10 THEN 48 + v
+        |      ELSE 96 + (v // 10) + (v % 10) END)
+        |    + 32 * (max(n) - 1))::BIGINT AS byte_sum,
+        |  max(n)::BIGINT AS n_tokens
+        |FROM t GROUP BY doc_id""".stripMargin,
 
     // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal
     // product, identical IEEE in both engines

@@ -391,6 +391,84 @@ object Multimodal {
     decodeVideoStats(records).toDF()
   }
 
+  // ------------------------------------------- compressed (gzip) payloads
+
+  /** A gzip-compressed text payload (a complete gzip member, the WARC/WET
+    * web-archive unit) and its id. */
+  case class GzipRecord(media_id: Long, content: Array[Byte])
+
+  /** Exact per-payload statistics from REAL DEFLATE decode: decompressed
+    * byte count, byte-value sum, and token count — all integers so the
+    * contract is bit-exact across engines. */
+  case class GzipStats(
+      media_id: Long,
+      n_bytes: Long,
+      byte_sum: Long,
+      n_tokens: Long)
+
+  /** Deterministic ASCII text for `id`: `20 + id%17` tokens, token `j` is
+    * `"w" + (id·7 + j) mod 23` — integer arithmetic only, so every decoded
+    * statistic replays in plain SQL. */
+  private[llm] def archiveText(id: Long): String = {
+    val n = 20 + (id % 17).toInt
+    (0 until n).map(j => "w" + ((id * 7 + j) % 23)).mkString(" ")
+  }
+
+  /** [[archiveText]] compressed as a real gzip member by the JDK's
+    * `java.util.zip.GZIPOutputStream` (RFC 1952 over RFC 1951 DEFLATE — no
+    * native dependencies). Lossless, so decode returns the exact text. */
+  def synthesizeGzip(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeGzip needs a non-negative id, got $id")
+    val baos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(archiveText(id).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    gz.close()
+    baos.toByteArray
+  }
+
+  /** REAL DEFLATE decode: each payload is inflated by the JDK's
+    * `GZIPInputStream` — the codec path of every web-archive ingest
+    * (CommonCrawl WARC/WET members are gzip) — and the decompressed bytes
+    * reduce to exact integer stats. Undecodable bytes fail loudly.
+    *
+    * Same batch shape as [[decodeImageStats]]: `mapPartitions`, a narrow
+    * shuffle-free map. NB the COMPRESSED size is deliberately NOT in the
+    * output contract — DEFLATE encoder output is implementation-defined
+    * (level, zlib build), only the decompressed stream is canonical. */
+  def decodeGzipStats(records: Dataset[GzipRecord]): Dataset[GzipStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val in = new java.util.zip.GZIPInputStream(
+          new ByteArrayInputStream(rec.content))
+        val bytes = in.readAllBytes()
+        in.close()
+        var sum = 0L
+        var tokens = if (bytes.isEmpty) 0L else 1L
+        var i = 0
+        while (i < bytes.length) {
+          sum += bytes(i) & 0xFF
+          if (bytes(i) == ' '.toByte) tokens += 1
+          i += 1
+        }
+        GzipStats(rec.media_id, bytes.length.toLong, sum, tokens)
+      }
+    }
+  }
+
+  /** End-to-end real-codec archive pipeline over the documents table:
+    * gzip a deterministic text per doc_id (standing in for a WET member
+    * column), inflate the REAL bytes back out, reduce to exact stats.
+    * Shuffle-free narrow maps end to end. */
+  def documentGzipStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => GzipRecord(id, synthesizeGzip(id)))
+    }
+    decodeGzipStats(records).toDF()
+  }
+
   // ------------------------------------------------------- opaque payloads
 
   /** Deterministic byte-hash feature for payloads with no decoder in this
