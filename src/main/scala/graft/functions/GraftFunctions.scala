@@ -23,7 +23,20 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "sorted_jaccard" -> two("sorted_jaccard")(SortedJaccard(_, _)),
-    "vector_dot" -> two("vector_dot")(VectorDot(_, _)))
+    "sorted_intersect" -> two("sorted_intersect")(SortedIntersect(_, _)),
+    "vector_dot" -> two("vector_dot")(VectorDot(_, _)),
+    // aggregate: kmv_kmins(hash, k) — k must be an integer literal (it
+    // sizes the aggregation buffer, so it cannot be row-dependent); the
+    // analyzer wraps the returned AggregateFunction like any built-in agg
+    "kmv_kmins" -> two("kmv_kmins") { (child, kExpr) =>
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_kmins: k must be an INT literal, got $other")
+      }
+      KmvSketchAgg(child, k)
+    })
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -363,10 +363,24 @@ class LlmSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT sorted_jaccard(array('a','b'), array('b','c')) AS j,
+        |       sorted_intersect(array('a','b'), array('b','c')) AS i,
         |       vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d""".stripMargin)
       .head()
     assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-15)
-    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(1) == 1)
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("kmv_kmins aggregate is callable from SQL and k must be a literal") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(5L, 3L, 9L, 3L, 1L, 7L).toDF("h").createOrReplaceTempView("t_kmv_sql")
+    val r = spark.sql("SELECT kmv_kmins(h, 3) AS km FROM t_kmv_sql").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 3L, 5L), "k smallest distinct, sorted")
+    // a non-literal k must fail analysis (it sizes the aggregation buffer)
+    intercept[Exception] {
+      spark.sql("SELECT kmv_kmins(h, h) FROM t_kmv_sql").collect()
+    }
   }
 
   test("cosineSim is 1 for identical, 0 for orthogonal vectors") {
