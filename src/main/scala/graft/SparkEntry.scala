@@ -391,6 +391,19 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", k = 16)
     }),
 
+    "embed_drift" -> ((s, dir) => {
+      // integer-exact embedding drift monitor: even vs odd vec_ids play
+      // two corpus snapshots; per label, fixed-point per-dimension mean
+      // movement (ppm units) — division-before-multiplication keeps every
+      // intermediate in int64 at ANY corpus size, and the 127·n shift
+      // aligns Spark's truncating div with DuckDB's flooring //
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Quantize.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+    }),
+
     "approx_distinct_rollup" -> ((s, dir) => {
       // sketch-TABLE rollup: per-(event_type, day) KMV sketches (the
       // persistable k-longs form) merged up to event_type — the k-min-of-
@@ -2756,6 +2769,34 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // replays quantizeInt8 per vector, then the fixed-point mean drift:
+    // ((Σcode + 127·n)·1e6) // n with a non-negative numerator, so
+    // DuckDB's flooring // equals Spark's truncating div exactly
+    "embed_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label, vec_id % 2 AS side,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |      THEN list_transform(v, x -> 0::BIGINT)
+        |      ELSE list_transform(v, x -> CAST(floor(
+        |        x / list_max(list_transform(v, y -> abs(y))) * 127.0)
+        |        AS BIGINT)) END AS codes
+        |  FROM e),
+        |p AS (SELECT label, side, i.i AS pos, codes[i.i + 1] AS code
+        |  FROM q CROSS JOIN range(0, 64) AS i(i)),
+        |s AS (SELECT label, side, pos, sum(code)::BIGINT AS sm,
+        |    count(*)::BIGINT AS n
+        |  FROM p GROUP BY label, side, pos),
+        |j AS (SELECT a.label, a.pos,
+        |    ((a.sm + 127 * a.n) * 1000000) // a.n AS ma, a.n AS na,
+        |    ((b.sm + 127 * b.n) * 1000000) // b.n AS mb, b.n AS nb
+        |  FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.side = 0 AND b.side = 1)
+        |SELECT label, max(na) AS n_a, max(nb) AS n_b,
+        |  sum(abs(ma - mb))::BIGINT AS drift_l1,
+        |  max(abs(ma - mb))::BIGINT AS drift_max
+        |FROM j GROUP BY label""".stripMargin,
 
     // the KMV monoid property IS the check: day-sketches merged up to
     // event_type must equal sketching the union directly, so this oracle

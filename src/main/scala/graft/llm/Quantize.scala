@@ -83,4 +83,57 @@ object Quantize {
     }
     q.select(col(idCol) +: projections: _*)
   }
+
+  private def groupDimSums(
+      df: DataFrame, groupCol: String, vecCol: String, tag: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val codes = when(mx === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / mx * 127.0)))
+    df.select(col(groupCol).as("__g"), codes.as("__c"))
+      .select(col("__g"), posexplode(col("__c")))
+      .groupBy(col("__g"), col("pos"))
+      .agg(sum("col").as(s"__sum_$tag"), count(lit(1)).as(s"__n_$tag"))
+  }
+
+  /** Integer-exact embedding DRIFT report between two snapshots: per
+    * group (label/source/cluster), how far the mean embedding moved —
+    * the data/model drift monitor a production retrieval or curation
+    * pipeline runs between corpus refreshes before trusting yesterday's
+    * centroids, thresholds, or ANN index on today's data.
+    *
+    * Both snapshots are int8-quantized ([[quantizeInt8]]'s exact floor
+    * codes) and each group's per-dimension mean is computed in FIXED-POINT:
+    * `m = ((Σcode + 127·n) · ppm) div n` — the `127·n` shift makes the
+    * numerator non-negative, so truncating (Spark `div`) and flooring
+    * (DuckDB `//`) integer division agree, and no cross-multiplied
+    * `Σ·n` product ever forms (a `sum_a·n_b` comparison overflows int64
+    * near 10⁹-row snapshots; dividing first is overflow-free at ANY
+    * corpus size). Drift per group = L1 and max over dimensions of
+    * `|m_a − m_b|`, in ppm-of-code units — pure integers, engine-exact.
+    *
+    * '''Plan shape (the 100-TB design).''' One pass per snapshot:
+    * posexplode to (group, dim) grain, map-side-combined sums — the
+    * exchange ships #groups·dim aggregate rows, never vectors. The
+    * snapshot join is (group, dim)-grain equi-join on model-scale rows.
+    * Groups present in only one snapshot are dropped (drift is defined
+    * on common groups; diff membership separately with
+    * [[graft.llm.CorpusDiff]]). */
+  def embeddingDrift(
+      a: DataFrame, b: DataFrame, groupCol: String, vecCol: String,
+      ppm: Long = 1000000L): DataFrame = {
+    require(ppm > 0, "ppm scale must be positive")
+    val sa = groupDimSums(a, groupCol, vecCol, "a")
+    val sb = groupDimSums(b, groupCol, vecCol, "b")
+    def m(tag: String) = expr(
+      s"((__sum_$tag + 127L * __n_$tag) * ${ppm}L) div __n_$tag")
+    sa.join(sb, Seq("__g", "pos"))
+      .select(col("__g"), col("__n_a"), col("__n_b"),
+        abs(m("a") - m("b")).as("__d"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max("__n_a").cast("long").as("n_a"),
+        max("__n_b").cast("long").as("n_b"),
+        sum("__d").cast("long").as("drift_l1"),
+        max("__d").cast("long").as("drift_max"))
+  }
 }

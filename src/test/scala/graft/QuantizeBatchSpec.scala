@@ -72,4 +72,27 @@ class QuantizeBatchSpec extends AnyFunSuite {
     assert(partial.count() == 0, "only the final batch of a bucket may be partial")
     sizes.unpersist()
   }
+
+  test("embeddingDrift: identical snapshots drift zero; a shifted group drifts as computed") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "x", Seq(1.0f, 0.0f)), (2L, "x", Seq(1.0f, 0.0f)),
+      (3L, "y", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val zero = graft.llm.Quantize.embeddingDrift(a, a, "label", "embedding")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(zero == Map("x" -> ((0L, 0L)), "y" -> ((0L, 0L))))
+    // b: group x flips to (0,1) — codes move from (127,0) to (0,127) per
+    // dim: fixed-point means differ by 127e6 in both dims → l1 = 254e6
+    val b = Seq(
+      (4L, "x", Seq(0.0f, 1.0f)), (5L, "x", Seq(0.0f, 1.0f)),
+      (6L, "y", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.llm.Quantize.embeddingDrift(a, b, "label", "embedding")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("x") == ((2L, 2L, 254000000L, 127000000L)))
+    assert(got("y") == ((1L, 1L, 0L, 0L)))
+  }
 }
