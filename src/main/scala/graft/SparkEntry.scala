@@ -209,6 +209,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
 
+    "q_set_ops" -> ((s, dir) => {
+      // multiset set-operator surface: EXCEPT ALL and INTERSECT ALL keep
+      // multiplicity (a customer with three 'O' orders and one 'F' order
+      // contributes twice to the except, once to the intersect) — both
+      // plan as aggregate+generate over (value, count), one shuffle each,
+      // never a row-by-row anti/semi join
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionAll(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
+
     "q1_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS lattice — finer than cube/rollup: exactly
       // ((flag,status),(flag),()) — still one Expand + one aggregate;
@@ -1103,6 +1116,17 @@ object SparkEntry {
       // arithmetic — the engine-portable exact contract)
       graft.operators.Quantiles.groupQuantiles(
         events(s, dir), Seq("event_type"), "value", Seq(0.5, 0.9))
+    }),
+
+    "events_quantile_hist" -> ((s, dir) => {
+      // bounded-state approximate quantiles: fixed-width histogram →
+      // cumulative bin counts → first bin reaching ceil(q·n); the
+      // exchange ships (group, bin) counters, never the table — the
+      // binWidth-accurate answer the 100-TB profile run wants when the
+      // exact rank shuffle is waste
+      graft.operators.Quantiles.binnedQuantiles(
+        events(s, dir), Seq("event_type"), "value",
+        binWidth = 10.0, Seq(0.5, 0.9))
     }),
 
     "pagerank_bipartite" -> ((s, dir) => {
@@ -3010,6 +3034,19 @@ object SparkEntry {
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
+    // standard SQL multiset semantics in both engines: EXCEPT ALL
+    // subtracts multiplicities, INTERSECT ALL takes the minimum
+    "q_set_ops" ->
+      """SELECT o_custkey, 'except_all' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_custkey, 'intersect_all' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
     // both engines number grouping_id over (flag, status) identically:
     // bit 0 = status aggregated, bit 1 = flag aggregated
     "q1_grouping_sets" ->
@@ -3777,6 +3814,23 @@ object SparkEntry {
         |  max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN value END) AS p90,
         |  max(n)::BIGINT AS n
         |FROM r GROUP BY event_type""".stripMargin,
+
+    // histogram-quantile replay: same floor-binning, same cumulative-count
+    // read-off, bin lower edge = bin · width
+    "events_quantile_hist" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, bin),
+        |cte AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+        |SELECT event_type,
+        |  min(CASE WHEN cum >= greatest(1, ceil(n * 0.5)) THEN bin END)::DOUBLE
+        |    * 10.0 AS p50,
+        |  min(CASE WHEN cum >= greatest(1, ceil(n * 0.9)) THEN bin END)::DOUBLE
+        |    * 10.0 AS p90,
+        |  max(n)::BIGINT AS n
+        |FROM cte GROUP BY event_type""".stripMargin,
 
     "jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,

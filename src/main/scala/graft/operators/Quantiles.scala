@@ -71,4 +71,59 @@ object Quantiles {
     val pct = (BigDecimal(f.toString) * 100).underlying.stripTrailingZeros
     "p" + pct.toPlainString.replace(".", "_")
   }
+
+  /** APPROXIMATE per-group quantiles from a fixed-width histogram: for
+    * each fraction `q`, the LOWER EDGE of the first bin whose cumulative
+    * count reaches `ceil(q·n)` — the answer is within `binWidth` below
+    * the exact order statistic, and that error bound is the whole
+    * contract.
+    *
+    * The bounded-state face of [[groupQuantiles]]: the exact operator
+    * ranks every row (a full shuffle of the table); this one aggregates
+    * to (group, bin) grain first — map-side combined, so the exchange
+    * ships `#groups × #occupied-bins` counter rows however large the
+    * table — and the quantile read-off runs on bin-grain data. The same
+    * sufficient-statistics trade as [[graft.sketch.KmvOps]]: when a
+    * `binWidth`-accurate answer is acceptable, the full-table shuffle is
+    * pure waste at 100 TB. Histogram counts are also re-aggregatable
+    * (persist per-day (group, bin) counts, roll up any period by
+    * addition).
+    *
+    * Deterministic and engine-exact: bins are `floor(value / binWidth)`
+    * (one IEEE division), edges are `bin · binWidth` (exact for modest
+    * integer bins × a representable width), counts are integers. NULL
+    * values are excluded, matching [[groupQuantiles]]. */
+  def binnedQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      binWidth: Double,
+      fractions: Seq[Double]): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
+      "fractions must be in (0, 1]")
+    val names = fractions.map(quantileName)
+    require(names.distinct.size == names.size,
+      s"fractions map to duplicate column names: ${names.mkString(", ")}")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        floor(col(valueCol) / binWidth).cast("long").as("__graft_bin"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    // cumulative count over bins within each group: bin-grain rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__graft_bin"))
+    val cum = hist
+      .withColumn("__graft_cum", sum("__graft_c").over(w))
+      .withColumn("__graft_n",
+        sum("__graft_c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    // first bin reaching the target rank, per fraction; min() picks it
+    // without a second ordering pass
+    val aggs = fractions.zip(names).map { case (f, name) =>
+      val target = greatest(lit(1L), ceil(col("__graft_n") * f))
+      (min(when(col("__graft_cum") >= target, col("__graft_bin")))
+        .cast("double") * binWidth).as(name)
+    } :+ max(col("__graft_n")).as("n")
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -70,4 +70,34 @@ class QuantilesSpec extends AnyFunSuite {
     val cols = groupQuantiles(df, Seq("g"), "v", Seq(0.995, 1.0, 0.25, 0.251)).columns
     assert(cols.toSeq == Seq("g", "p99_5", "p100", "p25", "p25_1", "n"))
   }
+
+  test("binnedQuantiles: within binWidth below the exact quantile, bin-edge answers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 500).map(i => (s"g${i % 3}", rng.nextDouble() * 100.0))
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Quantiles.binnedQuantiles(
+      df, Seq("g"), "v", binWidth = 10.0, Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // driver-side reference: exact order statistic, then its bin's lower edge
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG; (q, idx) <- Seq(0.5 -> 0, 0.9 -> 1)) {
+      val exact = vs(math.max(1, math.ceil(vs.size * q).toInt) - 1)
+      val gotV = if (idx == 0) got(g)._1 else got(g)._2
+      assert(gotV == math.floor(exact / 10.0) * 10.0,
+        s"$g q=$q: got $gotV, exact $exact")
+      assert(gotV <= exact && exact < gotV + 10.0, s"$g q=$q error bound")
+    }
+  }
+
+  test("binnedQuantiles handles negative values and single-element groups") {
+    import spark.implicits._
+    val df = Seq(("a", -15.0), ("a", -5.0), ("a", 5.0), ("b", 42.0))
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles.binnedQuantiles(
+      df, Seq("g"), "v", binWidth = 10.0, Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // a: n=3, target 2 → cum bins (-2:1, -1:2, 0:3) → bin -1 → -10.0
+    assert(got == Set(("a", -10.0, 3L), ("b", 40.0, 1L)))
+  }
 }
