@@ -404,6 +404,16 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", k = 16)
     }),
 
+    "corpus_interleave" -> ((s, dir) => {
+      // deterministic round-robin serving order across four sources:
+      // positions cycle src0,src1,src2,src3,src0,… with a seeded hash
+      // shuffle inside each source — reproducible epoch order, no
+      // single-task sort anywhere
+      graft.llm.Sampling.interleaveSources(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", Seq("src0", "src1", "src2", "src3"), salt = ":7")
+    }),
+
     "embed_drift" -> ((s, dir) => {
       // integer-exact embedding drift monitor: even vs odd vec_ids play
       // two corpus snapshots; per label, fixed-point per-dimension mean
@@ -2793,6 +2803,20 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // replays sampleBucket's salted md5 rank per source, then the
+    // round-robin position formula (rank−1)·S + source_index
+    "corpus_interleave" ->
+      """WITH f AS (SELECT doc_id, source FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
+        |      % 1000000, doc_id) AS rn
+        |  FROM f)
+        |SELECT doc_id, source,
+        |  (rn - 1) * 4 + CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+        |    WHEN 'src2' THEN 2 ELSE 3 END AS serving_pos
+        |FROM r""".stripMargin,
 
     // replays quantizeInt8 per vector, then the fixed-point mean drift:
     // ((Σcode + 127·n)·1e6) // n with a non-negative numerator, so

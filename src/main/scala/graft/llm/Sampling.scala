@@ -271,4 +271,45 @@ object Sampling {
       Seq(strataCol), Seq(col("__graft_pri").desc, col(idCol)), rankCol)
     ranked.filter(col(rankCol) <= k).drop("__graft_pri")
   }
+
+  /** Deterministic round-robin SOURCE INTERLEAVE: a total serving order in
+    * which consecutive positions cycle through the sources —
+    * `serving_pos = (rank_within_source − 1) · S + source_index`, with the
+    * within-source rank a seeded hash shuffle. The training-loader shape
+    * that stops a source-ordered corpus from putting a million docs of one
+    * domain in a row (gradient batches see every source at every point of
+    * the epoch), while staying a pure function of (id, salt): reproducible,
+    * resumable at any position, exactly SQL-replayable.
+    *
+    * Rows whose `strataCol` is not in `sources` are dropped (the explicit
+    * list fixes each source's residue class; pass every source for a full
+    * epoch). Sources of unequal size leave gaps after the smaller sources
+    * exhaust — positions stay a strict total order (serve in `serving_pos`
+    * order; density is not part of the contract).
+    *
+    * '''Plan shape (the 100-TB design).''' One [[graft.operators.GroupedRank]]
+    * pass (range partition + local ranks — no per-source single-task sort)
+    * plus a narrow map; the source-index lookup is a literal map, no join. */
+  def interleaveSources(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      sources: Seq[String],
+      salt: String = ""): DataFrame = {
+    require(sources.nonEmpty, "interleaveSources needs at least one source")
+    require(sources.distinct.size == sources.size,
+      "sources must be distinct (each fixes a residue class)")
+    val sourceIdx = sources.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (s, i)) =>
+        when(col(strataCol) === s, lit(i.toLong)).otherwise(acc)
+      }
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      df.filter(col(strataCol).isInCollection(sources))
+        .withColumn("__graft_hk", sampleBucket(col(idCol), salt)),
+      Seq(strataCol), Seq(col("__graft_hk"), col(idCol)), "__graft_r")
+    ranked
+      .withColumn("serving_pos",
+        (col("__graft_r") - 1) * sources.size + sourceIdx)
+      .drop("__graft_hk", "__graft_r")
+  }
 }

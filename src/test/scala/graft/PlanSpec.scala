@@ -422,6 +422,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("tok"), s"no prefix-token join key visible:\n$p")
   }
 
+  test("containment join: probe-prefix × postings equi-join, never all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.Dedup.exactContainmentJoin(
+      docs, "doc_id", "text", 2, 3, ngram = 3)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in containment plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in containment plan:\n$p")
+    assert(p.contains("tok"), s"no token join key visible:\n$p")
+  }
+
   test("market-basket top-k plans as TakeOrderedAndProject, no global sort") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val q = graft.operators.MarketBasket.frequentPairs(

@@ -180,4 +180,27 @@ class SamplingIvfSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"query LUTs not broadcast:\n$p")
     out.unpersist()
   }
+
+  test("interleaveSources: residue classes per source, dense total order on equal sizes") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val out = graft.llm.Sampling.interleaveSources(
+      df, "id", "src", Seq("s0", "s1", "s2", "s3"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // equal-sized sources → positions are exactly 0..39, no gaps
+    assert(out.map(_._3).sorted.toSeq == (0L until 40L))
+    // every source's positions sit in its residue class mod 4
+    val idxOf = Map("s0" -> 0L, "s1" -> 1L, "s2" -> 2L, "s3" -> 3L)
+    assert(out.forall { case (_, src, pos) => pos % 4 == idxOf(src) })
+    // out-of-list sources are dropped
+    val withExtra = df.unionAll(Seq((99L, "s9")).toDF("id", "src"))
+    val out2 = graft.llm.Sampling.interleaveSources(
+      withExtra, "id", "src", Seq("s0", "s1", "s2", "s3"))
+    assert(out2.filter(col("src") === "s9").count() == 0)
+    // deterministic under repartitioning
+    val a = graft.llm.Sampling.interleaveSources(
+      df.repartition(7), "id", "src", Seq("s0", "s1", "s2", "s3"))
+    a.ensureDatasetEquals(graft.llm.Sampling.interleaveSources(
+      df, "id", "src", Seq("s0", "s1", "s2", "s3")))
+  }
 }
