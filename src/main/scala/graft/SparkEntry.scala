@@ -1422,6 +1422,19 @@ object SparkEntry {
             greatest(col("a_start"), col("b_start"))).as("overlap_us"))
     }),
 
+    "events_resample" -> ((s, dir) => {
+      // time-series gap fill: per user, dense hourly grid over the user's
+      // observed span, forward-filling the latest value across silent
+      // hours — events collapse to grid grain FIRST (map-side max-struct),
+      // so everything downstream is bounded by time span, not event rate
+      graft.operators.Resample.resampleForwardFill(
+        events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+            col("event_id"), col("value")),
+        Seq("user_id"), "ts_us", "event_id", "value",
+        step = 3600L * 1000 * 1000)
+    }),
+
     "events_histogram" -> ((s, dir) => {
       // fixed-width binning; bin ids via one IEEE division + floor, so the
       // histogram is engine-portable exact
@@ -3838,6 +3851,27 @@ object SparkEntry {
         |  max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN value END) AS p90,
         |  max(n)::BIGINT AS n
         |FROM r GROUP BY event_type""".stripMargin,
+
+    // per-(user, hour) latest value via DESC row_number (≡ Spark's
+    // max-struct election), generate_series grid, IGNORE NULLS last_value
+    "events_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE user_id < 50),
+        |o AS (SELECT user_id, b, value FROM (
+        |    SELECT user_id, ts_us // 3600000000 AS b, value,
+        |      row_number() OVER (PARTITION BY user_id, ts_us // 3600000000
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b FROM
+        |  (SELECT user_id, min(b) AS mn, max(b) AS mx FROM o
+        |   GROUP BY user_id)),
+        |f AS (SELECT g.user_id, g.b, o.value AS ov
+        |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, b AS bucket,
+        |  last_value(ov IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  ov IS NOT NULL AS is_observed
+        |FROM f""".stripMargin,
 
     // histogram-quantile replay: same floor-binning, same cumulative-count
     // read-off, bin lower edge = bin · width
