@@ -108,4 +108,39 @@ object Constraints {
     }
     rows.reduce(_.unionAll(_))
   }
+
+  /** ZERO-extra-pass monitoring: attach row-level constraints to a
+    * DataFrame as `Observation` metrics — the counts ride whatever action
+    * the pipeline already runs (the write, the aggregate), costing no
+    * additional scan at all, where [[check]] is its own job. The
+    * production split: `check` gates an ingest before anything runs;
+    * `observed` audits a transform the pipeline was running anyway.
+    *
+    * Row-level constraints only (not-null/range/set/regex): uniqueness and
+    * referential integrity need their own shuffles and cannot piggyback.
+    * After ANY action on the returned DataFrame,
+    * `observation.get(label)` yields that constraint's violation count
+    * (plus `"rows"` for the total).
+    */
+  def observed(df: DataFrame, constraints: Seq[Constraint],
+      name: String = "graft_constraints")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(constraints.nonEmpty, "constraint suite must not be empty")
+    val rowLevel = constraints.map {
+      case c: NotNull => c.label -> col(c.column).isNotNull
+      case c: InRange =>
+        c.label -> (col(c.column) >= c.lo && col(c.column) <= c.hi)
+      case c: InSet => c.label -> col(c.column).isInCollection(c.values)
+      case c: Matches => c.label -> col(c.column).rlike("^(?:" + c.regex + ")$")
+      case c => throw new IllegalArgumentException(
+        s"observed supports row-level constraints only, got ${c.label} " +
+          "(unique/referential constraints need their own shuffle — use check)")
+    }
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = count(lit(1)).as("rows") +: rowLevel.map { case (label, good) =>
+      coalesce(sum((!coalesce(good, lit(false))).cast("long")), lit(0L))
+        .as(label)
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

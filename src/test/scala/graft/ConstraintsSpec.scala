@@ -43,6 +43,24 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(got("subset_of(fk,pk)") == ((1L, 5L, false)), "fk=99 dangles")
   }
 
+  test("observed constraints ride an existing action as Observation metrics") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("zz")))
+      .toDF("id", "tag")
+    val (instrumented, obs) = Constraints.observed(df, Seq(
+      NotNull("tag"), InSet("tag", Seq("a", "b"))))
+    // the pipeline's own action — no extra scan for the metrics
+    assert(instrumented.count() == 3)
+    val m = obs.get
+    assert(m("rows") == 3L)
+    assert(m("not_null(tag)") == 1L)
+    assert(m("in_set(tag)") == 2L)
+    // shuffle-needing constraints are rejected loudly
+    intercept[IllegalArgumentException] {
+      Constraints.observed(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("a fully-clean table passes every constraint") {
     import spark.implicits._
     val df = Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "tag", "v")
