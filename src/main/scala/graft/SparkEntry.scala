@@ -404,6 +404,21 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", k = 16)
     }),
 
+    "source_gini" -> ((s, dir) => {
+      // per-source concentration audit: Gini index of document lengths in
+      // exact integer arithmetic — flags a source whose token mass hides
+      // in a few huge documents before sampling quotas trust doc counts
+      graft.operators.RobustStats.giniIndex(
+        t(s, dir, "documents"), Seq("source"), "n_chars", "doc_id")
+    }),
+
+    "vocab_coverage" -> ((s, dir) => {
+      // tokenizer-sizing curve: corpus token coverage of the top-k vocab
+      // at k = 8/16/32, ONE conditional aggregate for the whole curve
+      graft.llm.Vocab.coverageCurve(
+        t(s, dir, "documents"), "text", Seq(8, 16, 32))
+    }),
+
     "corpus_interleave" -> ((s, dir) => {
       // deterministic round-robin serving order across four sources:
       // positions cycle src0,src1,src2,src3,src0,… with a seeded hash
@@ -2816,6 +2831,43 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // ascending-rank Gini: G = 2·Σ(rank·x) − (n+1)·Σx, ppm by integer div;
+    // the rank election is tie-order invariant, so any row_number works
+    "source_gini" ->
+      """WITH r AS (SELECT source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0)
+        |SELECT source, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS sum_value,
+        |  (2 * sum(rn * n_chars)
+        |    - (count(*) + 1) * sum(n_chars))::BIGINT AS gini_num,
+        |  (CASE WHEN sum(n_chars) = 0 THEN 0
+        |    ELSE ((2 * sum(rn * n_chars) - (count(*) + 1) * sum(n_chars))
+        |      * 1000000) // (count(*) * sum(n_chars)) END)::BIGINT AS gini_ppm
+        |FROM r GROUP BY source""".stripMargin,
+
+    // same tokenizer as vocab_top; the whole curve from one ranked
+    // histogram, coverage by integer ppm division
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token),
+        |r AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token)
+        |    AS rn FROM c),
+        |t AS (SELECT sum(c)::BIGINT AS total FROM c)
+        |SELECT k.vocab_size::BIGINT AS vocab_size,
+        |  coalesce(sum(r.c) FILTER (r.rn <= k.vocab_size), 0)::BIGINT
+        |    AS covered_tokens,
+        |  max(t.total) AS total_tokens,
+        |  ((coalesce(sum(r.c) FILTER (r.rn <= k.vocab_size), 0)::BIGINT
+        |    * 1000000) // max(t.total))::BIGINT AS coverage_ppm
+        |FROM r CROSS JOIN t CROSS JOIN
+        |  (VALUES (8), (16), (32)) AS k(vocab_size)
+        |GROUP BY k.vocab_size""".stripMargin,
 
     // replays sampleBucket's salted md5 rank per source, then the
     // round-robin position formula (rank−1)·S + source_index

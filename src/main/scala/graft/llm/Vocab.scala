@@ -31,6 +31,49 @@ object Vocab {
       .limit(k)
   }
 
+  /** Vocabulary COVERAGE CURVE: for each candidate vocabulary size k, what
+    * fraction of all token occurrences the k most frequent tokens cover —
+    * the tokenizer-sizing question (how big must the vocab be before the
+    * OOV/byte-fallback rate is acceptable) answered in one pass over the
+    * token histogram. Integer-exact: counts, covered sums, and
+    * `coverage_ppm = covered·10⁶ div total` are all longs.
+    *
+    * '''Plan shape (the 100-TB design).''' Token counts are map-side
+    * combined (vocab-scale rows after the first aggregate); the frequency
+    * rank is a [[graft.operators.GroupedRank]] GLOBAL rank (range
+    * partition, no single-task sort of the vocabulary); all requested
+    * sizes then fold into ONE conditional aggregate — the curve costs one
+    * job however many k's it evaluates. */
+  def coverageCurve(
+      df: DataFrame, textCol: String, vocabSizes: Seq[Int]): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+      "vocabSizes must be positive")
+    require(vocabSizes.distinct.size == vocabSizes.size,
+      "vocabSizes must be distinct")
+    val counts = df
+      .select(explode(TextStats.tokens(
+        TextStats.normalizeText(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__graft_c"))
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      counts, Seq.empty, Seq(col("__graft_c").desc, col("token")), "__graft_r")
+    val aggs = sum(col("__graft_c")).as("__graft_total") +:
+      vocabSizes.map { kk =>
+        coalesce(sum(when(col("__graft_r") <= kk, col("__graft_c"))), lit(0L))
+          .as(s"__graft_cov_$kk")
+      }
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(vocabSizes.map { kk =>
+        struct(lit(kk.toLong).as("vocab_size"),
+          col(s"__graft_cov_$kk").as("covered_tokens"),
+          col("__graft_total").as("total_tokens"))
+      }: _*)).as("__graft_row"))
+      .select(col("__graft_row.vocab_size").as("vocab_size"),
+        col("__graft_row.covered_tokens").as("covered_tokens"),
+        col("__graft_row.total_tokens").as("total_tokens"))
+      .withColumn("coverage_ppm",
+        expr("(covered_tokens * 1000000L) div total_tokens"))
+  }
+
   /** BPE-style adjacent character-pair counts — the inner loop of byte-pair-
     * encoding tokenizer training: count every adjacent symbol pair across
     * the corpus weighted by word frequency; the highest-count pair is the

@@ -69,4 +69,39 @@ object RobustStats {
     withRobustStats(df, groupCols, valueCol)
       .filter(col("dev") > lit(threshold) * col("mad"))
   }
+
+  /** Per-group GINI concentration index over a non-negative integer
+    * `valueCol` — the "is one source's token mass dominated by a few huge
+    * documents?" balance audit a corpus report runs per source/language.
+    *
+    * Exact integer arithmetic throughout: with values ranked ascending
+    * (ties by `tieBreakCol` for a deterministic rank — the Gini SUM is
+    * tie-order invariant, the determinism is for free), the numerator is
+    * `G = 2·Σ(rank·x) − (n+1)·Σx` and `gini_ppm = G·10⁶ div (n·Σx)`
+    * (0 = perfectly equal, →10⁶ as one row holds everything). All longs;
+    * the `n·Σx` product bounds the envelope — fine to ~10⁹ rows ×
+    * ~10⁹ total value per group, beyond which report G and divide
+    * downstream in decimal.
+    *
+    * '''Plan shape.''' One [[GroupedRank]] pass (range partition — no
+    * per-group single-task sort) + one map-side-combined aggregate. */
+  def giniIndex(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String): DataFrame = {
+    val ranked = GroupedRank.withGroupRank(
+      df.filter(col(valueCol).isNotNull && col(valueCol) >= 0),
+      groupCols, Seq(col(valueCol), col(tieBreakCol)), "__graft_gr")
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        sum(col("__graft_gr") * col(valueCol)).as("__graft_rx"))
+      .withColumn("gini_num",
+        lit(2L) * col("__graft_rx") - (col("n") + 1L) * col("sum_value"))
+      .withColumn("gini_ppm",
+        when(col("sum_value") === 0, lit(0L))
+          .otherwise(expr("(gini_num * 1000000L) div (n * sum_value)")))
+      .drop("__graft_rx")
+  }
 }

@@ -77,4 +77,37 @@ class RobustStatsSpec extends AnyFunSuite {
     // med=3 (ceil(2.5)=3rd of sorted), devs {2,1,0,1,997} -> mad=1
     assert(got.toSeq == Seq(1000L))
   }
+
+  test("giniIndex: equal values gini 0, single holder ~2/3 at n=3, tie-order invariant") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L),
+      ("one", 4L, 0L), ("one", 5L, 0L), ("one", 6L, 9L))
+      .toDF("g", "id", "v")
+    val got = RobustStats.giniIndex(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("eq") == ((3L, 15L, 0L, 0L)))
+    // one holder: G = 2·(3·9) − 4·9 = 18; ppm = 18e6 div 27 = 666666
+    assert(got("one") == ((3L, 9L, 18L, 666666L)))
+    // duplicate values in any id order give the same sums
+    val dup = Seq(("d", 1L, 7L), ("d", 2L, 7L), ("d", 3L, 1L)).toDF("g", "id", "v")
+    val dup2 = Seq(("d", 3L, 7L), ("d", 1L, 7L), ("d", 2L, 1L)).toDF("g", "id", "v")
+    assert(
+      RobustStats.giniIndex(dup, Seq("g"), "v", "id").select("gini_num").head() ==
+        RobustStats.giniIndex(dup2, Seq("g"), "v", "id").select("gini_num").head())
+  }
+
+  test("coverageCurve: hand-checked tiny corpus") {
+    import spark.implicits._
+    // tokens: a×4, b×2, c×1 → total 7; top-1 covers 4, top-2 covers 6
+    val df = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val got = graft.llm.Vocab.coverageCurve(df, "text", Seq(1, 2, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 4L, 7L, 571428L),
+      (2L, 6L, 7L, 857142L),
+      (5L, 7L, 7L, 1000000L)))
+  }
 }
