@@ -404,6 +404,16 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", k = 16)
     }),
 
+    "quality_pct_rank" -> ((s, dir) => {
+      // cross-source score calibration: raw scores aren't comparable
+      // across sources, their in-source percentiles are — tag each doc
+      // with its in-source length percentile (ppm), then one global
+      // threshold works; range-partitioned rank, no per-source sort task
+      graft.operators.GroupedRank.withGroupPercentile(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq(col("n_chars"), col("doc_id")))
+    }),
+
     "source_gini" -> ((s, dir) => {
       // per-source concentration audit: Gini index of document lengths in
       // exact integer arithmetic — flags a source whose token mass hides
@@ -2831,6 +2841,17 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // (rank−1)·1e6 div max(n−1,1) — integer percentile replay
+    "quality_pct_rank" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  ((rn - 1) * 1000000) // greatest(n - 1, 1) AS pct_ppm
+        |FROM r""".stripMargin,
 
     // ascending-rank Gini: G = 2·Σ(rank·x) − (n+1)·Σx, ppm by integer div;
     // the rank election is tie-order invariant, so any row_number works

@@ -129,4 +129,38 @@ object GroupedRank {
       .drop("__graft_grank" +: "__graft_n" +:
         groupCols.map(c => s"__graft_t_$c"): _*)
   }
+
+  /** Per-group PERCENTILE NORMALIZATION: each row tagged with its in-group
+    * percentile in ppm — `pct_ppm = (rank−1)·10⁶ div max(n−1, 1)` (0 for
+    * the group's smallest row, 10⁶ for its largest; a single-row group
+    * reports 0). The cross-source score-calibration step of a curation
+    * pipeline: raw quality scores aren't comparable across sources with
+    * different scales, their in-source percentiles are — normalize per
+    * source, THEN apply one global threshold. Integer-exact (rank and
+    * count arithmetic only), so exactly SQL-replayable.
+    *
+    * Same machinery and scale shape as [[withGroupNtile]]: one
+    * range-partitioned rank (no per-group single-task sort) + one
+    * broadcast totals join. */
+  def withGroupPercentile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      pctCol: String = "pct_ppm"): DataFrame = {
+    val ranked = withGroupRank(df, groupCols, orderCols, "__graft_grank")
+    val totals = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+    val totR = groupCols.foldLeft(totals) { (d, c) =>
+      d.withColumnRenamed(c, s"__graft_t_$c")
+    }
+    val withTotals =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totR))
+      else ranked.join(broadcast(totR),
+        groupCols.map(c => col(c) <=> col(s"__graft_t_$c")).reduce(_ && _))
+    withTotals
+      .withColumn(pctCol, expr(
+        "((__graft_grank - 1) * 1000000L) div greatest(__graft_n - 1, 1L)"))
+      .drop("__graft_grank" +: "__graft_n" +:
+        groupCols.map(c => s"__graft_t_$c"): _*)
+  }
 }

@@ -130,4 +130,16 @@ class GroupedRankSpec extends AnyFunSuite {
     val empty = df.filter(lit(false))
     assert(GroupedRank.withGroupNtile(empty, Seq("g1"), Seq(col("v")), 4).count() == 0)
   }
+
+  test("withGroupPercentile: 0 for smallest, 1e6 for largest, 0 for singletons") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("b", 7L)).toDF("g", "v")
+    val got = GroupedRank.withGroupPercentile(df, Seq("g"), Seq(col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L), ("a", 2L, 250000L), ("a", 3L, 500000L),
+      ("a", 4L, 750000L), ("a", 5L, 1000000L),
+      ("b", 7L, 0L)))
+  }
 }
