@@ -1601,6 +1601,23 @@ object SparkEntry {
         seeds, "vec_id", "embedding", "label", k = 5)
     }),
 
+    "label_confusion" -> ((s, dir) => {
+      // labeling-quality eval: the label_spread predictions scored against
+      // the held-out true labels as a confusion matrix — the report that
+      // decides whether semi-supervised labels are clean enough to train
+      // on; one broadcast-seed spread + one id-grain join + one aggregate
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") % 4 === 0)
+      val unlabeled = emb.filter(col("vec_id") % 4 =!= 0)
+      graft.llm.Similarity.labelSpread(
+        unlabeled, "vec_id", "embedding",
+        seeds, "vec_id", "embedding", "label", k = 5)
+        .join(emb.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "triangle_count" -> ((s, dir) => {
       // graph cohesion over the co-purchase graph (parts sharing an
       // order): degree-ordered wedge join, the skew-safe orientation that
@@ -4097,6 +4114,26 @@ object SparkEntry {
         |w AS (SELECT vec_id, pred_label, votes, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY votes DESC, pred_label) AS wr FROM v)
         |SELECT vec_id, pred_label, votes FROM w WHERE wr = 1""".stripMargin,
+
+    // the label_spread replay joined back to held-out truth, aggregated
+    // to the confusion matrix
+    "label_confusion" ->
+      """WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS uv
+        |  FROM embeddings WHERE vec_id % 4 <> 0),
+        |s AS (SELECT vec_id AS sid, label, embedding::DOUBLE[] AS sv
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |sc AS (SELECT u.vec_id, s.sid, s.label,
+        |    list_cosine_similarity(uv, sv) AS cos
+        |  FROM u CROSS JOIN s WHERE u.vec_id <> s.sid),
+        |r AS (SELECT vec_id, sid, label, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, sid) AS rnk FROM sc),
+        |v AS (SELECT vec_id, label AS pred_label, count(*) AS votes
+        |  FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+        |w AS (SELECT vec_id, pred_label, votes, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY votes DESC, pred_label) AS wr FROM v)
+        |SELECT e.label::BIGINT AS true_label, w.pred_label, count(*) AS n
+        |FROM w JOIN embeddings e ON w.vec_id = e.vec_id
+        |WHERE w.wr = 1 GROUP BY true_label, w.pred_label""".stripMargin,
 
     // naive a<b<c three-way join — triangle count is orientation-invariant,
     // so it matches the degree-ordered Spark plan exactly
