@@ -452,6 +452,16 @@ object SparkEntry {
         "label", "embedding")
     }),
 
+    "approx_overlap_kmv" -> ((s, dir) => {
+      // audience overlap from sketches alone: per event-type pair, union
+      // and intersection distinct-user estimates off the k-min arrays —
+      // the raw corpus is scanned once to build #groups sketches, every
+      // pairwise question after that is array math on k longs
+      val sk = graft.sketch.KmvOps.kmvSketch(
+        events(s, dir), Seq("event_type"), "user_id", k = 16)
+      graft.sketch.KmvOps.kmvSetEstimates(sk, "event_type", "kmv_sketch", k = 16)
+    }),
+
     "approx_distinct_rollup" -> ((s, dir) => {
       // sketch-TABLE rollup: per-(event_type, day) KMV sketches (the
       // persistable k-longs form) merged up to event_type — the k-min-of-
@@ -2948,6 +2958,34 @@ object SparkEntry {
         |  sum(abs(ma - mb))::BIGINT AS drift_l1,
         |  max(abs(ma - mb))::BIGINT AS drift_max
         |FROM j GROUP BY label""".stripMargin,
+
+    // replays the per-type k-min lists, then the pairwise merge + overlap
+    // ratio in the same integer arithmetic
+    "approx_overlap_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |s AS (SELECT event_type, list(h ORDER BY h) AS km
+        |  FROM r WHERE rn <= 16 GROUP BY event_type),
+        |p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+        |    list_sort(list_distinct(a.km || b.km))[1:16] AS u,
+        |    a.km AS sa, b.km AS sb
+        |  FROM s a JOIN s b ON a.event_type < b.event_type),
+        |e AS (SELECT group_a, group_b, len(u)::BIGINT AS u_n,
+        |    u[len(u)] AS ukth,
+        |    len(list_intersect(list_intersect(u, sa), sb))::BIGINT AS shared
+        |  FROM p)
+        |SELECT group_a, group_b, u_n, shared,
+        |  (CASE WHEN u_n < 16 OR ukth <= 0 THEN u_n
+        |    ELSE (15 * 281474976710656::BIGINT) // ukth END)::BIGINT
+        |    AS est_union,
+        |  (CASE WHEN u_n = 0 THEN 0
+        |    ELSE (shared * (CASE WHEN u_n < 16 OR ukth <= 0 THEN u_n
+        |      ELSE (15 * 281474976710656::BIGINT) // ukth END)) // u_n
+        |    END)::BIGINT AS est_intersect
+        |FROM e""".stripMargin,
 
     // the KMV monoid property IS the check: day-sketches merged up to
     // event_type must equal sketching the union directly, so this oracle

@@ -77,6 +77,43 @@ object KmvOps {
       "kmv_sketch", k)
   }
 
+  /** SET-OPERATION estimates between every pair of groups' sketches:
+    * `est_union` and `est_intersect` distinct counts from the k-min
+    * arrays alone — the audience-overlap question ("how many users do
+    * click and purchase share?") answered WITHOUT re-scanning raw data:
+    * the union estimate is the KMV estimator over the merged k-mins, and
+    * the intersection uses the classic KMV overlap ratio — of the union's
+    * k smallest hashes, the fraction present in BOTH sketches estimates
+    * the Jaccard, so `est_intersect = shared · est_union div u_n` (all
+    * integer arithmetic; `shared ≤ k` keeps the product far inside
+    * int64).
+    *
+    * '''Plan shape.''' The pairwise group join runs over the SKETCH table
+    * (#groups rows of k longs — model-scale); array merge/intersect per
+    * pair are codegen'd built-ins. Never touches the raw corpus. */
+  def kmvSetEstimates(
+      sketches: DataFrame, groupCol: String, sketchCol: String,
+      k: Int = 16): DataFrame = {
+    requireK(k)
+    val a = sketches.select(col(groupCol).as("group_a"), col(sketchCol).as("__sa"))
+    val b = sketches.select(col(groupCol).as("group_b"), col(sketchCol).as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k))
+      .withColumn("u_n", size(col("__u")).cast("long"))
+      .withColumn("__ukth", get(col("__u"), size(col("__u")) - 1))
+      .withColumn("est_union",
+        when(col("u_n") < k || col("__ukth") <= 0, col("u_n"))
+          .otherwise(expr(s"${(k - 1).toLong * M}L div __ukth")))
+      .withColumn("shared",
+        size(array_intersect(array_intersect(col("__u"), col("__sa")),
+          col("__sb"))).cast("long"))
+      .withColumn("est_intersect",
+        when(col("u_n") === 0, lit(0L))
+          .otherwise(expr("(shared * est_union) div u_n")))
+      .select("group_a", "group_b", "u_n", "shared", "est_union", "est_intersect")
+  }
+
   /** Sketch ROLLUP: merge fine-grain sketches (each a [[kmvSketch]] array
     * built with the same k) up to `groupCols` and estimate. The k-min-of-
     * union merge is the KMV monoid, so the rolled-up estimate is

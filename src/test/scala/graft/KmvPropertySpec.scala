@@ -50,4 +50,27 @@ class KmvPropertySpec extends AnyFunSuite {
         .withInitialSeed(Seed(20260814L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("set estimates: identical groups intersect fully, disjoint groups at zero") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows =
+      (1 to 500).map(i => ("a", s"v$i")) ++
+        (1 to 500).map(i => ("b", s"v$i")) ++        // b == a
+        (1 to 500).map(i => ("c", s"w$i"))           // c disjoint from both
+    val sk = KmvOps.kmvSketch(rows.toDF("g", "v"), Seq("g"), "v", k = 16)
+    val est = KmvOps.kmvSetEstimates(sk, "g", "kmv_sketch", k = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (sharedAb, unionAb, interAb) = est(("a", "b"))
+    assert(sharedAb == 16L && interAb == unionAb,
+      s"identical sets must fully intersect: $est")
+    val (sharedAc, _, interAc) = est(("a", "c"))
+    assert(sharedAc == 0L && interAc == 0L, s"disjoint sets must not intersect: $est")
+    // union of disjoint ~1000 distinct: estimator within the 3σ envelope
+    val uAc = est(("a", "c"))._2
+    assert(math.abs(uAc - 1000.0) / 1000.0 <= 3.0 / math.sqrt(14.0),
+      s"disjoint union estimate off: $uAc")
+  }
 }
