@@ -1457,6 +1457,26 @@ object SparkEntry {
             greatest(col("a_start"), col("b_start"))).as("overlap_us"))
     }),
 
+    "events_anomaly" -> ((s, dir) => {
+      // ingest-rate anomaly monitor: each (event_type, day) scored against
+      // its trailing-7-day window with a pure integer spike rule
+      // (n·window_days > 2·window_sum ⇔ n > 2×trailing mean) — counts
+      // aggregate map-side to day grain first, the windows run over
+      // #types×#days rows
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("trailing7", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("trailing_days", count(lit(1)).over(w))
+        .withColumn("is_spike",
+          col("trailing_days") >= 3 &&
+            col("n") * col("trailing_days") > col("trailing7") * 2)
+    }),
+
     "events_resample" -> ((s, dir) => {
       // time-series gap fill: per user, dense hourly grid over the user's
       // observed span, forward-filling the latest value across silent
@@ -3979,6 +3999,19 @@ object SparkEntry {
         |  max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN value END) AS p90,
         |  max(n)::BIGINT AS n
         |FROM r GROUP BY event_type""".stripMargin,
+
+    // day-grain counts, trailing RANGE window, integer spike rule replay
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, n,
+        |  coalesce(sum(n) OVER w, 0)::BIGINT AS trailing7,
+        |  count(*) OVER w AS trailing_days,
+        |  (count(*) OVER w >= 3 AND
+        |    n * count(*) OVER w > coalesce(sum(n) OVER w, 0) * 2) AS is_spike
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     // per-(user, hour) latest value via DESC row_number (≡ Spark's
     // max-struct election), generate_series grid, IGNORE NULLS last_value
