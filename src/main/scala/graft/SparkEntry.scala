@@ -52,6 +52,11 @@ object SparkEntry {
     p
   }
 
+  /** Typed rows for `skewjoin_typed` ([[graft.skew.SkewJoin.skewJoinWith]]
+    * needs case-class encoders; join key carries one shared name). */
+  case class TKCust(custkey: Long, c_name: String)
+  case class TKOrd(custkey: Long, o_orderkey: Long, o_totalprice: Double)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1125,6 +1130,18 @@ object SparkEntry {
       graft.llm.Multimodal.documentImageStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_jpeg" -> ((s, dir) => {
+      // REAL lossy JPEG round-trip: smooth ramp pattern → JDK JPEG encoder
+      // (DCT + 4:2:0 subsampling) → REAL Huffman+IDCT decode → integer-
+      // pinned contract (dims/pixel count exact; within_tol asserts the
+      // measured deviation ≤ 16 — probed worst-case is 4, and ≥ 3 always,
+      // so the codec demonstrably runs lossy; JpegSpec pins that floor).
+      // max_abs_dev is the real measurement — not SQL-replayable, dropped
+      // from the oracle-gated projection.
+      graft.llm.Multimodal.documentJpegStats(s, t(s, dir, "documents"))
+        .select("media_id", "width", "height", "n_pixels", "within_tol")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio decode: a deterministic mono 16-bit PCM WAV is written
       // per doc_id by the JDK's javax.sound.sampled encoder, then
@@ -1818,20 +1835,92 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "skewjoin_typed" -> ((s, dir) => {
+      // typed skewJoinWith (the reference's own unshipped Dataset-API TODO,
+      // README.md:27) oracle-gated on an OUTER type: customers with no
+      // orders must surface a NULL _2 slot (presence-marker semantics, not
+      // data-column nullness) — flattened to columns for the DuckDB hash
+      // compare, with `unmatched` pinning the null-slot itself
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name")).as[TKCust]
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice")).as[TKOrd]
+      new graft.skew.SkewJoin.SkewJoinTypedOps(cust)
+        .skewJoinWith(ord, Seq("custkey"), "left_outer", testConf)
+        .select(
+          col("_1.custkey").as("custkey"),
+          col("_1.c_name").as("c_name"),
+          col("_2.o_orderkey").as("o_orderkey"),
+          col("_2.o_totalprice").as("o_totalprice"),
+          col("_2").isNull.as("unmatched"))
+    }),
+
     "partition_diag" -> ((s, dir) => {
-      // U1/U3 diagnostics surfaced as a query (no SQL oracle: partition ids
-      // are an execution property, not a data property).
-      t(s, dir, "lineitem")
+      // U1/U3 diagnostics oracle-gated END-TO-END: partition ids are
+      // normally an execution property, but `repartition(16, key)` is
+      // HashPartitioning, whose id is the pure arithmetic
+      // `pmod(murmur3_x86_32_hashLong(key, seed=42), 16)` — the DuckDB
+      // oracle (mm3PidSql) replays that hash step-by-step, so per-partition
+      // counts AND the reference's percentile rule `ceil((n−1)·p/100)` over
+      // the sorted counts (Utils.scala:31-43, U3 showPartitionStats) get a
+      // real hash-compare instead of a rows-only check. (groupBy(pid) sees
+      // only non-empty partitions; at this scale all 16 are non-empty, and
+      // the oracle has identical only-non-empty semantics.)
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
         .repartition(16, col("l_orderkey"))
         .groupBy(spark_partition_id().as("pid"))
         .agg(count(lit(1)).as("n"))
+      // tiny frame (≤16 rows): a single-partition window sort is fine here
+      val ranked = counts
+        .withColumn("rk", row_number().over(Window.orderBy(col("n"))))
+      val totals = counts.agg(
+        count(lit(1)).as("n_partitions"), sum("n").as("total_records"))
+      // reference index rule: sortedCounts(ceil((n−1)·p/100)), 0-based
+      def pctAt(p: Int) = max(when(
+        col("rk") - 1 === ceil((col("n_partitions") - 1) * lit(p) / 100.0),
+        col("n")))
+      ranked.crossJoin(broadcast(totals))
         .agg(
-          count(lit(1)).as("n_partitions"),
-          sum("n").as("total_records"),
-          min("n").as("min_per_partition"),
-          max("n").as("max_per_partition"))
+          min(col("n_partitions")).as("n_partitions"),
+          min(col("total_records")).as("total_records"),
+          pctAt(0).as("p0"), pctAt(25).as("p25"), pctAt(50).as("p50"),
+          pctAt(75).as("p75"), pctAt(100).as("p100"))
     }),
   )
+
+  /** DuckDB SELECT items replaying Spark's `HashPartitioning` partition id
+    * for one BIGINT key: `pmod(Murmur3_x86_32.hashLong(key, seed=42), n)`
+    * (`repartition(n, key)`'s id expression — Spark
+    * `HashPartitioning.partitionIdExpression`). Each 32-bit lane op is one
+    * lateral-alias column masked back into [0, 2³²): multiplies go through
+    * HUGEINT then `% 2³²`, rotates split into disjoint shifted halves, and
+    * the final `pmod(signedH, n) == unsignedH % n` because n divides 2³².
+    * Emits a column `pid`. */
+  private def mm3PidSql(keyExpr: String, numParts: Int): String = {
+    require(4294967296L % numParts == 0,
+      s"pid replay needs numParts to divide 2^32, got $numParts")
+    def mul(x: String, c: Long, add: Long = 0L) =
+      s"((($x)::HUGEINT * $c + $add) % 4294967296)::BIGINT"
+    def rotl(x: String, r: Int) =
+      s"(((($x) << $r) % 4294967296) + (($x) >> ${32 - r}))"
+    // Murmur3_x86_32 constants: C1, C2, the mixH1 addend, fmix multipliers
+    s"""($keyExpr) & 4294967295 AS lo, (($keyExpr) >> 32) & 4294967295 AS hi,
+       |  ${mul("lo", 3432918353L)} AS a1, ${rotl("a1", 15)} AS a2,
+       |  ${mul("a2", 461845907L)} AS k1,
+       |  xor(42, k1) AS b1, ${rotl("b1", 13)} AS b2,
+       |  ${mul("b2", 5L, 3864292196L)} AS h1,
+       |  ${mul("hi", 3432918353L)} AS c1, ${rotl("c1", 15)} AS c2,
+       |  ${mul("c2", 461845907L)} AS k2,
+       |  xor(h1, k2) AS d1, ${rotl("d1", 13)} AS d2,
+       |  ${mul("d2", 5L, 3864292196L)} AS h2,
+       |  xor(h2, 8) AS f1, xor(f1, f1 >> 16) AS f2,
+       |  ${mul("f2", 2246822507L)} AS f3, xor(f3, f3 >> 13) AS f4,
+       |  ${mul("f4", 3266489909L)} AS f5, xor(f5, f5 >> 16) AS f6,
+       |  f6 % $numParts AS pid""".stripMargin
+  }
 
   /** DuckDB expression replicating [[graft.llm.Similarity.lshBucket]]
     * bit-for-bit: the hyperplane entries are ±1, so each dot product is a
@@ -2493,6 +2582,28 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // hash-partition layout replay (mm3PidSql = Spark HashPartitioning's
+    // pmod(murmur3(key, 42), 16)), then the U3 percentile rule
+    // ceil((n−1)·p/100) over the sorted per-partition counts
+    "partition_diag" -> (
+      s"""WITH h AS (SELECT ${mm3PidSql("l_orderkey", 16)} FROM lineitem),
+         |c AS (SELECT pid, count(*)::BIGINT AS n FROM h GROUP BY pid),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rk FROM c),
+         |s AS (SELECT count(*)::BIGINT AS np, sum(n)::BIGINT AS total FROM c)
+         |SELECT min(np) AS n_partitions, min(total) AS total_records,
+         |  max(CASE WHEN rk - 1 = ceil((np - 1) * 0 / 100.0) THEN n END) AS p0,
+         |  max(CASE WHEN rk - 1 = ceil((np - 1) * 25 / 100.0) THEN n END) AS p25,
+         |  max(CASE WHEN rk - 1 = ceil((np - 1) * 50 / 100.0) THEN n END) AS p50,
+         |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
+         |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
+         |FROM r CROSS JOIN s""".stripMargin),
+
+    "skewjoin_typed" -> (
+      """SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+        |  o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+        |  (o.o_orderkey IS NULL) AS unmatched
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin),
+
     "decontaminate" -> decontaminateSql(),
 
     "corpus_profile" -> corpusProfileSql,
@@ -3918,6 +4029,16 @@ object SparkEntry {
     // (x,y) is (id·31 + x·7 + y·13 + c·101) mod 256 on a (8+id%8)×(8+id%5)
     // grid — integer arithmetic only, so the decoded-pixel sums from the
     // real ImageIO decode must hash-match these regenerated sums exactly
+    // lossy codec ⇒ pixel values aren't SQL-replayable; dims/count are
+    // formulas and within_tol replays as TRUE (a broken decode flips it)
+    "multimodal_jpeg" ->
+      """SELECT doc_id::BIGINT AS media_id,
+        |  (8 * (2 + doc_id % 3))::BIGINT AS width,
+        |  (8 * (2 + doc_id % 2))::BIGINT AS height,
+        |  ((8 * (2 + doc_id % 3)) * (8 * (2 + doc_id % 2)))::BIGINT AS n_pixels,
+        |  TRUE AS within_tol
+        |FROM documents""".stripMargin,
+
     "multimodal_decode" ->
       """SELECT d.doc_id AS media_id,
         |  (8 + d.doc_id % 8)::BIGINT AS width,

@@ -168,6 +168,112 @@ object Multimodal {
     decodeImageStats(records).toDF()
   }
 
+  // ------------------------------------------------------------ jpeg (lossy)
+
+  /** Outcome of a REAL lossy JPEG round-trip: exact dimensions plus an
+    * integer-pinned tolerance assertion against the generating pattern.
+    * `max_abs_dev` is the real measured per-channel deviation of the
+    * DCT-decoded pixels from the source pattern (spec-pinned to be > 0 —
+    * proof the lossy codec actually ran — and ≤ the tolerance); only the
+    * exactly-replayable fields enter the SQL oracle. */
+  case class JpegStats(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      within_tol: Boolean,
+      max_abs_dev: Long)
+
+  /** Per-channel source-pattern value at (x, y) for `id`: a smooth linear
+    * ramp (no wrap, no hard edges — the pattern class JPEG's 8×8 DCT
+    * compresses with small bounded error). Channel offsets depend on id. */
+  private[graft] def jpegPattern(id: Long, x: Int, y: Int, c: Int): Int =
+    (64 + ((id * 7 + c * 37) % 32) + x * 2 + y).toInt
+
+  /** MCU-aligned dimensions (multiples of 8, so no partial-block edge
+    * effects inflate the codec error bound): 16..32 × 16..24. */
+  private[graft] def jpegDims(id: Long): (Int, Int) =
+    (8 * (2 + (id % 3).toInt), 8 * (2 + (id % 2).toInt))
+
+  /** Deterministic smooth RGB pattern for `id`, encoded as a REAL JPEG by
+    * the JDK's `ImageIO` JPEG writer (default quality, 4:2:0 chroma
+    * subsampling) — a genuinely lossy DCT codec, unlike the PNG path. */
+  def synthesizeJpeg(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeJpeg needs a non-negative id, got $id")
+    val (w, h) = jpegDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (jpegPattern(id, x, y, 0) << 16) |
+            (jpegPattern(id, x, y, 1) << 8) |
+            jpegPattern(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, "jpg", baos)
+    require(ok, "JDK JPEG ImageWriter unavailable")
+    baos.toByteArray
+  }
+
+  /** REAL DCT decode of JPEG payloads (JDK `ImageIO` Huffman+IDCT), with
+    * the decoded raster compared pixel-by-pixel against the generating
+    * pattern. Lossy codecs can't have exact pixel oracles, so the contract
+    * is integer-pinned instead: dimensions and pixel count are exact, and
+    * `within_tol` asserts the measured deviation stays under `tol` — a
+    * garbage decode (or a codec swap) flips it false and fails the oracle
+    * hash-compare loudly. Same narrow `mapPartitions` batch shape as the
+    * other decoders. */
+  def decodeJpegStats(
+      records: Dataset[ImageRecord], tol: Long = 16L): Dataset[JpegStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val img = ImageIO.read(new ByteArrayInputStream(rec.content))
+        require(img != null,
+          s"media_id=${rec.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var maxDev = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val dec = (rgb >> (16 - 8 * c)) & 0xFF
+              val dev = math.abs(dec - jpegPattern(rec.media_id, x, y, c)).toLong
+              if (dev > maxDev) maxDev = dev
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        JpegStats(rec.media_id, w.toLong, h.toLong, w.toLong * h,
+          maxDev <= tol, maxDev)
+      }
+    }
+  }
+
+  /** End-to-end lossy round-trip over the documents table: synthesize a
+    * JPEG per doc_id, decode REAL DCT pixels back, emit the integer-pinned
+    * stats. Encode and decode are narrow `mapPartitions` stages — the whole
+    * query is shuffle-free. */
+  def documentJpegStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ImageRecord(id, synthesizeJpeg(id)))
+    }
+    decodeJpegStats(records).toDF()
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** An audio payload (a complete WAV file) and its id. */

@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * dedicated spec pins it under `spark.sql.adaptive.enabled=true` with
   * partition coalescing engaged (AQE's stage-level reuse keeps the shared
   * range exchange a single materialized instance when it re-plans).
+  *
+  * MAINTENANCE CONTRACT: reuse matching is exchange-SUBTREE identity. Both
+  * consumers below are built from the single `ranged` val with no
+  * projection between the range exchange and the fork, so the subtrees are
+  * identical by construction. Any future edit that differentiates the two
+  * branches BELOW the exchange (e.g. a `.select` on one branch before the
+  * window/counts split) silently breaks reuse and desyncs offsets from
+  * local ranks — the alternative (localCheckpoint of the ranged frame)
+  * buys robustness at the cost of materializing the FULL dataset, which is
+  * the wrong trade at 100 TB. The GroupedRankSpec reuse/AQE pins are
+  * therefore mandatory for any change to this file.
   */
 object GroupedRank {
 

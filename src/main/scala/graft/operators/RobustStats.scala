@@ -78,10 +78,12 @@ object RobustStats {
     * (ties by `tieBreakCol` for a deterministic rank — the Gini SUM is
     * tie-order invariant, the determinism is for free), the numerator is
     * `G = 2·Σ(rank·x) − (n+1)·Σx` and `gini_ppm = G·10⁶ div (n·Σx)`
-    * (0 = perfectly equal, →10⁶ as one row holds everything). All longs;
-    * the `n·Σx` product bounds the envelope — fine to ~10⁹ rows ×
-    * ~10⁹ total value per group, beyond which report G and divide
-    * downstream in decimal.
+    * (0 = perfectly equal, →10⁶ as one row holds everything). The Σ(rank·x)
+    * partials and G stay in int64 (envelope ~10⁹ rows × ~10⁹ total value
+    * per group); the final `·10⁶ / (n·Σx)` step — which would wrap int64
+    * already near n·Σx ≈ 9.2e12 — is computed in DECIMAL(38,0), so the
+    * ppm is exact across the full documented envelope instead of silently
+    * wrapping three orders of magnitude before it.
     *
     * '''Plan shape.''' One [[GroupedRank]] pass (range partition — no
     * per-group single-task sort) + one map-side-combined aggregate. */
@@ -100,8 +102,13 @@ object RobustStats {
       .withColumn("gini_num",
         lit(2L) * col("__graft_rx") - (col("n") + 1L) * col("sum_value"))
       .withColumn("gini_ppm",
+        // decimal(38,0) for the ×10⁶ product and n·Σx denominator: both
+        // overflow int64 well inside the documented envelope (gini_num is
+        // itself O(n·Σx)); `div` on decimals still yields a LongType ppm.
         when(col("sum_value") === 0, lit(0L))
-          .otherwise(expr("(gini_num * 1000000L) div (n * sum_value)")))
+          .otherwise(expr(
+            "(cast(gini_num as decimal(38,0)) * 1000000) div " +
+              "(cast(n as decimal(38,0)) * cast(sum_value as decimal(38,0)))")))
       .drop("__graft_rx")
   }
 }

@@ -64,6 +64,17 @@ object Constraints {
     * count of `df` and `passed = (violations == 0)`. */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "constraint suite must not be empty")
+    // labels key the shared-pass aggregate aliases (`__v_<label>`): two
+    // constraints of the same type on the same column (e.g. two InRange with
+    // different bounds) would alias-collide and surface as an opaque
+    // ambiguous-reference AnalysisException deep in the plan — fail clearly
+    // up front instead.
+    val dupLabels = constraints.groupBy(_.label).collect {
+      case (l, cs) if cs.size > 1 => l
+    }
+    require(dupLabels.isEmpty,
+      s"duplicate constraint labels (same type+column declared twice): " +
+        s"${dupLabels.mkString(", ")} — deduplicate the suite")
     val spark = df.sparkSession
     // "good" predicates; a NULL value fails every constraint except where
     // the constraint is about null itself — coalesce(pred, false) makes the

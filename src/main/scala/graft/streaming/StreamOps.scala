@@ -312,7 +312,19 @@ object StreamOps {
     * group in the state store (bounded, never the distinct set itself —
     * `count(DISTINCT)` over a stream is unbounded state); the hash is
     * computed declaratively BEFORE grouping, so the shuffle carries
-    * (group, 8-byte hash), not the value payload. */
+    * (group, 8-byte hash), not the value payload.
+    *
+    * NULL `valueCol` rows are skipped (filtered before the typed encoder),
+    * matching the batch [[graft.functions.KmvSketchAgg]] NULL semantics
+    * exactly — a stream with nulls converges to the same state as the
+    * batch sketch over the same rows.
+    *
+    * Key-type note: `groupCol` is cast to STRING for the typed `groupByKey`
+    * state key, so the emitted group column is StringType regardless of the
+    * input key type. Serve-side joins against a batch `kmvSketch` output on
+    * a non-string key (e.g. a long id) must cast one side; the string form
+    * is canonical here because the state-store key must be a stable,
+    * encoder-friendly scalar across restarts. */
   def kmvDistinctUpdates(
       stream: DataFrame, groupCol: String, valueCol: String,
       k: Int = 16): DataFrame = {
@@ -322,7 +334,10 @@ object StreamOps {
     val spark = stream.sparkSession
     import spark.implicits._
     val m = graft.sketch.KmvOps.M
-    val hashed = stream.select(
+    // NULL values hash to NULL md5 and the primitive-Long encoder would
+    // NPE; filter first — this also matches batch KmvSketchAgg, which
+    // skips NULL inputs silently.
+    val hashed = stream.filter(col(valueCol).isNotNull).select(
       col(groupCol).cast("string"),
       conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
         .cast("long"))

@@ -544,6 +544,32 @@ class LlmSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("jpeg round-trip: REAL lossy DCT decode, deviation in (0, 16], dims exact") {
+    import spark.implicits._
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.ImageRecord(id, Multimodal.synthesizeJpeg(id)))
+    // the payloads are genuine JFIF/JPEG files (SOI marker), not a fake container
+    val magic = records.head().content.take(2).toSeq
+    assert(magic == Seq[Byte](0xFF.toByte, 0xD8.toByte))
+    val got = Multimodal.decodeJpegStats(records).collect()
+    assert(got.length == 60)
+    got.foreach { s =>
+      val (w, h) = Multimodal.jpegDims(s.media_id)
+      assert(s.width == w && s.height == h && s.n_pixels == w.toLong * h)
+      // max_abs_dev > 0 is the honesty pin: a stand-in that returns the
+      // source pattern without running the codec would measure exactly 0;
+      // the real JDK JPEG encoder's chroma subsampling never round-trips
+      // this ramp losslessly (probed floor: 3, worst: 4 over 2000 ids)
+      assert(s.max_abs_dev > 0, s"id=${s.media_id}: decode was not lossy — codec didn't run?")
+      assert(s.max_abs_dev <= 16 && s.within_tol,
+        s"id=${s.media_id}: deviation ${s.max_abs_dev} above tolerance")
+    }
+    // repartitioning must not change a narrow deterministic pipeline
+    val got7 = Multimodal.decodeJpegStats(records.repartition(7)).collect()
+      .map(s => s.media_id -> s).toMap
+    got.foreach(s => assert(got7(s.media_id) == s))
+  }
+
   test("image decode fails loudly on undecodable payloads") {
     import spark.implicits._
     val bogus = Seq(Multimodal.ImageRecord(1L, Array[Byte](1, 2, 3, 4))).toDS()
