@@ -1835,6 +1835,17 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "events_grouped_topk" -> ((s, dir) => {
+      // skew-safe per-group top-k: bounded-state TopKAgg ships ≤ k rows
+      // per (group × map task) — never the whole group through the
+      // exchange, never a hot-group single-task sort (the window
+      // formulation this replaces does both); 3 smallest (value, event_id)
+      // per event_type, ties total-ordered by event_id
+      graft.operators.GroupedTopK.topKPerGroup(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        Seq("event_type"), Seq(col("value"), col("event_id")), k = 3)
+    }),
+
     "skewjoin_typed" -> ((s, dir) => {
       // typed skewJoinWith (the reference's own unshipped Dataset-API TODO,
       // README.md:27) oracle-gated on an OUTER type: customers with no
@@ -2597,6 +2608,13 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    "events_grouped_topk" -> (
+      """SELECT event_id, user_id, event_type, value, rank FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id)::INT AS rank
+        |  FROM events) WHERE rank <= 3""".stripMargin),
 
     "skewjoin_typed" -> (
       """SELECT c.c_custkey AS custkey, c.c_name AS c_name,

@@ -36,6 +36,18 @@ object GraftFunctions {
           s"kmv_kmins: k must be an INT literal, got $other")
       }
       KmvSketchAgg(child, k)
+    },
+    // aggregate: top_k(v, k) — the group's k smallest values of any
+    // orderable v (struct for multi-key + payload), ascending; k must be
+    // an integer literal for the same buffer-sizing reason as kmv_kmins
+    "top_k" -> two("top_k") { (child, kExpr) =>
+      val k = kExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"top_k: k must be an INT literal, got $other")
+      }
+      TopKAgg(child, k)
     })
 
   def register(spark: SparkSession): Unit =
