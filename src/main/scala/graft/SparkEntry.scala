@@ -1835,6 +1835,28 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "scd2_merge" -> ((s, dir) => {
+      // SCD2 snapshot fold (corpus-versioning apply-side): "yesterday's"
+      // history (current rows from one doc slice + a pre-closed v0 slice)
+      // merged with "today's" snapshot (different slice, every 11th doc
+      // edited) at version 2 — changed docs close + reopen, missing docs
+      // close, new docs open, historical rows pass through untouched
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val curHist = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      val pastHist = docs.filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v0")).as("text"),
+          lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+          lit(false).as("is_current"))
+      val snapshot = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Scd2.mergeSnapshot(
+        curHist.unionAll(pastHist), snapshot,
+        Seq("doc_id"), Seq("text"), version = 2L)
+    }),
+
     "events_grouped_topk" -> ((s, dir) => {
       // skew-safe per-group top-k: bounded-state TopKAgg ships ≤ k rows
       // per (group × map task) — never the whole group through the
@@ -2608,6 +2630,30 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    // md5-fingerprint change detection ≡ direct text equality; union arms
+    // replay the four SCD2 transitions by position
+    "scd2_merge" -> (
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |cur AS (SELECT doc_id, text FROM docs WHERE doc_id % 17 <> 0),
+        |past AS (SELECT doc_id, text || ' v0' AS text, 0::BIGINT AS valid_from,
+        |    1::BIGINT AS valid_to, FALSE AS is_current
+        |  FROM docs WHERE doc_id % 19 = 0),
+        |snap AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |    ELSE text END AS text FROM docs WHERE doc_id % 13 <> 0),
+        |j AS (SELECT c.doc_id AS h_id, c.text AS h_text,
+        |    s.doc_id AS s_id, s.text AS s_text
+        |  FROM cur c FULL JOIN snap s ON c.doc_id = s.doc_id)
+        |SELECT * FROM past
+        |UNION ALL
+        |SELECT h_id, h_text, 1::BIGINT, NULL::BIGINT, TRUE FROM j
+        |  WHERE h_id IS NOT NULL AND s_id IS NOT NULL AND h_text = s_text
+        |UNION ALL
+        |SELECT h_id, h_text, 1::BIGINT, 2::BIGINT, FALSE FROM j
+        |  WHERE h_id IS NOT NULL AND (s_id IS NULL OR h_text <> s_text)
+        |UNION ALL
+        |SELECT s_id, s_text, 2::BIGINT, NULL::BIGINT, TRUE FROM j
+        |  WHERE s_id IS NOT NULL AND (h_id IS NULL OR h_text <> s_text)""".stripMargin),
 
     "events_grouped_topk" -> (
       """SELECT event_id, user_id, event_type, value, rank FROM (
