@@ -1835,6 +1835,16 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "sample_cap_per_group" -> ((s, dir) => {
+      // long-tail flattening: at most 15 docs per source, chosen by the
+      // portable md5 sampling hash — bounded-state GroupedTopK (≤ k rows
+      // per source × map task through the exchange), not a rank-everything
+      // window or GroupedRank pass
+      graft.llm.Sampling.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source", k = 15)
+    }),
+
     "scd2_merge" -> ((s, dir) => {
       // SCD2 snapshot fold (corpus-versioning apply-side): "yesterday's"
       // history (current rows from one doc slice + a pre-closed v0 slice)
@@ -2630,6 +2640,14 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    "sample_cap_per_group" -> (
+      """SELECT doc_id, source, lang, sample_rank FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 1000000, doc_id)::INT AS sample_rank
+        |  FROM documents) WHERE sample_rank <= 15""".stripMargin),
 
     // md5-fingerprint change detection ≡ direct text equality; union arms
     // replay the four SCD2 transitions by position

@@ -272,6 +272,29 @@ object Sampling {
     ranked.filter(col(rankCol) <= k).drop("__graft_pri")
   }
 
+  /** Deterministic AT-MOST-k cap per group — "no more than k docs per
+    * domain/source", the long-tail flattening step of a crawl-curation
+    * recipe: keeps each group's k smallest rows under the portable
+    * `(sampleBucket(id, salt), id)` order, i.e. a uniform reproducible
+    * k-subsample of every oversized group, all of every smaller group.
+    *
+    * '''Plan shape (the 100-TB design).''' One bounded-state
+    * [[graft.operators.GroupedTopK]] aggregate: ≤ k rows of partial state
+    * per (group, map partition) through the single exchange — a hot
+    * domain with 10⁹ pages ships k rows per map task, never the domain.
+    * [[samplePriority]] (GroupedRank-based) ranks and ships EVERY row;
+    * use it when weights matter, this when only the cap does. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      salt: String = "",
+      rankCol: String = "sample_rank"): DataFrame =
+    graft.operators.GroupedTopK.topKPerGroup(
+      df, Seq(strataCol),
+      Seq(sampleBucket(col(idCol), salt), col(idCol)), k, rankCol)
+
   /** Deterministic round-robin SOURCE INTERLEAVE: a total serving order in
     * which consecutive positions cycle through the sources —
     * `serving_pos = (rank_within_source − 1) · S + source_index`, with the
