@@ -1835,6 +1835,26 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "cdc_apply" -> ((s, dir) => {
+      // last-writer-wins changelog fold: base = one doc slice; the log
+      // carries two update generations (u1 at seq·10+1, u2 at seq·10+2),
+      // deletes as the latest op for every 7th doc, and early inserts for
+      // every 13th — the bounded per-key argmax must pick u2 over u1,
+      // the delete over both, and pass untouched base docs through
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = docs.filter(col("doc_id") % 17 =!= 0)
+      def slice(m: Int, suffix: String, o: String, seqOff: Int) =
+        docs.filter(col("doc_id") % m === 0).select(
+          col("doc_id"), concat(col("text"), lit(suffix)).as("text"),
+          lit(o).as("op"), (col("doc_id") * 10 + seqOff).as("seq"))
+      val changelog = slice(13, " ins", "I", 0)
+        .unionAll(slice(5, " u1", "U", 1))
+        .unionAll(slice(10, " u2", "U", 2))
+        .unionAll(slice(7, "", "D", 3))
+      graft.operators.CdcApply.applyChangelog(
+        base, changelog, Seq("doc_id"), Seq("text"))
+    }),
+
     "sample_cap_per_group" -> ((s, dir) => {
       // long-tail flattening: at most 15 docs per source, chosen by the
       // portable md5 sampling hash — bounded-state GroupedTopK (≤ k rows
@@ -2640,6 +2660,26 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    "cdc_apply" -> (
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |base AS (SELECT doc_id, text FROM docs WHERE doc_id % 17 <> 0),
+        |log AS (
+        |  SELECT doc_id, text || ' ins' AS text, 'I' AS op, doc_id*10 AS seq
+        |    FROM docs WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id, text || ' u1', 'U', doc_id*10+1
+        |    FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text || ' u2', 'U', doc_id*10+2
+        |    FROM docs WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, 'D', doc_id*10+3
+        |    FROM docs WHERE doc_id % 7 = 0),
+        |last AS (SELECT doc_id, text, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+        |  FROM log) WHERE rn = 1)
+        |SELECT coalesce(l.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text
+        |FROM base b FULL JOIN last l ON b.doc_id = l.doc_id
+        |WHERE coalesce(l.op <> 'D', TRUE)""".stripMargin),
 
     "sample_cap_per_group" -> (
       """SELECT doc_id, source, lang, sample_rank FROM (
