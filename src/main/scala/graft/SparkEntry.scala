@@ -1835,6 +1835,18 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "token_drift" -> ((s, dir) => {
+      // per-source vocabulary drift between two simulated crawls (same
+      // slice shapes as corpus_diff): integer-exact total-variation ppm
+      // over the token distributions
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val a = docs.filter(col("doc_id") % 17 =!= 0)
+      val b = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" drift marker tokens"))).otherwise(col("text")))
+      graft.llm.TextStats.tokenDriftTV(a, b, "source", "text")
+    }),
+
     "cdc_apply" -> ((s, dir) => {
       // last-writer-wins changelog fold: base = one doc slice; the log
       // carries two update generations (u1 at seq·10+1, u2 at seq·10+2),
@@ -2660,6 +2672,34 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    // hugeint keeps Σ|ca·nb − cb·na| exact; ONE integral division at the
+    // end (// on hugeint) — same arithmetic shape as the Spark decimal path
+    "token_drift" -> (
+      s"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+         |ta AS (SELECT source, unnest(list_filter(
+         |    string_split_regex($normSql, '\\s+'), t -> len(t) > 0)) AS tok
+         |  FROM docs WHERE doc_id % 17 <> 0),
+         |tbsrc AS (SELECT source, CASE WHEN doc_id % 11 = 0
+         |    THEN text || ' drift marker tokens' ELSE text END AS text
+         |  FROM docs WHERE doc_id % 13 <> 0),
+         |tb AS (SELECT source, unnest(list_filter(
+         |    string_split_regex($normSql, '\\s+'), t -> len(t) > 0)) AS tok
+         |  FROM tbsrc),
+         |c AS (SELECT source, tok,
+         |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM (SELECT source, tok, 0 AS s FROM ta
+         |        UNION ALL SELECT source, tok, 1 FROM tb)
+         |  GROUP BY source, tok),
+         |t AS (SELECT source, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+         |  FROM c GROUP BY source),
+         |n AS (SELECT c.source, sum(abs(ca::HUGEINT * nb - cb::HUGEINT * na)) AS num
+         |  FROM c JOIN t ON c.source = t.source GROUP BY c.source)
+         |SELECT t.source AS source, na AS n_tokens_a, nb AS n_tokens_b,
+         |  (CASE WHEN na = 0 OR nb = 0 THEN 1000000
+         |   ELSE (num * 1000000) // (2 * na::HUGEINT * nb) END)::BIGINT AS tv_ppm
+         |FROM t JOIN n ON t.source = n.source""".stripMargin),
 
     "cdc_apply" -> (
       """WITH docs AS (SELECT doc_id, text FROM documents),

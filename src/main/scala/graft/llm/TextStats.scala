@@ -68,6 +68,54 @@ object TextStats {
     * engines, so it doubles as an oracle-checkable exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Per-group token-distribution drift between two corpus snapshots:
+    * TOTAL-VARIATION distance in ppm — the token-level complement to
+    * [[Quantize.embeddingDrift]]'s embedding-space monitor, and the
+    * "did this source's vocabulary shift between crawls?" audit that
+    * gates a retrain. TV = ½·Σ_t |p_a(t) − p_b(t)| over the union token
+    * set, reported integer-exact as
+    * `tv_ppm = ⌊Σ_t |c_a·N_b − c_b·N_a| · 10⁶ / (2·N_a·N_b)⌋`
+    * (0 = identical distributions, 10⁶ = disjoint; a group empty on one
+    * side reports 10⁶). All products and the Σ run in DECIMAL(38,0) —
+    * c·N alone overflows int64 near 10⁹·10⁹ tokens — with ONE integral
+    * division at the end, so any engine replays it bit-for-bit.
+    *
+    * '''Plan shape (the 100-TB design).''' One exchange at (group, token)
+    * grain with map-side partial counts (the union of both snapshots is
+    * tagged, not joined); per-group totals are a second aggregate over
+    * the token-grain frame (group-cardinality rows) broadcast back. No
+    * token-level join of A against B, no window, no driver state. */
+  def tokenDriftTV(
+      a: DataFrame, b: DataFrame,
+      groupCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame, tag: Int) = df.select(
+      col(groupCol).as("__g"),
+      explode(tokens(normalizeText(col(textCol)))).as("__tok"),
+      lit(tag).as("__s"))
+    val counts = toks(a, 0).unionAll(toks(b, 1))
+      .groupBy("__g", "__tok")
+      .agg(
+        sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__cb"))
+    val totals = counts.groupBy("__g")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    counts.join(broadcast(totals), Seq("__g"))
+      .groupBy(col("__g"), col("__na"), col("__nb"))
+      .agg(sum(expr(
+        "abs(cast(__ca as decimal(38,0)) * cast(__nb as decimal(38,0)) - " +
+          "cast(__cb as decimal(38,0)) * cast(__na as decimal(38,0)))"))
+        .as("__num"))
+      .select(
+        col("__g").as(groupCol),
+        col("__na").as("n_tokens_a"),
+        col("__nb").as("n_tokens_b"),
+        when(col("__na") === 0 || col("__nb") === 0, lit(1000000L))
+          .otherwise(expr(
+            "(__num * 1000000) div " +
+              "(2 * cast(__na as decimal(38,0)) * cast(__nb as decimal(38,0)))"))
+          .as("tv_ppm"))
+  }
+
   /** Rolling k-gram hash stream of a normalized text. Pass a *materialized*
     * column — an expression tree here would be inlined into the lambda and
     * re-evaluated per gram position. */

@@ -544,6 +544,24 @@ class LlmSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("tokenDriftTV: identical→0, disjoint→1e6, empty side→1e6, hand case exact") {
+    import spark.implicits._
+    val a = Seq(("s1", "x x y"), ("s2", "a b"), ("s4", "only here")).toDF("src", "txt")
+    val b = Seq(("s1", "x y y"), ("s2", "c d"), ("s3", "new src")).toDF("src", "txt")
+    val got = TextStats.tokenDriftTV(a, b, "src", "txt")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // s1: p=(x:2/3, y:1/3) q=(x:1/3, y:2/3) → TV = 1/3 → 333333 ppm
+    assert(got("s1") == ((3L, 3L, 333333L)))
+    // s2: disjoint vocabularies → TV = 1
+    assert(got("s2") == ((2L, 2L, 1000000L)))
+    // one-sided groups → max drift by contract
+    assert(got("s3") == ((0L, 2L, 1000000L)))
+    assert(got("s4") == ((2L, 0L, 1000000L)))
+    // identical snapshots → 0 for every group
+    val same = TextStats.tokenDriftTV(a, a, "src", "txt").collect()
+    assert(same.forall(_.getLong(3) == 0L))
+  }
+
   test("jpeg round-trip: REAL lossy DCT decode, deviation in (0, 16], dims exact") {
     import spark.implicits._
     val ids = spark.range(0, 60).as[Long]
