@@ -61,6 +61,18 @@ class ConstraintsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate labels (same type+column twice) fail fast with a clear message") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Constraints.check(df, Seq(
+        InRange("v", 0.0, 10.0),
+        InRange("v", 2.0, 8.0))) // same label → would alias-collide at runtime
+    }
+    assert(e.getMessage.contains("duplicate constraint labels"))
+    assert(e.getMessage.contains("in_range(v)"))
+  }
+
   test("a fully-clean table passes every constraint") {
     import spark.implicits._
     val df = Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "tag", "v")

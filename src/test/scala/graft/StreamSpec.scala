@@ -293,6 +293,30 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming KMV skips NULL values exactly like the batch sketch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_null_")
+    dir.toFile.deleteOnExit()
+    // every third value NULL — the batch aggregate silently skips them;
+    // the stream must too (not NPE on the primitive encoder, not count them)
+    (1L to 90L).map(i => (s"g${i % 2}",
+        if (i % 3 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i % 41)))
+      .toDF("g", "v").coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema("g STRING, v BIGINT").parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.kmvDistinctUpdates(stream, "g", "v", k = 8),
+      "t_stream_kmv_null", outputMode = "update")
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("n_sample"),
+        col("kth_hash"), col("est_distinct"))).as("__f"))
+      .select(col("g"), col("__f.n_sample").as("n_sample"),
+        col("__f.kth_hash").as("kth_hash"),
+        col("__f.est_distinct").as("est_distinct"))
+    val batch = graft.sketch.KmvOps.kmvDistinct(
+      spark.read.parquet(dir.toString), Seq("g"), "v", k = 8)
+    fin.ensureDatasetEquals(batch)
+  }
+
   test("stream-static join replicates nothing on uniform keys, only hot keys on skew") {
     import spark.implicits._
     import graft.skew.SkewJoinConf
