@@ -110,17 +110,20 @@ object Dedup {
     * block the collapse, so shingling and each min-hash run exactly once.
     */
   private def signedDocs(docs: DataFrame, setCol: String, numHashes: Int): DataFrame = {
-    // hash every set element ONCE as a string, then derive the numHashes
-    // independent functions by re-hashing the resulting longs with the seed:
-    // XXH64 over 8 bytes instead of numHashes full string passes (string
-    // decode dominated the signature stage). Base-hash collisions would
-    // correlate the derived functions only at 2^-64 rates.
-    val hashed = docs.select(col("id"),
-      transform(col(setCol), s => xxhash64(s)).as("__h0"))
-    val sigCols = (0 until numHashes).map { h =>
-      array_min(transform(col("__h0"), x => xxhash64(x, lit(h)))).as(s"__m$h")
-    }
-    hashed.select(col("id") +: sigCols: _*)
+    // ONE codegen'd pass computes every minimum ([[graft.functions
+    // .MinHashSig]]): per element the base string hash once, the numHashes
+    // derived hashes over primitive longs — bit-identical to the previous
+    // `transform(set, xxhash64)` + per-seed `array_min(transform(...))`
+    // formulation (numHashes+1 interpreted HOF passes per doc, the
+    // constant tax on every LSH query; swapping it cut the LSH dedup
+    // family 12-23% end-to-end at sf0.1 — BENCH_NOTES round-11 entry).
+    // The 32 element_at references below keep CollapseProject
+    // from inlining the signature into downstream consumers, so it
+    // evaluates exactly once per document.
+    val signed = docs.select(col("id"),
+      graft.functions.MinHashSig.minHashSig(col(setCol), numHashes).as("__sig"))
+    signed.select(col("id") +:
+      (0 until numHashes).map(h => element_at(col("__sig"), h + 1).as(s"__m$h")): _*)
   }
 
   private def bandRows(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
