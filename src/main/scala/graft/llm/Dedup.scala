@@ -77,8 +77,11 @@ object Dedup {
       // downstream verify joins infer isnotnull(id), the signature branch
       // doesn't, and the asymmetry would fork this frame's exchange
       .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
-      // sorted so pair verification can use the linear-merge SortedJaccard
-      .select(col("id"), array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
+      // sorted so pair verification can use the linear-merge SortedJaccard;
+      // one codegen'd pass (CharShingleSet) — bit-identical to
+      // array_sort(array_distinct(transform(...))) per its equivalence spec
+      .select(col("id"),
+        graft.functions.CharShingleSet.charShingleSet(col("__norm"), shingleSize).as("sh"))
       .repartition(col("id"))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -488,7 +491,7 @@ object Dedup {
       .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
       .repartition(col("id"))
     val docs = base.select(col("id"),
-      array_sort(charShingles(col("__norm"), shingleSize)).as("sh"))
+      graft.functions.CharShingleSet.charShingleSet(col("__norm"), shingleSize).as("sh"))
     val wdw = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
     val fpRows = base
