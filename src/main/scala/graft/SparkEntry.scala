@@ -1835,6 +1835,35 @@ object SparkEntry {
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      // UNPIVOT/melt breadth: wide metric columns to (metric, value) rows,
+      // then a per-(flag, metric) profile — min/max only on the non-integral
+      // doubles (oracle-safety convention)
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "v")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
+    "html_strip" -> ((s, dir) => {
+      // CommonCrawl-style HTML→text first pass over a synthetic page built
+      // around each doc: script/style blocks dropped WITH their content
+      // (the `1 < 2` in the script must not leak), tags stripped, the six
+      // ubiquitous entities decoded (amp last), whitespace collapsed
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>body { color: red; }</style></head><body>"),
+        lit("<h1 class=\"t\">Doc &amp; title</h1><p>"),
+        col("text"),
+        lit("</p><div>A &lt;tag&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.llm.TextStats.stripHtml(page).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+    }),
+
     "token_drift" -> ((s, dir) => {
       // per-source vocabulary drift between two simulated crawls (same
       // slice shapes as corpus_diff): integer-exact total-variation ppm
@@ -2672,6 +2701,46 @@ object SparkEntry {
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 75 / 100.0) THEN n END) AS p75,
          |  max(CASE WHEN rk - 1 = ceil((np - 1) * 100 / 100.0) THEN n END) AS p100
          |FROM r CROSS JOIN s""".stripMargin),
+
+    "q_unpivot" -> (
+      """SELECT l_returnflag, metric, count(*)::BIGINT AS n,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+        |      FROM lineitem)
+        |  UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        |GROUP BY l_returnflag, metric""".stripMargin),
+
+    // same RE2-portable regex chain; DuckDB replace() ≡ regex replace of a
+    // metachar-free entity literal; amp decoded last on both sides
+    "html_strip" -> (
+      """WITH page AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+        |  || '<style>body { color: red; }</style></head><body>'
+        |  || '<h1 class="t">Doc &amp; title</h1><p>' || text
+        |  || '</p><div>A &lt;tag&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>'
+        |  AS p FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(p, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  length(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(p, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')))::BIGINT AS n_chars
+        |FROM page""".stripMargin),
 
     // hugeint keeps Σ|ca·nb − cb·na| exact; ONE integral division at the
     // end (// on hugeint) — same arithmetic shape as the Spark decimal path

@@ -68,6 +68,33 @@ object TextStats {
     * engines, so it doubles as an oracle-checkable exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Web-page chrome removal: strip `<script>`/`<style>` blocks (their
+    * CONTENT is not page text), drop all remaining tags, decode the six
+    * ubiquitous character entities, and collapse whitespace — the
+    * regex-only first pass of a CommonCrawl-style HTML→text step (a DOM
+    * parser adds structure awareness; this recovers the text mass). All
+    * RE2-portable patterns, so any engine replays it exactly. Applied
+    * BEFORE [[normalizeText]] in a cleaning pipeline — entity decoding
+    * must see `&amp;` intact, normalization would destroy it. */
+  def stripHtml(html: Column): Column = {
+    // (?is): case-insensitive, dot-matches-newline — script/style blocks
+    // span lines. Two separate block patterns (RE2 has no backreferences,
+    // and the oracle replays these in an RE2 engine); lazy .*? is
+    // RE2-portable.
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; → &lt; stays literal
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch) // entity literals are regex-metachar-free
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-group token-distribution drift between two corpus snapshots:
     * TOTAL-VARIATION distance in ppm — the token-level complement to
     * [[Quantize.embeddingDrift]]'s embedding-space monitor, and the

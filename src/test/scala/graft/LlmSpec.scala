@@ -544,6 +544,28 @@ class LlmSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("stripHtml: blocks die with content, tags die, entities decode, amp last") {
+    import spark.implicits._
+    val cases = Seq(
+      1L -> "<p>plain</p>",
+      2L -> "<script>var a = 1 < 2;</script>visible",          // block CONTENT must not leak
+      3L -> "<STYLE media=\"x\">b{}</STYLE>kept",              // case-insensitive, attrs
+      4L -> "a&amp;b &lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;t",
+      5L -> "&amp;lt;",                                        // amp LAST: stays literal &lt;
+      6L -> "<div\nclass='m'>multi\nline</div>",               // tag spanning lines
+      7L -> "  lots   of\t\nspace  ")
+    val got = cases.toDF("id", "h")
+      .select(col("id"), TextStats.stripHtml(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "plain")
+    assert(got(2L) == "visible")
+    assert(got(3L) == "kept")
+    assert(got(4L) == "a&b <x> \"q\" 's' t")
+    assert(got(5L) == "&lt;")
+    assert(got(6L) == "multi line")
+    assert(got(7L) == "lots of space")
+  }
+
   test("tokenDriftTV: identical→0, disjoint→1e6, empty side→1e6, hand case exact") {
     import spark.implicits._
     val a = Seq(("s1", "x x y"), ("s2", "a b"), ("s4", "only here")).toDF("src", "txt")
