@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * a top-k of rows, not a distinct set — multiplicity matters). Insert and
   * merge are commutative/associative given a TOTAL input order, so the
   * aggregate is deterministic under any partitioning or combine order. */
-final class BoundedTopK(val k: Int, val dt: DataType) {
-  private val ord = TypeUtils.getInterpretedOrdering(dt)
+final class BoundedTopK(val k: Int, val dt: DataType, val reverse: Boolean = false) {
+  private val base = TypeUtils.getInterpretedOrdering(dt)
+  private val ord: Ordering[Any] = if (reverse) base.reverse else base
   // java PriorityQueue with REVERSED ordering: peek() = largest of the
   // current k smallest — the eviction candidate
   private val heap = new java.util.PriorityQueue[Any](
@@ -45,8 +46,9 @@ final class BoundedTopK(val k: Int, val dt: DataType) {
 
 /** Per-group top-k as a native `TypedImperativeAggregate`:
   * `top_k(struct(order..., payload...), k)` yields the group's k SMALLEST
-  * struct values in ascending order (descending orders are encoded by the
-  * caller — negate a numeric key, or pre-compute a reversal column).
+  * struct values in ascending order; with `reverse = true`, the k LARGEST
+  * in descending order (rank 1 = largest) — the native form of an order
+  * no caller-side negation can encode (strings, mixed-direction keys).
   *
   * Why custom — the 100-TB answer to the hot-group window sort: the
   * conventional `row_number().over(partitionBy(group).orderBy(...)) ≤ k`
@@ -67,6 +69,7 @@ final class BoundedTopK(val k: Int, val dt: DataType) {
 case class TopKAgg(
     child: Expression,
     k: Int,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BoundedTopK] {
@@ -74,7 +77,7 @@ case class TopKAgg(
   require(k >= 1, "k must be at least 1")
 
   override def createAggregationBuffer(): BoundedTopK =
-    new BoundedTopK(k, child.dataType)
+    new BoundedTopK(k, child.dataType, reverse)
 
   override def update(buffer: BoundedTopK, input: InternalRow): BoundedTopK = {
     val v = child.eval(input)
@@ -110,7 +113,7 @@ case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): BoundedTopK = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val out = new BoundedTopK(k, child.dataType)
+    val out = new BoundedTopK(k, child.dataType, reverse)
     val row = new UnsafeRow(1)
     var i = 0
     while (i < n) {
@@ -147,7 +150,8 @@ case class TopKAgg(
 
 object TopKAgg {
   /** Aggregate column: ascending array of the group's k smallest values of
-    * `v` (typically `struct(orderKeys..., payload)`). */
-  def topK(v: Column, k: Int): Column =
-    Bridge.column(TopKAgg(Bridge.expression(v), k).toAggregateExpression())
+    * `v` (typically `struct(orderKeys..., payload)`); with
+    * `reverse = true`, descending array of the k largest. */
+  def topK(v: Column, k: Int, reverse: Boolean = false): Column =
+    Bridge.column(TopKAgg(Bridge.expression(v), k, reverse).toAggregateExpression())
 }

@@ -36,10 +36,11 @@ object CdcApply {
       seqCol: String = "seq"): DataFrame = {
     require(keyCols.nonEmpty, "cdc apply needs at least one key column")
     val logCols = keyCols ++ attrCols ++ Seq(opCol, seqCol)
-    // bounded-state per-key argmax: k=1 under ascending -seq == max seq
+    // bounded-state per-key argmax: k=1 under descending seq
     val last = GroupedTopK.topKPerGroup(
       changelog.select(logCols.map(col): _*),
-      keyCols, Seq(negate(col(seqCol))), 1, "__cdc_rank").drop("__cdc_rank")
+      keyCols, Seq(col(seqCol)), 1, "__cdc_rank", ascending = false)
+      .drop("__cdc_rank")
     val lastR = logCols.foldLeft(last) { (d, c) =>
       d.withColumnRenamed(c, s"__c_$c")
     }

@@ -31,18 +31,22 @@ import graft.functions.TopKAgg
   */
 object GroupedTopK {
 
-  /** `df` reduced to each group's `k` smallest rows under `orderCols`,
-    * with `rankCol` (1-based, 1 = smallest) appended. Output columns =
+  /** `df` reduced to each group's `k` smallest rows under `orderCols`
+    * (`ascending = false`: the k LARGEST, rank 1 = largest — native
+    * reverse ordering, so string and mixed keys need no negation
+    * encoding), with `rankCol` (1-based) appended. Output columns =
     * input columns + `rankCol`; groups with fewer than k rows keep all
     * their rows. Equals the window formulation
     * `row_number().over(partitionBy(groupCols).orderBy(orderCols)) <= k`
-    * row-for-row when `orderCols` is a total order. */
+    * (orderCols direction matching `ascending`) row-for-row when
+    * `orderCols` is a total order. */
   def topKPerGroup(
       df: DataFrame,
       groupCols: Seq[String],
       orderCols: Seq[Column],
       k: Int,
-      rankCol: String = "rank"): DataFrame = {
+      rankCol: String = "rank",
+      ascending: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
     require(orderCols.nonEmpty, "topKPerGroup needs at least one order column")
     require(k >= 1, "k must be at least 1")
@@ -55,7 +59,7 @@ object GroupedTopK {
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
         struct(cols.map(col): _*).as("__row"): _*)
     df.groupBy(groupCols.map(col): _*)
-      .agg(TopKAgg.topK(keyed, k).as("__topk"))
+      .agg(TopKAgg.topK(keyed, k, reverse = !ascending).as("__topk"))
       .select(posexplode(col("__topk")).as(Seq("__pos", "__s")))
       .select(cols.map(c => col(s"__s.__row.$c").as(c)) :+
         (col("__pos") + 1).cast("int").as(rankCol): _*)

@@ -63,6 +63,20 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(all.count() == 4)
   }
 
+  test("ascending=false equals the desc window form — incl. STRING order keys") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, "zeta"), ("a", 2L, "alpha"), ("a", 3L, "midway"),
+      ("b", 4L, "beta"), ("b", 5L, "beta")) // tie on the string key
+      .toDF("g", "id", "name")
+    val got = GroupedTopK.topKPerGroup(
+      df, Seq("g"), Seq(col("name"), col("id")), 2, ascending = false)
+    val w = Window.partitionBy("g").orderBy(col("name").desc, col("id").desc)
+    val want = df.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 2).select(got.columns.map(col): _*)
+    got.ensureDatasetEquals(want)
+  }
+
   test("plan: partial top_k below the ONE exchange — bounded shuffle, no window sort") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id", "event_type", "value")
