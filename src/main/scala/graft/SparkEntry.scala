@@ -1820,7 +1820,10 @@ object SparkEntry {
         InRange("o_totalprice", 0.0, 300000.0),
         InSet("o_orderstatus", Seq("O", "F")),
         Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
-        SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey"),
+        // deliberately failing k-anonymity: single-order customers are
+        // re-identifiable at QI grain o_custkey
+        KAnonymity(Seq("o_custkey"), 2)))
     }),
 
     "decontaminate_fuzzy" -> ((s, dir) => {
@@ -4690,7 +4693,13 @@ object SparkEntry {
         |FROM (SELECT count(*)::BIGINT AS violations FROM orders
         |  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
         |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
-        |  v CROSS JOIN t""".stripMargin,
+        |  v CROSS JOIN t
+        |UNION ALL
+        |SELECT 'k_anonymity(o_custkey,2)', v.violations, t.total,
+        |  v.violations = 0
+        |FROM (SELECT coalesce(sum(n) FILTER (n < 2), 0)::BIGINT AS violations
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)) v
+        |  CROSS JOIN t""".stripMargin,
 
     "decontaminate_fuzzy" ->
       """WITH toks AS (

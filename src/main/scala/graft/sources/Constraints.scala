@@ -56,6 +56,15 @@ object Constraints {
         extends Constraint {
       def label = s"subset_of($column,$refColumn)"
     }
+    /** k-anonymity over the quasi-identifier `columns`: every combination
+      * must be shared by at least `k` rows; violations = the rows living
+      * in smaller-than-k groups (the re-identifiable rows — the governance
+      * gate a PII-bearing release runs before publication). NULL counts as
+      * an ordinary QI value (groupBy semantics). */
+    final case class KAnonymity(columns: Seq[String], k: Int) extends Constraint {
+      require(k >= 2, "k-anonymity needs k >= 2")
+      def label = s"k_anonymity(${columns.mkString(",")},$k)"
+    }
   }
   import Constraint._
 
@@ -112,6 +121,13 @@ object Constraints {
             .join(c.ref.select(col(c.refColumn).as("__k")).distinct(),
               Seq("__k"), "left_anti")
             .agg(count(lit(1)).as("__v")))
+      case c: KAnonymity =>
+        // one groupBy at QI grain (map-side combined counts), violations =
+        // Σ n over groups with n < k — never a window co-locating groups
+        finish(c.label, df.groupBy(c.columns.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(when(col("__n") < c.k, col("__n"))), lit(0L))
+            .as("__v")))
       case c =>
         base.select(lit(c.label).as("constraint"),
           col(s"__v_${c.label}").cast("long").as("violations"),

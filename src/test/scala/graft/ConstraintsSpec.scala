@@ -61,6 +61,23 @@ class ConstraintsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity counts rows in smaller-than-k QI groups; NULL is a QI value") {
+    import spark.implicits._
+    // QI (city): "a"×3, "b"×1, NULL×2 → k=2 violations = 1 (the lone "b");
+    // k=3 violations = 1 + 2 (NULL group too)
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("b")), (5L, None: Option[String]), (6L, None: Option[String]))
+      .toDF("id", "city")
+    val r2 = report(Constraints.check(df, Seq(KAnonymity(Seq("city"), 2))))
+    assert(r2("k_anonymity(city,2)") == ((1L, 6L, false)))
+    val r3 = report(Constraints.check(df, Seq(KAnonymity(Seq("city"), 3))))
+    assert(r3("k_anonymity(city,3)") == ((3L, 6L, false)))
+    val rPass = report(Constraints.check(
+      df.filter(df("city") === "a"), Seq(KAnonymity(Seq("city"), 3))))
+    assert(rPass("k_anonymity(city,3)") == ((0L, 3L, true)))
+  }
+
   test("duplicate labels (same type+column twice) fail fast with a clear message") {
     import spark.implicits._
     val df = Seq((1L, 5.0)).toDF("k", "v")
