@@ -19,13 +19,18 @@ object Dedup {
 
   /** Exact dedup keeping a deterministic representative per key (smallest
     * `tieBreaker`). `dropDuplicates` keeps an *arbitrary* row — fine for
-    * pipelines, useless for reproducible tests — so this is window-based. */
-  def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
-  }
+    * pipelines, useless for reproducible tests.
+    *
+    * '''Plan shape (the 100-TB design).''' A bounded-state
+    * [[graft.operators.GroupedTopK]] k=1 aggregate, NOT a
+    * `row_number().over(partitionBy(key))` window: the window co-locates
+    * every copy of a key in one task — and exact-dup keys are precisely
+    * where a crawl has 10⁹-copy degenerate groups (empty pages, error
+    * boilerplate), the hot-group straggler in person. The aggregate ships
+    * ≤ 1 row per (key, map partition) through its single exchange. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame =
+    graft.operators.GroupedTopK.topKPerGroup(
+      df, keyCols, Seq(col(tieBreaker)), 1, "__graft_rn").drop("__graft_rn")
 
   /** Incremental exact dedup: drop `fresh` docs whose normalized-content
     * fingerprint already appears in `historical` — the daily-ingest shape,

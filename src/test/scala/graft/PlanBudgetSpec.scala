@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan budgets: per headline query, an upper bound on the physical
+  * operators that dominate cost at 100 TB — shuffle exchanges, windows
+  * (each an exchange + sort; a partitionless window is a single-task
+  * funnel), and an absolute ban on cartesian products. A refactor that
+  * quietly adds an exchange (lost ReusedExchange, broken bucketing, a
+  * collapsed projection forking a frame) fails here even if results stay
+  * correct. Budgets are CURRENT counts — tighten when a plan improves,
+  * never loosen without a written reason.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def counts(name: String): (Int, Int, Int) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val ex = "Exchange".r.findAllIn(p).size -
+      "ReusedExchange".r.findAllIn(p).size // reused = paid once
+    val win = "Window".r.findAllIn(p).size
+    val cart = "CartesianProduct".r.findAllIn(p).size
+    (ex, win, cart)
+  }
+
+  // (query, max non-reused exchanges incl. broadcasts, max windows)
+  private val budgets = Seq(
+    ("q1_agg", 2, 0),
+    ("q5_star_join", 10, 0),
+    ("skewjoin_inner", 8, 0),
+    ("events_grouped_topk", 2, 0),
+    ("sample_cap_per_group", 2, 0),
+    ("cdc_apply", 6, 0),
+    ("scd2_merge", 6, 0),
+    ("dedup_exact", 2, 0),
+    ("token_drift", 6, 0),
+    ("quality_constraints", 14, 0),
+    ("approx_distinct_kmv", 2, 0),
+    ("events_hourly", 2, 0),
+    ("chunk_documents", 1, 0),
+    ("html_strip", 1, 0),
+    ("multimodal_decode", 1, 0),
+    ("text_quality", 1, 0))
+
+  budgets.foreach { case (name, maxEx, maxWin) =>
+    test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
+      val (ex, win, cart) = counts(name)
+      assert(cart == 0, s"$name plans a CartesianProduct")
+      assert(ex <= maxEx,
+        s"$name now pays $ex exchanges (budget $maxEx) — a shuffle crept in")
+      assert(win <= maxWin,
+        s"$name now plans $win windows (budget $maxWin)")
+    }
+  }
+}
