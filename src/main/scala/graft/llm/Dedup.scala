@@ -97,7 +97,13 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min `xxhash64(shingle, seed)` over the shingle set. NB: pass a
-    * materialized array column — see [[charShingles]]'s inlining caveat. */
+    * materialized array column — see [[charShingles]]'s inlining caveat.
+    *
+    * Reference formulation (hashes the full string per seed). The LSH
+    * pipelines use [[graft.functions.MinHashSig]] instead — one codegen'd
+    * pass deriving per-seed hashes from a single base string hash — whose
+    * different (equally valid) hash family makes the two NOT
+    * interchangeable on existing persisted indexes. */
   def minHashSignature(shingles: Column, numHashes: Int = 16): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingles, s => xxhash64(s, h))))
