@@ -1879,6 +1879,25 @@ object SparkEntry {
       graft.llm.TextStats.tokenDriftTV(a, b, "source", "text")
     }),
 
+    "ngram_diversity" -> ((s, dir) => {
+      // per-source distinct-n corpus diversity audit: distinct character
+      // trigrams over the whole source vs total trigram occurrences,
+      // integer ppm — low ratio flags template/boilerplate-heavy sources
+      graft.llm.TextStats.ngramDiversity(
+        t(s, dir, "documents").select("source", "text"), "source", "text", n = 3)
+    }),
+
+    "shard_by_tokens" -> ((s, dir) => {
+      // token-balanced export sharding: cut the corpus in doc_id order
+      // into 8 contiguous shards of near-equal token mass (distributed
+      // prefix sum, no global window), then report the per-shard balance
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.llm.SequencePack.shardByTokens(docs, "doc_id", "n_tokens", nShards = 8)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     "cdc_apply" -> ((s, dir) => {
       // last-writer-wins changelog fold: base = one doc slice; the log
       // carries two update generations (u1 at seq·10+1, u2 at seq·10+2),
@@ -2772,6 +2791,41 @@ object SparkEntry {
          |  (CASE WHEN na = 0 OR nb = 0 THEN 1000000
          |   ELSE (num * 1000000) // (2 * na::HUGEINT * nb) END)::BIGINT AS tv_ppm
          |FROM t JOIN n ON t.source = n.source""".stripMargin),
+
+    // distinct-n diversity: gram convention must match CharShingleSet
+    // (max(L-2,1) windows; short doc → whole text as one gram)
+    "ngram_diversity" -> (
+      s"""WITH n AS (SELECT source, $normSql AS nm
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT source, greatest(len(nm)-2, 1)::BIGINT AS tot,
+         |    list_distinct([substr(nm, i, 3)
+         |      FOR i IN range(1, greatest(len(nm)-2, 1)+1)]) AS gr
+         |  FROM n),
+         |t AS (SELECT source, count(*) AS n_docs, sum(tot)::BIGINT AS total_grams
+         |  FROM g GROUP BY source),
+         |d AS (SELECT source, count(DISTINCT gram)::BIGINT AS distinct_grams
+         |  FROM (SELECT source, unnest(gr) AS gram FROM g) GROUP BY source)
+         |SELECT t.source AS source, n_docs, total_grams, distinct_grams,
+         |  ((distinct_grams * 1000000) // total_grams)::BIGINT AS diversity_ppm
+         |FROM t JOIN d ON t.source = d.source""".stripMargin),
+
+    // budget = ceil(total/8); shard = exclusive-prefix-sum DIV budget —
+    // the same window-cumsum replay shape as pack_sequences
+    "shard_by_tokens" -> (
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0))::BIGINT AS w
+        |  FROM documents),
+        |b AS (SELECT greatest((sum(w)::BIGINT + 7) // 8, 1)::BIGINT AS budget FROM t),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS before
+        |  FROM t)
+        |SELECT (before // budget)::BIGINT AS shard_id, count(*) AS n_docs,
+        |  sum(w)::BIGINT AS sum_tokens
+        |FROM c CROSS JOIN b GROUP BY shard_id""".stripMargin),
 
     "cdc_apply" -> (
       """WITH docs AS (SELECT doc_id, text FROM documents),

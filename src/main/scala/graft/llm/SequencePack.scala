@@ -101,4 +101,35 @@ object SequencePack {
         expr(s"(__graft_offset + __graft_cum - __graft_w) DIV $budget"))
       .drop("__graft_bucket", "__graft_w", "__graft_cum", "__graft_offset")
   }
+
+  /** Token-balanced shard assignment for training-data export: cut the
+    * corpus, in `orderCol` order, into exactly `nShards` contiguous spans
+    * of near-equal total weight (per-shard budget `ceil(total/nShards)`,
+    * so `shard_id` ∈ [0, nShards) by construction) and tag each row with
+    * its `shard_id`. Contiguity in the order key keeps related documents
+    * co-located in a shard file while the prefix-sum cut equalizes token
+    * mass — the "write N balanced training files" step, where balancing
+    * by ROW count would skew shard token totals by document length.
+    *
+    * Costs one extra column-pruned total-weight aggregate over
+    * [[packSequences]] (the budget depends on the grand total); the
+    * assignment itself is the same two-phase distributed prefix sum — no
+    * global-order window, driver holds one long plus the ≤2¹⁶ bucket
+    * offsets. Same preconditions as [[packSequences]]: unique non-null
+    * `orderCol`, non-negative weights. A total of 0 puts every row in
+    * shard 0.
+    */
+  def shardByTokens(
+      df: DataFrame,
+      orderCol: String,
+      weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be at least 1")
+    val total = df.filter(col(orderCol).isNotNull)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    val budget = math.max((total + nShards - 1) / nShards, 1L)
+    packSequences(df, orderCol, weightCol, budget)
+      .withColumnRenamed("chunk_id", "shard_id")
+  }
 }

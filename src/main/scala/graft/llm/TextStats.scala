@@ -143,6 +143,45 @@ object TextStats {
           .as("tv_ppm"))
   }
 
+  /** Per-group character n-gram diversity audit (the "distinct-n" corpus
+    * diversity metric): distinct n-grams across the whole group vs total
+    * n-gram occurrences, as an integer ppm ratio. A template-heavy,
+    * boilerplate-heavy, or self-repetitive source shows a low ratio — the
+    * corpus-level complement of the per-document
+    * [[repetitionFeatures]].
+    *
+    * Gram convention matches [[graft.functions.CharShingleSet]]: text is
+    * [[normalizeText]]-normalized, a document of L chars contributes
+    * `max(L-n+1, 1)` occurrences (a doc shorter than n contributes its
+    * whole text as one gram; an empty one a single empty gram). NULL texts
+    * are skipped.
+    *
+    * Scale: one per-group (count, sum) aggregate plus a distinct-gram
+    * count via explode → composite-key distinct → count, all map-side
+    * combined; no windows, no driver state. The ppm numerator
+    * `distinct_grams × 10⁶` cannot overflow int64 in practice: distinct
+    * CHAR n-grams are alphabet-bounded (37ⁿ over the normalized
+    * alphabet), and even free-form grams would need ~9×10¹² distincts.
+    */
+  def ngramDiversity(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val g = df
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), normalizeText(col(textCol)).as("__norm"))
+      .select(col("__g"),
+        greatest(length(col("__norm")) - (n - 1), lit(1)).cast("long").as("__tot"),
+        graft.functions.CharShingleSet.charShingleSet(col("__norm"), n).as("__gr"))
+    val totals = g.groupBy("__g")
+      .agg(count(lit(1)).as("n_docs"), sum("__tot").as("total_grams"))
+    val distincts = g.select(col("__g"), explode(col("__gr")).as("__gram"))
+      .distinct()
+      .groupBy("__g").agg(count(lit(1)).as("distinct_grams"))
+    totals.join(distincts, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("total_grams"),
+        col("distinct_grams"),
+        expr("(distinct_grams * 1000000) DIV total_grams").as("diversity_ppm"))
+  }
+
   /** Rolling k-gram hash stream of a normalized text. Pass a *materialized*
     * column — an expression tree here would be inlined into the lambda and
     * re-evaluated per gram position. */

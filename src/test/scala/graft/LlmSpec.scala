@@ -584,6 +584,31 @@ class LlmSpec extends AnyFunSuite {
     assert(same.forall(_.getLong(3) == 0L))
   }
 
+  test("ngramDiversity: hand case exact; null skipped; short/empty-doc convention") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "abcd"),        // norm "abcd": grams abc,bcd → tot 2, distinct {abc,bcd}
+      ("s1", "abcabc"),      // grams abc,bca,cab,abc → tot 4, adds {bca,cab}
+      ("s2", "ab"),          // shorter than n: whole text as ONE gram
+      ("s2", ""),            // empty: one empty gram
+      ("s3", null)           // null text skipped entirely
+    ).toDF("src", "txt")
+    val got = TextStats.ngramDiversity(docs, "src", "txt", n = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1: 2 docs, 2+4=6 occurrences, distinct {abc,bcd,bca,cab}=4 → 666666 ppm
+    assert(got("s1") == ((2L, 6L, 4L, 666666L)))
+    // s2: 2 docs, 1+1 occurrences, distinct {"ab", ""}=2 → 1e6 ppm
+    assert(got("s2") == ((2L, 2L, 2L, 1000000L)))
+    assert(!got.contains("s3"))
+    // a fully templated source scores far below a diverse one
+    val tpl = (1 to 50).map(i => ("tpl", "the same boilerplate every time")) ++
+      (1 to 50).map(i => ("div", s"unique payload number $i with varied words ${i * 37}"))
+    val ppm = TextStats.ngramDiversity(tpl.toDF("src", "txt"), "src", "txt")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ppm("tpl") * 3 < ppm("div"))
+  }
+
   test("jpeg round-trip: REAL lossy DCT decode, deviation in (0, 16], dims exact") {
     import spark.implicits._
     val ids = spark.range(0, 60).as[Long]

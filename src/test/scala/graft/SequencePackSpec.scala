@@ -73,6 +73,35 @@ class SequencePackSpec extends AnyFunSuite {
     assert(got == reference(sparse, 16))
   }
 
+  test("shardByTokens: shard_id < nShards, contiguous spans, near-equal mass") {
+    import spark.implicits._
+    import graft.llm.SequencePack.shardByTokens
+    val rows = (1L to 200L).map(i => i -> (i % 29 + 1))
+    val total = rows.map(_._2).sum
+    val n = 8
+    val got = shardByTokens(rows.toDF("id", "w").repartition(9), "id", "w", n)
+      .select("id", "shard_id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row assigned, ids partition into contiguous ranges by shard
+    assert(got.length == rows.length)
+    assert(got.forall { case (_, s, _) => s >= 0 && s < n })
+    val byShard = got.groupBy(_._2).toSeq.sortBy(_._1)
+    val ranges = byShard.map { case (s, rs) => (s, rs.map(_._1).min, rs.map(_._1).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo2, _)) => assert(hi < lo2)
+      case _ =>
+    }
+    // balance: each shard's token mass within budget + max single weight
+    val budget = (total + n - 1) / n
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum <= budget + 29)
+    }
+    // degenerate: zero total weight → everything in shard 0
+    val zeros = Seq(1L -> 0L, 2L -> 0L).toDF("id", "w")
+    assert(shardByTokens(zeros, "id", "w", 4)
+      .select("shard_id").collect().forall(_.getLong(0) == 0L))
+  }
+
   test("null order keys are dropped; null or negative weights fail loudly") {
     import spark.implicits._
     val withNullId = Seq((Some(1L), Some(10L)), (None, Some(99L)), (Some(2L), Some(10L)))
