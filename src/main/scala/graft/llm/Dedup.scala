@@ -1281,4 +1281,51 @@ object Dedup {
       .distinct()
     (base, covered)
   }
+
+  /** A planned LSH banding: `numHashes = bands × rowsPerBand`,
+    * `inflection = (1/bands)^(1/rowsPerBand)` (the similarity where the
+    * banding S-curve `1-(1-s^r)^b` crosses ~0.5 steepest — pairs above it
+    * are mostly caught, below mostly skipped), and `pAtThreshold` the
+    * actual candidate probability at the requested threshold. */
+  final case class LshPlan(
+      numHashes: Int, bands: Int, rowsPerBand: Int,
+      inflection: Double, pAtThreshold: Double)
+
+  /** Choose the LSH banding for a target Jaccard `threshold` at a fixed
+    * signature size — the design step in front of [[writeMinHashIndex]] /
+    * the LSH dedup family, as pure driver-side math (nothing distributed
+    * to plan the distributed job).
+    *
+    * The whole `numHashes` budget is always used (a longer signature is a
+    * strictly sharper S-curve; leaving budget unused only blurs it), so
+    * the free choice is the divisor split `bands × rowsPerBand =
+    * numHashes`. Picks the split whose inflection `(1/b)^(1/r)` lands
+    * closest to `threshold` in log-space (similarity mistakes are
+    * multiplicative: planning 0.05 for a 0.1 target is as wrong as 0.4
+    * for 0.8). An exact tie between two splits breaks toward more bands
+    * (recall over precision — the pipelines' bucket-size cap already
+    * bounds the false-positive cost). `pAtThreshold` reports the
+    * candidate probability `1-(1-t^r)^b` at the target, it is not
+    * optimized.
+    *
+    * With the pipeline defaults' signature (32), a 0.25 threshold plans
+    * the pipeline defaults themselves: 16 bands × 2 rows, inflection
+    * exactly 0.25.
+    */
+  def lshPlan(threshold: Double, numHashes: Int = 32): LshPlan = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(numHashes >= 1, "numHashes must be at least 1")
+    val candidates = for {
+      r <- 1 to numHashes
+      if numHashes % r == 0
+    } yield {
+      val b = numHashes / r
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(math.log(inflection) - math.log(threshold)), -b, r, inflection)
+    }
+    val (_, negB, r, inflection) = candidates.min
+    val b = -negB
+    LshPlan(numHashes, b, r, inflection,
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b))
+  }
 }

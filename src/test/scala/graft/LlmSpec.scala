@@ -584,6 +584,28 @@ class LlmSpec extends AnyFunSuite {
     assert(same.forall(_.getLong(3) == 0L))
   }
 
+  test("lshPlan: full budget, inflection-vs-threshold split, defaults reproduced") {
+    import graft.llm.Dedup.{lshPlan, LshPlan}
+    // the pipeline defaults fall out of their own plan
+    val p = lshPlan(0.25, 32)
+    assert(p.numHashes == 32 && p.bands == 16 && p.rowsPerBand == 2)
+    assert(p.inflection == 0.25)
+    assert(math.abs(p.pAtThreshold - (1.0 - math.pow(1.0 - 0.0625, 16))) < 1e-12)
+    // extreme thresholds drive the split to the curve's ends
+    assert(lshPlan(0.02, 32).rowsPerBand == 1)  // near-dup sweep: all bands
+    assert(lshPlan(0.9, 32) == LshPlan(32, 2, 16, math.pow(0.5, 1.0 / 16),
+      1.0 - math.pow(1.0 - math.pow(0.9, 16), 2)))
+    // the budget is always spent in full, whatever the threshold
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); n <- Seq(1, 16, 24, 32, 64)) {
+      val plan = lshPlan(t, n)
+      assert(plan.numHashes == n && plan.bands * plan.rowsPerBand == n)
+      assert(plan.inflection > 0 && plan.inflection <= 1.0)
+    }
+    // inflection tracks the threshold monotonically in rowsPerBand
+    val rs = Seq(0.05, 0.25, 0.6, 0.95).map(lshPlan(_, 32).rowsPerBand)
+    assert(rs == rs.sorted)
+  }
+
   test("ngramDiversity: hand case exact; null skipped; short/empty-doc convention") {
     import spark.implicits._
     val docs = Seq(
