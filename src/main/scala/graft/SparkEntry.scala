@@ -1754,6 +1754,19 @@ object SparkEntry {
       graft.operators.Communities.labelPropagation(co, "pa", "pb", iters = 3)
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // 3-core kernel of the same co-purchase graph: 3 synchronous peels,
+      // surviving (id, degree) — the dense hearts LPA still attaches
+      // stragglers to
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val co = li.withColumnRenamed("pk", "pa")
+        .join(li.withColumnRenamed("pk", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+      graft.operators.KCore.kCore(co, "pa", "pb", k = 3, rounds = 3)
+    }),
+
     "q18_big_orders" -> ((s, dir) => {
       // TPC-H Q18 shape: pre-aggregate lineitem and FILTER before any
       // join (the group-filter-join order that shrinks the join input to
@@ -2181,6 +2194,28 @@ object SparkEntry {
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
        |$iterCtes
        |SELECT id, lbl AS community FROM l$iters""".stripMargin
+  }
+
+  /** Generated oracle for `graph_kcore`: the same co-purchase edge CTEs as
+    * [[lpaSql]], then `rounds` unrolled synchronous peels (degree census →
+    * sub-k removal on both endpoints), then the surviving degrees. */
+  private def kCoreSql(k: Int = 3, rounds: Int = 3): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM adj${i - 1} GROUP BY src
+         |  HAVING count(*) >= $k),
+         |adj$i AS (SELECT a.src, a.dst FROM adj${i - 1} a
+         |  JOIN k$i x ON a.src = x.src JOIN k$i y ON a.dst = y.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_partkey % 3 = 0),
+       |E AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+       |    greatest(x.l_partkey, y.l_partkey) AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey),
+       |adj0 AS (SELECT a AS src, b AS dst FROM E
+       |  UNION ALL SELECT b, a FROM E),
+       |$peels
+       |SELECT src AS id, count(*) AS degree FROM adj$rounds GROUP BY src""".stripMargin
   }
 
   /** Generated oracle for `bpe_encode`: the training chain from
@@ -4695,6 +4730,7 @@ object SparkEntry {
         |FROM p ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "graph_communities" -> lpaSql(),
+    "graph_kcore" -> kCoreSql(),
 
     "pipeline_curate" -> pipelineCurateSql,
 
