@@ -564,6 +564,25 @@ object SparkEntry {
         .withColumn("keep", col("score") > 0.0)
     }),
 
+    "model_calibration" -> ((s, dir) => {
+      // reliability diagram of the cheap hashed-linear model against the
+      // Gopher rule verdict: integer micro-score bins (no float edges),
+      // rule-pass rate per bin in ppm — one narrow pass, one aggregate
+      val flagged = graft.llm.TextStats.gopherFlags(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+      flagged
+        .select(col("keep"),
+          graft.llm.TextStats.hashedLinearScoreMicro(col("text"), qualityModelWeights)
+            .as("micro"))
+        .withColumn("bin", expr("(micro + 10000000000) DIV 2000000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .select((col("bin") * 2000000L - 10000000000L).as("bin_lo_micro"),
+          col("n_docs"), col("n_keep"),
+          expr("(n_keep * 1000000) DIV n_docs").as("keep_ppm"))
+    }),
+
     "pii_redact" -> ((s, dir) => {
       // the corpus carries no PII, so deterministic synthetic PII is
       // injected IN the query (same construction in the oracle) — the
@@ -2641,6 +2660,49 @@ object SparkEntry {
   /** Generated oracle for `quality_filter`: the stopword IN-list comes from
     * the same `stopwordProfiles` the engine uses, and every ratio is the
     * identical IEEE division of exact integer counts. */
+  /** Generated oracle for `model_calibration`: the [[qualityModelSql]]
+    * integer micro total (no division) joined to the [[gopherSql]] keep
+    * verdict at doc grain, binned on shifted integer edges. */
+  private def calibrationSql: String = {
+    val wl = qualityModelWeights.mkString("[", ", ", "]")
+    val d = qualityModelWeights.size
+    val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (SELECT $wl::BIGINT[] AS wl),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex($normSql, '\\s+'),
+       |      t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |s AS (SELECT doc_id,
+       |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
+       |  FROM tok, w GROUP BY doc_id),
+       |micro AS (SELECT tk.doc_id, coalesce(s.total, 0)::BIGINT AS micro
+       |  FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id),
+       |f AS (SELECT doc_id,
+       |  length(text)::BIGINT AS nc,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0))::BIGINT AS nt,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS np,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t IN ($sw)))::BIGINT AS nsw
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |  (nt BETWEEN 30 AND 80)
+       |    AND (nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
+       |      AND (nc - nt + 1) / nt::DOUBLE <= 5.0)
+       |    AND (nc = 0 OR np::DOUBLE / nc <= 0.1)
+       |    AND nsw > 0 AS keep
+       |  FROM f),
+       |b AS (SELECT (m.micro + 10000000000) // 2000000 AS bin,
+       |    CASE WHEN r.keep THEN 1 ELSE 0 END AS k
+       |  FROM micro m JOIN r ON m.doc_id = r.doc_id)
+       |SELECT (bin * 2000000 - 10000000000)::BIGINT AS bin_lo_micro,
+       |  count(*) AS n_docs, sum(k)::BIGINT AS n_keep,
+       |  ((sum(k) * 1000000) // count(*))::BIGINT AS keep_ppm
+       |FROM b GROUP BY bin""".stripMargin
+  }
+
   private def gopherSql: String = {
     val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
@@ -3903,6 +3965,7 @@ object SparkEntry {
          |FROM kept GROUP BY doc_id""".stripMargin),
 
     "quality_model_score" -> qualityModelSql,
+    "model_calibration" -> calibrationSql,
 
     // same deterministic PII injection, then RE2 replays of the (dialect-
     // portable) patterns; counts on raw text, redaction email → IP → phone

@@ -273,16 +273,22 @@ object TextStats {
     * order-sensitive in the last ulp (and SQL aggregates order
     * arbitrarily), so the score is an exact integer sum divided once by
     * 1e6 — bit-reproducible anywhere, exactly SQL-replayable. */
-  def hashedLinearScore(text: Column, weightsMicro: Seq[Long]): Column = {
+  def hashedLinearScore(text: Column, weightsMicro: Seq[Long]): Column =
+    hashedLinearScoreMicro(text, weightsMicro).cast("double") / 1000000.0
+
+  /** [[hashedLinearScore]]'s exact integer micro total before the single
+    * division — the form to BIN on (calibration, thresholding): integer
+    * bin edges cannot suffer the reconstruct-from-double ulp that
+    * `round(score * 1e6)` risks. */
+  def hashedLinearScoreMicro(text: Column, weightsMicro: Seq[Long]): Column = {
     val d = weightsMicro.size
     require(d > 0, "weight table must be non-empty")
     val table = typedLit(weightsMicro)
-    val total = aggregate(
+    aggregate(
       transform(tokens(normalizeText(text)),
         t => element_at(table,
           pmod(Dedup.portableTokenHash(t), lit(d.toLong)).cast("int") + 1)),
       lit(0L), (acc, w) => acc + w)
-    total.cast("double") / 1000000.0
   }
 
   /** Quality features per document. Ratios are single IEEE divisions of
