@@ -1855,7 +1855,10 @@ object SparkEntry {
         SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey"),
         // deliberately failing k-anonymity: single-order customers are
         // re-identifiable at QI grain o_custkey
-        KAnonymity(Seq("o_custkey"), 2)))
+        KAnonymity(Seq("o_custkey"), 2),
+        // homogeneity attack: customers whose orders all share one status
+        // leak it even when k-anonymous
+        LDiversity(Seq("o_custkey"), "o_orderstatus", 2)))
     }),
 
     "decontaminate_fuzzy" -> ((s, dir) => {
@@ -4852,6 +4855,13 @@ object SparkEntry {
         |  v.violations = 0
         |FROM (SELECT coalesce(sum(n) FILTER (n < 2), 0)::BIGINT AS violations
         |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)) v
+        |  CROSS JOIN t
+        |UNION ALL
+        |SELECT 'l_diversity(o_custkey,o_orderstatus,2)', v.violations, t.total,
+        |  v.violations = 0
+        |FROM (SELECT coalesce(sum(n) FILTER (d < 2), 0)::BIGINT AS violations
+        |  FROM (SELECT count(*) AS n, count(DISTINCT o_orderstatus) AS d
+        |    FROM orders GROUP BY o_custkey)) v
         |  CROSS JOIN t""".stripMargin,
 
     "decontaminate_fuzzy" ->

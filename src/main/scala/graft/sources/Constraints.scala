@@ -65,6 +65,19 @@ object Constraints {
       require(k >= 2, "k-anonymity needs k >= 2")
       def label = s"k_anonymity(${columns.mkString(",")},$k)"
     }
+    /** l-diversity over the quasi-identifier `columns` with respect to
+      * `sensitive`: every QI group must contain at least `l` DISTINCT
+      * non-null sensitive values; violations = the rows in
+      * less-diverse groups. k-anonymity's complement against the
+      * homogeneity attack — a group can be large (k-anonymous) yet leak
+      * the sensitive attribute outright because every member shares it.
+      * NULL sensitive values don't count toward diversity (an all-null
+      * group has 0 distinct values and violates any l ≥ 1). */
+    final case class LDiversity(columns: Seq[String], sensitive: String, l: Int)
+        extends Constraint {
+      require(l >= 2, "l-diversity needs l >= 2")
+      def label = s"l_diversity(${columns.mkString(",")},$sensitive,$l)"
+    }
   }
   import Constraint._
 
@@ -127,6 +140,15 @@ object Constraints {
         finish(c.label, df.groupBy(c.columns.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .agg(coalesce(sum(when(col("__n") < c.k, col("__n"))), lit(0L))
+            .as("__v")))
+      case c: LDiversity =>
+        // same QI-grain aggregate plus an exact distinct of the sensitive
+        // column (Spark partial-aggregates the (QI, sensitive) pairs first
+        // — no group co-location, skew-safe like KAnonymity)
+        finish(c.label, df.groupBy(c.columns.map(col): _*)
+          .agg(count(lit(1)).as("__n"),
+            countDistinct(col(c.sensitive)).as("__d"))
+          .agg(coalesce(sum(when(col("__d") < c.l, col("__n"))), lit(0L))
             .as("__v")))
       case c =>
         base.select(lit(c.label).as("constraint"),

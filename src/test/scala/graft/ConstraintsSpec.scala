@@ -78,6 +78,27 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(rPass("k_anonymity(city,3)") == ((0L, 3L, true)))
   }
 
+  test("l-diversity counts rows in sensitive-homogeneous groups; NULL adds none") {
+    import spark.implicits._
+    // QI city "a": statuses {x, y} (diverse); "b": {x, x} (homogeneous —
+    // k-anonymous at k=2 yet leaking); "c": {NULL} (0 distinct)
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("y")),
+      (3L, "b", Some("x")), (4L, "b", Some("x")),
+      (5L, "c", None: Option[String]))
+      .toDF("id", "city", "status")
+    val r = report(Constraints.check(df, Seq(
+      KAnonymity(Seq("city"), 2),
+      LDiversity(Seq("city"), "status", 2))))
+    // the homogeneity attack in one report: "b" passes k-anonymity but
+    // fails l-diversity (2 rows), "c" fails both (1 row)
+    assert(r("k_anonymity(city,2)") == ((1L, 5L, false)))
+    assert(r("l_diversity(city,status,2)") == ((3L, 5L, false)))
+    val rPass = report(Constraints.check(
+      df.filter(df("city") === "a"), Seq(LDiversity(Seq("city"), "status", 2))))
+    assert(rPass("l_diversity(city,status,2)") == ((0L, 2L, true)))
+  }
+
   test("duplicate labels (same type+column twice) fail fast with a clear message") {
     import spark.implicits._
     val df = Seq((1L, 5.0)).toDF("k", "v")
