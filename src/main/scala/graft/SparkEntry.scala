@@ -1914,6 +1914,24 @@ object SparkEntry {
       graft.llm.TextStats.tokenDriftTV(a, b, "source", "text")
     }),
 
+    "text_nfc" -> ((s, dir) => {
+      // Unicode canonicalization census: decomposed combining sequences
+      // (injected deterministically — the corpus fixture is ASCII) are
+      // NFC-composed by the codegen'd NfcNormalize expression; per-source
+      // counts of touched docs and chars composed away. ASCII docs take
+      // the zero-allocation fast path.
+      val raw = t(s, dir, "documents").select("doc_id", "source", "text")
+        .withColumn("raw", when(col("doc_id") % 7 === 0,
+          // DECOMPOSED "cafe" + U+0301 — the sequence NFC composes to é
+          concat(col("text"), lit(" café"))).otherwise(col("text")))
+      raw.withColumn("nfc", graft.functions.NfcNormalize.nfcNormalize(col("raw")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nfc") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+          sum((length(col("raw")) - length(col("nfc"))).cast("long"))
+            .as("chars_composed"))
+    }),
+
     "ngram_diversity" -> ((s, dir) => {
       // per-source distinct-n corpus diversity audit: distinct character
       // trigrams over the whole source vs total trigram occurrences,
@@ -2891,6 +2909,19 @@ object SparkEntry {
          |  (CASE WHEN na = 0 OR nb = 0 THEN 1000000
          |   ELSE (num * 1000000) // (2 * na::HUGEINT * nb) END)::BIGINT AS tv_ppm
          |FROM t JOIN n ON t.source = n.source""".stripMargin),
+
+    // utf8proc's nfc_normalize and the JDK Normalizer compute the same
+    // canonical composition (NFC is a Unicode-standard algorithm)
+    "text_nfc" -> (
+      """WITH r AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' cafe' || chr(769)
+        |    ELSE text END AS raw
+        |  FROM documents),
+        |n AS (SELECT source, raw, nfc_normalize(raw) AS nfc FROM r)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN nfc <> raw THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(length(raw) - length(nfc))::BIGINT AS chars_composed
+        |FROM n GROUP BY source""".stripMargin),
 
     // distinct-n diversity: gram convention must match CharShingleSet
     // (max(L-2,1) windows; short doc → whole text as one gram)

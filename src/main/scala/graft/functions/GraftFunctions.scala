@@ -21,7 +21,14 @@ object GraftFunctions {
     f(exprs(0), exprs(1))
   }
 
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+    f(exprs(0))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "nfc_normalize" -> one("nfc_normalize")(NfcNormalize(_)),
     "sorted_jaccard" -> two("sorted_jaccard")(SortedJaccard(_, _)),
     "sorted_intersect" -> two("sorted_intersect")(SortedIntersect(_, _)),
     "vector_dot" -> two("vector_dot")(VectorDot(_, _)),
