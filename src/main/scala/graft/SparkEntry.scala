@@ -1828,6 +1828,14 @@ object SparkEntry {
         e, Seq("user_id"), "s_us", "e_us", "event_id")
     }),
 
+    "benford_audit" -> ((s, dir) => {
+      // forensic first-digit screen of order totals vs Benford's law —
+      // integer-exact digit extraction (floor before the bigint cast; no
+      // float log10 near power-of-ten edges), ppm deviations per digit
+      graft.operators.RobustStats.benfordAudit(
+        t(s, dir, "orders"), "o_totalprice")
+    }),
+
     "table_profile" -> ((s, dir) => {
       // ANALYZE-style stats for five lineitem columns in ONE pass (single
       // Expand-fed aggregate, the COMPUTE STATISTICS plan); l_quantity
@@ -2746,6 +2754,23 @@ object SparkEntry {
        |  tokens_ok AND avg_len_ok AND punct_ok AND has_stopword AS keep,
        |  count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
        |FROM r GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** Generated oracle for `benford_audit`: the same integer-exact digit
+    * extraction and the same inlined ppm expectation table. */
+  private def benfordSql: String = {
+    val cases = graft.operators.RobustStats.BenfordPpm
+      .map { case (d, ppm) => s"WHEN '$d' THEN $ppm" }.mkString(" ")
+    s"""WITH d AS (SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)
+       |    AS digit
+       |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+       |e AS (SELECT digit, n, (n * 1000000) // total AS observed_ppm,
+       |    (CASE digit $cases END)::BIGINT AS benford_ppm
+       |  FROM c CROSS JOIN t)
+       |SELECT digit, n, observed_ppm::BIGINT AS observed_ppm, benford_ppm,
+       |  abs(observed_ppm - benford_ppm)::BIGINT AS dev_ppm FROM e""".stripMargin
   }
 
   /** Generated oracle for `table_profile`: one UNION ALL arm per profiled
@@ -4846,6 +4871,7 @@ object SparkEntry {
         |FROM g GROUP BY user_id, span""".stripMargin,
 
     "table_profile" -> tableProfileSql,
+    "benford_audit" -> benfordSql,
 
     // one scalar aggregate per constraint, unioned with the shared total;
     // labels, counts, and pass flags must all line up

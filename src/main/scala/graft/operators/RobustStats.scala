@@ -111,4 +111,39 @@ object RobustStats {
               "(cast(n as decimal(38,0)) * cast(sum_value as decimal(38,0)))")))
       .drop("__graft_rx")
   }
+
+  /** Benford's-law ppm expectations for first digits 1..9:
+    * `round(log10(1 + 1/d) × 10⁶)` — inlined as integer literals so both
+    * engines compare against the identical table. */
+  private[graft] val BenfordPpm: Seq[(String, Long)] = Seq(
+    "1" -> 301030L, "2" -> 176091L, "3" -> 124939L, "4" -> 96910L,
+    "5" -> 79181L, "6" -> 66947L, "7" -> 57992L, "8" -> 51153L, "9" -> 45757L)
+
+  /** First-significant-digit census of a positive numeric column vs
+    * Benford's law — the classic forensic screen for fabricated or
+    * truncated value distributions (amounts, counts, sizes). Rows with
+    * `value < 1` or NULL are excluded (no leading significant digit).
+    *
+    * Digit extraction is `substr(string(bigint(floor(v))), 1, 1)` — floor
+    * BEFORE the integer cast, because engines disagree on double→int cast
+    * rounding (truncate vs round-half-even), and integer→string rendering
+    * is identical everywhere; no float log10 near power-of-ten edges.
+    * Output per digit: `n`, `observed_ppm`, `benford_ppm`, `dev_ppm`
+    * (absolute). One aggregate at 9-key grain plus a broadcast of the
+    * 1-row total — nothing scales with the data but the scan.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__total"))
+    val expected = typedLit(BenfordPpm.toMap)
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("(n * 1000000) DIV __total"))
+      .withColumn("benford_ppm", element_at(expected, col("digit")))
+      .select(col("digit"), col("n"), col("observed_ppm"), col("benford_ppm"),
+        abs(col("observed_ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
 }

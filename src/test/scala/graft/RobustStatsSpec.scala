@@ -110,4 +110,19 @@ class RobustStatsSpec extends AnyFunSuite {
       (2L, 6L, 7L, 857142L),
       (5L, 7L, 7L, 1000000L)))
   }
+
+  test("benfordAudit: exact digit census, sub-1 and NULL excluded, ppm math") {
+    import spark.implicits._
+    val df = Seq(Some(1.5), Some(19.99), Some(2.0), Some(0.5), None,
+      Some(900.1), Some(95.0)).toDF("v")
+    val got = RobustStats.benfordAudit(df, "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // digits of {1.5, 19.99, 2.0, 900.1, 95.0} → 1,1,2,9,9 over total 5
+    assert(got.keySet == Set("1", "2", "9"))
+    assert(got("1") == ((2L, 400000L, 301030L, 98970L)))
+    assert(got("2") == ((1L, 200000L, 176091L, 23909L)))
+    assert(got("9") == ((2L, 400000L, 45757L, 354243L)))
+  }
 }
