@@ -1493,6 +1493,18 @@ object SparkEntry {
             greatest(col("a_start"), col("b_start"))).as("overlap_us"))
     }),
 
+    "events_cusum" -> ((s, dir) => {
+      // sustained level-shift detection per event type: integer-exact
+      // CUSUM over the daily series — the +20%-forever drift the
+      // events_anomaly 2×-spike rule never fires on; counts aggregate
+      // map-side to day grain before any window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Cusum.cusumDrift(
+        daily, Seq("event_type"), "day", "n", h = 3L)
+    }),
+
     "events_anomaly" -> ((s, dir) => {
       // ingest-rate anomaly monitor: each (event_type, day) scored against
       // its trailing-7-day window with a pure integer spike rule
@@ -4567,6 +4579,26 @@ object SparkEntry {
         |FROM r GROUP BY event_type""".stripMargin,
 
     // day-grain counts, trailing RANGE window, integer spike rule replay
+    // the max-recurrence s_i = max(0, s_{i-1} + x_i - mean) unrolled to
+    // D_i - min(0, min_{j<=i} D_j) — two cumulative windows, no loop
+    "events_cusum" -> (
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY event_type, day),
+        |m AS (SELECT event_type,
+        |    (sum(n)::BIGINT * 1000000) // count(*) AS mean_micro
+        |  FROM d GROUP BY event_type),
+        |s AS (SELECT d.event_type, d.day, d.n, m.mean_micro,
+        |    sum(n) OVER w * 1000000 - mean_micro * (row_number() OVER w) AS drift
+        |  FROM d JOIN m ON d.event_type = m.event_type
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n,
+        |  (drift - least(0, min(drift) OVER w2))::BIGINT AS cusum_micro,
+        |  drift - least(0, min(drift) OVER w2) > mean_micro * 3 AS is_shift
+        |FROM s WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
     "events_anomaly" ->
       """WITH d AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
