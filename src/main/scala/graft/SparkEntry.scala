@@ -1265,6 +1265,21 @@ object SparkEntry {
       graft.llm.InvertedIndex.postings(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: dense cosine top-20 for item 0 fused with the
+      // sparse BM25 top-20 by reciprocal-rank fusion (integer
+      // micro-points, score-free) — doc_id and vec_id share one id space
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.llm.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("item_id"), col("rank"))
+      val sparse = graft.llm.InvertedIndex.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "merge", "window", "scan"), k = 20)
+        .select(col("doc_id").as("item_id"), col("rank"))
+      graft.llm.Similarity.rrfFuse(Seq(dense, sparse), "item_id", "rank", k = 10)
+    }),
+
     "bm25_topk" -> ((s, dir) => {
       // BM25 retrieval with rational Robertson idf (no log ulps) and
       // per-term micro-scores floored BEFORE the per-doc sum, so the
@@ -3343,6 +3358,52 @@ object SparkEntry {
     // BM25 with rational Robertson idf — the FP op tree mirrors the Spark
     // side token for token (every op IEEE correctly-rounded, so the floored
     // micro-contributions are identical before the exact integer sum)
+    // dense (cosine rank) and sparse (BM25 rank) replays fused by integer
+    // RRF micro-points — rank-only, so float cosine never reaches the output
+    "hybrid_rrf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS item_id,
+        |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        |dense AS (SELECT item_id, row_number() OVER (
+        |    ORDER BY cos DESC, item_id) AS rank FROM cs),
+        |t AS (
+        |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks)::BIGINT AS len FROM t),
+        |stats AS (SELECT sum(len)::BIGINT AS totlen, count(*)::BIGINT AS n
+        |  FROM base),
+        |hits AS (SELECT doc_id, len, unnest(list_filter(toks,
+        |    x -> x IN ('hash', 'merge', 'window', 'scan'))) AS term FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(len) AS len
+        |  FROM hits GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    floor(((n - df_docs + 0.5) / (df_docs + 0.5)) *
+        |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (len::DOUBLE / (totlen::DOUBLE / n))))) *
+        |      1000000.0)::BIGINT AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |sm AS (SELECT doc_id, sum(c)::BIGINT AS score_micro FROM c
+        |  GROUP BY doc_id),
+        |sparse AS (SELECT doc_id AS item_id, row_number() OVER (
+        |  ORDER BY score_micro DESC, doc_id) AS rank FROM sm),
+        |contrib AS (
+        |  SELECT item_id, 1000000 // (60 + rank) AS cb FROM dense
+        |    WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT item_id, 1000000 // (60 + rank) FROM sparse WHERE rank <= 20),
+        |f AS (SELECT item_id, sum(cb)::BIGINT AS rrf_micro,
+        |    count(*)::BIGINT AS n_lists
+        |  FROM contrib GROUP BY item_id),
+        |r AS (SELECT item_id, rrf_micro, n_lists, row_number() OVER (
+        |  ORDER BY rrf_micro DESC, item_id) AS fused_rank FROM f)
+        |SELECT item_id, rrf_micro, n_lists, fused_rank FROM r
+        |WHERE fused_rank <= 10""".stripMargin,
+
     "bm25_topk" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(str_split(trim(regexp_replace(

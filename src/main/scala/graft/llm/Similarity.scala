@@ -68,6 +68,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of N
+    * independently-ranked retrieval lists — the standard hybrid-search
+    * combiner (dense ANN + sparse BM25): each list contributes
+    * `1e6 DIV (rrfK + rank)` micro-points per item, items are re-ranked
+    * by total. Score-free (ranks only), so lists with incomparable score
+    * scales fuse without calibration; integer arithmetic end-to-end, so
+    * the fusion replays exactly in SQL.
+    *
+    * Each input must carry (`idCol`, `rankCol`) with rank ≥ 1; ties in
+    * the fused total break by id. The inputs are top-k lists (tens of
+    * rows each by construction), so the final ordering window runs over
+    * a bounded frame — never corpus-scale.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, "k must be positive")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val contribs = lists.map(df => df.select(col(idCol).as("item_id"),
+      expr(s"1000000 DIV ($rrfK + $rankCol)").as("__c")))
+    val w = Window.orderBy(col("rrf_micro").desc, col("item_id"))
+    contribs.reduce(_ unionAll _)
+      .groupBy("item_id")
+      .agg(sum("__c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most-similar corpus vectors whose LABEL DIFFERS from the query's —
     * the "closest wrong answers" that make the strongest negatives.

@@ -586,6 +586,24 @@ class LlmSpec extends AnyFunSuite {
     assert(same.forall(_.getLong(3) == 0L))
   }
 
+  test("rrfFuse: integer micro-points, cross-list agreement wins, k cuts") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("item_id", "rank")
+    val b = Seq((20L, 1L), (30L, 2L)).toDF("item_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "item_id", "rank", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    // 1e6 DIV 61 = 16393, 1e6 DIV 62 = 16129; item 20 appears in both lists
+    assert(got == Seq(
+      (20L, 16129L + 16393L, 2L, 1L),
+      (10L, 16393L, 1L, 2L),
+      (30L, 16129L, 1L, 3L)))
+    // k cuts the fused list, not the inputs
+    val cut = Similarity.rrfFuse(Seq(a, b), "item_id", "rank", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cut == Seq(20L))
+  }
+
   test("lshPlan: full budget, inflection-vs-threshold split, defaults reproduced") {
     import graft.llm.Dedup.{lshPlan, LshPlan}
     // the pipeline defaults fall out of their own plan
