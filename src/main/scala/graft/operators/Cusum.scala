@@ -47,15 +47,24 @@ object Cusum {
     val stats = series.groupBy(groupCols.map(col): _*)
       .agg(sum(col(valueCol)).as("__t"), count(lit(1)).as("__steps"))
       .select(groupCols.map(col) :+
-        expr("__t * 1000000 DIV __steps").as("__mean_micro"): _*)
+        expr("cast(__t as decimal(38,0)) * 1000000 DIV __steps")
+          .as("__mean_micro"): _*)
+    // drift arithmetic in decimal(38,0): the prefix-sum ×10⁶ product
+    // overflows int64 once a group's cumulative total passes ~9.2e12 —
+    // same overflow class as gini_ppm (the DuckDB oracle's window-sum is
+    // HUGEINT, so 128-bit is also what bit-identity requires). The final
+    // cusum_micro surplus is cast back to long, mirroring the oracle's
+    // ::BIGINT.
+    val dec = "decimal(38,0)"
     series
       .join(broadcast(stats), groupCols)
       .withColumn("__i", row_number().over(part.orderBy(orderCol)))
       .withColumn("__d",
-        sum(col(valueCol)).over(cum) * 1000000L - col("__mean_micro") * col("__i"))
-      .withColumn("cusum_micro",
-        col("__d") - least(lit(0L), min(col("__d")).over(cum)))
-      .withColumn("is_shift", col("cusum_micro") > col("__mean_micro") * h)
-      .drop("__i", "__d", "__mean_micro")
+        sum(col(valueCol)).over(cum).cast(dec) * 1000000L -
+          col("__mean_micro").cast(dec) * col("__i"))
+      .withColumn("__s", col("__d") - least(lit(0L).cast(dec), min(col("__d")).over(cum)))
+      .withColumn("cusum_micro", col("__s").cast("long"))
+      .withColumn("is_shift", col("__s") > col("__mean_micro").cast(dec) * h)
+      .drop("__i", "__d", "__s", "__mean_micro")
   }
 }

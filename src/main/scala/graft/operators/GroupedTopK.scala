@@ -52,6 +52,13 @@ object GroupedTopK {
     require(k >= 1, "k must be at least 1")
     val cols = df.columns.toSeq
     require(!cols.contains(rankCol), s"rank column '$rankCol' already exists")
+    // internal aliases must not collide with input columns — a clash
+    // would surface as an opaque ambiguous-reference error downstream
+    val internal = Seq("__topk", "__pos", "__s", "__row")
+    val clash = cols.filter(internal.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with topKPerGroup's " +
+        s"internal aliases (${internal.mkString(", ")}); rename them first")
     // order keys FIRST (lexicographic struct compare), whole row behind
     // them — the payload never needs a re-join, and full-tie determinism
     // comes from the trailing row itself

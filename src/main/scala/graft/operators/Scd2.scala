@@ -33,17 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  private val Sep = ""
-
-  private def fp(attrCols: Seq[String], of: String => Column): Column =
-    md5(concat_ws(Sep, attrCols.map(c => of(c).cast("string")): _*))
+  /** Boundary-unambiguous fingerprint: each attr encodes as
+    * `<charlen>:<value>` (NULL maps to a lone `\\u0000` sentinel, distinct
+    * from every length-prefixed value), then the parts concatenate. The
+    * length prefix makes shifted boundaries like ("ab","c") vs ("a","bc")
+    * and embedded separator bytes hash differently; NULL vs empty string
+    * is also distinct (`\\u0000` vs `0:`). */
+  private def fp(attrCols: Seq[String], of: String => Column): Column = {
+    val parts = attrCols.map { c =>
+      val s = of(c).cast("string")
+      when(s.isNull, lit("\u0000"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    md5(concat(parts: _*))
+  }
 
   /** New complete history = `history` folded with `snapshot` at `version`.
     * `snapshot` must carry `keyCols ++ attrCols`; output schema equals the
-    * history schema. NULL attr values fingerprint as empty (concat_ws
-    * skips them) — acceptable for change detection as long as attr NULL ↔
-    * empty-string flips aren't meaningful versions; use an explicit
-    * sentinel upstream if they are. */
+    * history schema. The fingerprint is boundary- and NULL-unambiguous
+    * (see [[fp]]): NULL↔empty-string flips and boundary-shifted attr
+    * tuples are all detected as real changes. */
   def mergeSnapshot(
       history: DataFrame,
       snapshot: DataFrame,

@@ -42,6 +42,24 @@ class CusumSpec extends AnyFunSuite {
     assert(got(("a", 2L)) == ((0L, false)))
   }
 
+  test("decimal drift survives cumulative totals past the int64/1e6 line") {
+    // steady 4e12 per step: by step 3 the prefix sum ×10⁶ (1.2e19)
+    // overflows int64 — the old long arithmetic wrapped negative here;
+    // decimal(38,0) must keep the steady series at exactly 0
+    val big = (1L to 6L).map(("g", _, 4_000_000_000_000L))
+    run(big, h = 1).values.foreach(v => assert(v == ((0L, false))))
+    // genuine shift at that magnitude stays integer-exact: 1e12 ×3 then
+    // 3e12 ×3 — mean 2e12, D(micro) = [-1,-2,-3,-2,-1,0]e18 (intermediate
+    // prefix-sum products up to 1.2e19 exceed int64), min floor -3e18 →
+    // cusum [0,0,0,1,2,3]e18; h=1 ⇒ only step 6 (3e18 > 2e18) fires
+    val shift = (1L to 3L).map(("s", _, 1_000_000_000_000L)) ++
+      (4L to 6L).map(("s", _, 3_000_000_000_000L))
+    val got = run(shift, h = 1)
+    assert(got(("s", 4L)) == ((1_000_000_000_000_000_000L, false)))
+    assert(got(("s", 5L)) == ((2_000_000_000_000_000_000L, false)))
+    assert(got(("s", 6L)) == ((3_000_000_000_000_000_000L, true)))
+  }
+
   test("groups are independent and order-of-input irrelevant") {
     val a = (1L to 3L).map(("a", _, 10L)) ++ (4L to 6L).map(("a", _, 40L))
     val b = (1L to 6L).map(("b", _, 20L))

@@ -594,7 +594,7 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._4)
     // 1e6 DIV 61 = 16393, 1e6 DIV 62 = 16129; item 20 appears in both lists
-    assert(got == Seq(
+    assert(got.toSeq == Seq(
       (20L, 16129L + 16393L, 2L, 1L),
       (10L, 16393L, 1L, 2L),
       (30L, 16129L, 1L, 3L)))

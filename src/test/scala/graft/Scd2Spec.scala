@@ -62,6 +62,33 @@ class Scd2Spec extends AnyFunSuite {
       closed.head.getLong(4) == 2L)
   }
 
+  test("fingerprint disambiguates boundary shifts, NULL vs empty, embedded bytes") {
+    import spark.implicits._
+    // ("ab","c") → ("a","bc"): same concatenation, different tuple — the
+    // length-prefixed fingerprint must classify it as CHANGED
+    val h1 = Seq((1L, "ab", "c", 1L, null.asInstanceOf[java.lang.Long], true))
+      .toDF("k", "a1", "a2", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val s1 = Seq((1L, "a", "bc")).toDF("k", "a1", "a2")
+    val g1 = Scd2.mergeSnapshot(h1, s1, Seq("k"), Seq("a1", "a2"), 2L)
+    assert(g1.filter(col("is_current") && col("a1") === "a").count() == 1L)
+    assert(g1.filter(!col("is_current")).count() == 1L)
+    // NULL → empty string is a real change
+    val h2 = Seq((1L, null.asInstanceOf[String], 1L, null.asInstanceOf[java.lang.Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val s2 = Seq((1L, "")).toDF("k", "attr")
+    val g2 = Scd2.mergeSnapshot(h2, s2, Seq("k"), Seq("attr"), 2L)
+    assert(g2.filter(!col("is_current")).count() == 1L)
+    assert(g2.filter(col("is_current") && col("attr") === "").count() == 1L)
+    // a value embedding the digits+colon prefix pattern still round-trips
+    // as UNCHANGED when genuinely identical
+    val h3 = hist(Seq((1L, "2:ab", 1L, None, true)))
+    val s3 = Seq((1L, "2:ab")).toDF("k", "attr")
+    val g3 = Scd2.mergeSnapshot(h3, s3, Seq("k"), Seq("attr"), 2L)
+    g3.ensureDatasetEquals(h3)
+  }
+
   test("plan: one full-outer key join; non-current history bypasses it") {
     import spark.implicits._
     val history = hist(Seq((1L, "a", 1L, None, true), (2L, "b", 0L, Some(1L), false)))
