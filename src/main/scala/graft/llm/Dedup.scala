@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -471,10 +470,10 @@ object Dedup {
     * stripe-partitioned variant missed pairs exactly because one insertion
     * shifts every downstream gram's stripe.
     *
-    * Plan shape: posexplode the gram stream (evaluated once per doc behind
-    * the repartition barrier) → per-doc sliding `min` window over positions
-    * (docs are already partitioned by id; the window sort is per-doc) →
-    * distinct (id, fingerprint) → bucket join. */
+    * Plan shape: one-pass codegen'd fingerprinting in the scan projection
+    * ([[graft.functions.WinnowFingerprints]]: rolling gram hashes +
+    * monotonic-deque sliding minima, already distinct per doc) → explode →
+    * bucket join. No gram-row shuffle, no per-doc window sort. */
   def winnowDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -503,13 +502,14 @@ object Dedup {
       .repartition(col("id"))
     val docs = base.select(col("id"),
       graft.functions.CharShingleSet.charShingleSet(col("__norm"), shingleSize).as("sh"))
-    val wdw = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, window - 1)
+    // one-pass codegen'd winnowing: the distinct sliding-window minima are
+    // computed inside the scan projection ([[graft.functions
+    // .WinnowFingerprints]]) — the posexplode → per-doc window-min →
+    // distinct formulation this replaces shuffled and sorted every gram
+    // row (~n per doc) to keep ~2n/window fingerprints
     val fpRows = base
-      .select(col("id"), posexplode(TextStats.gramHashes(col("__norm"), k)))
-      .withColumn("fp_val", min(col("col")).over(wdw))
-      .select("id", "fp_val")
-      .distinct()
+      .select(col("id"), explode(graft.functions.WinnowFingerprints
+        .winnowFingerprints(col("__norm"), k, window)).as("fp_val"))
     val cand = candidatePairs(fpRows, Seq("fp_val"), maxBucketSize)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("set_a")), Seq("id_a"))

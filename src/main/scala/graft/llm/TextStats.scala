@@ -191,11 +191,13 @@ object TextStats {
       i => xxhash64(norm.substr(i, lit(k))))
 
   // Winnowing fingerprints (the MOSS algorithm) live in
-  // [[Dedup.winnowDedupPairs]] as a posexplode + sliding-window-min plan: an
-  // expression-level formulation (transform over positions of
-  // array_min(slice(grams, p, w))) nests the gram stream inside a
-  // per-position lambda, and CollapseProject inlining re-evaluates the
-  // normalization + hashing per position — O(n²) regexes per document.
+  // [[graft.functions.WinnowFingerprints]] as a one-pass codegen'd
+  // expression (rolling hashes + monotonic-deque sliding minima). An HOF
+  // formulation (transform over positions of array_min(slice(grams, p, w)))
+  // is not an option: CollapseProject inlines the gram stream into the
+  // per-position lambda and re-evaluates the normalization + hashing per
+  // position — O(n²) regexes per document. gramHashes above remains the
+  // relational reference the WinnowSpec proves bit-identity against.
 
   /** Positional token n-grams of exactly length `n`, WITH multiplicity
     * (docs shorter than `n` tokens yield none). Pass a materialized token
