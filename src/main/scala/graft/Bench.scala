@@ -63,6 +63,11 @@ object Bench {
     def sweepLeakedState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // streaming state-store providers accumulate between 60 s maintenance
+      // ticks over a 171-query suite of short-lived queries — the r11
+      // driver bench showed the whole streaming family drifting 1.4-2.3×
+      // together with no code change; unload them like any other leak
+      org.apache.spark.sql.graftshim.Bridge.unloadStateStores()
     }
     // A throwing query must NOT masquerade as a fast one: its time-to-throw
     // still enters the median (so the line stays shape-stable), but the

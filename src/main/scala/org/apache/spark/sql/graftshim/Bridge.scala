@@ -21,4 +21,15 @@ object Bridge {
   /** Wrap an analyzed/analyzable logical plan as a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Unload every loaded streaming state-store provider and stop the
+    * maintenance task (`StateStore.stop()`, `private[sql]`). Hygiene for a
+    * long single-JVM suite running hundreds of short-lived streaming
+    * queries: each leaves its providers loaded until the next maintenance
+    * tick (60 s default), so providers — and their HDFSBackedStateStore
+    * in-memory version maps — accumulate between ticks. The store lazily
+    * restarts on the next streaming query; calling this between queries is
+    * safe and idle-cheap. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
