@@ -42,7 +42,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("chunk_documents", 1, 0),
     ("html_strip", 1, 0),
     ("multimodal_decode", 1, 0),
-    ("text_quality", 1, 0))
+    ("text_quality", 1, 0),
+    // the heavy dedup/LSH family — the queries where a crept-in exchange
+    // costs minutes at 100× (r11 VERDICT task 5). Queries whose lineage
+    // localCheckpoints during construction (CC loops) pin only the final
+    // stitch plan — the loop's per-round budget is GroupedRank/CC's specs.
+    ("dedup_minhash", 22, 0),
+    ("dedup_groups", 1, 0),
+    ("winnow_neardup", 18, 0),
+    ("dedup_index_probe", 8, 0),
+    ("split_leakage_safe", 3, 0),
+    ("dedup_groups_incremental", 6, 0),
+    ("dedup_apply_cc", 3, 0),
+    ("dedup_cluster_sizes", 3, 0),
+    ("dedup_containment", 9, 0),
+    ("dedup_incremental", 3, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
