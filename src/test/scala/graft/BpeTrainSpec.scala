@@ -136,6 +136,66 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(bat.map(m => m._2 + m._3) == words)
   }
 
+  /** Train with batch=8 and batch=1, assert identical merge tables (the
+    * exactness claim), a sane table, and return (batRounds, n). */
+  private def trainBoth(docs: org.apache.spark.sql.DataFrame, n: Int): Int = {
+    val (batDf, batRounds) = Vocab.bpeTrainMergesWithRounds(docs, "text", n, batch = 8)
+    val bat = batDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(bat.length == n)
+    val (seqDf, seqRounds) = Vocab.bpeTrainMergesWithRounds(docs, "text", n, batch = 1)
+    assert(seqRounds == n)
+    val seq = seqDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(bat == seq, s"batched adoption diverged from sequential greedy at $n merges")
+    assert(bat.map(_._1) == (0L until n.toLong))
+    assert(bat.map(m => (m._2, m._3)).distinct.length == n)
+    assert(bat.forall(_._4 > 0))
+    batRounds
+  }
+
+  test("80 merges on the real fixture corpus: batched ≡ sequential") {
+    // the fixture vocabulary is 31 distinct words — BPE exhausts all
+    // adjacent pairs at 89 merges, so 80 is the realistic fixture-scale run
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rounds = trainBoth(docs, 80)
+    assert(rounds <= 80, s"rounds can never exceed merges: $rounds")
+  }
+
+  test("200 merges at vocabulary scale: batched ≡ sequential, rounds strictly reduced") {
+    // the executable form of the batched-adoption claim (r11 VERDICT task
+    // 6) needs a corpus whose pair structure survives 200 merges — a
+    // seeded 400-word zipf-ish corpus (the fixture's 31-word vocabulary
+    // cannot). Natural-text interaction means no disjoint-corpus
+    // rounds≈N/B bound applies; the provable properties are (a) EXACTNESS:
+    // the 200-merge table is identical to one-at-a-time greedy, and (b)
+    // PROGRESS: batching adopts >1 pair in at least some rounds, so driver
+    // rounds come in strictly under one-per-merge
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (0 until 400).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (0 until len).map(_ => letters(rnd.nextInt(26))).mkString
+    }.distinct
+    // zipf-ish natural tail (top pair count ≈ 2000, heavily interacting —
+    // those rounds adopt 1, exactly like real text) + 16 planted two-char
+    // words over 32 DISTINCT characters whose counts clear the 4× blocked
+    // bound: the first two batch=8 rounds must adopt all 16
+    val planted = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz", "01", "23", "45")
+    val rows = vocab.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(1 + 2000 / (i + 1))(w) } ++
+      planted.zipWithIndex.flatMap { case (w, i) => Seq.fill(100000 - i)(w) }
+    val docs = rnd.shuffle(rows).grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val n = 200
+    val rounds = trainBoth(docs, n)
+    assert(rounds <= n - 14,
+      s"batch=8 should adopt the 16 planted disjoint pairs in 2 rounds, got $rounds")
+  }
+
   test("bpeTrainMerges on the fixture corpus: ranks contiguous, counts non-increasing-ish sane") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Vocab.bpeTrainMerges(docs, "text", numMerges = 3)
