@@ -498,6 +498,25 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
+    "lsh_plan" -> ((s, dir) => {
+      // the banding planner's full parameter sweep as a table: 19 target
+      // thresholds × 3 signature sizes, each row the (bands, rowsPerBand)
+      // split lshPlan picks. Driver-side model math (like the k-means
+      // codebooks) — the DuckDB oracle replays the argmin over divisor
+      // splits in its own log arithmetic; the 0.05 threshold grid sits
+      // ≥9e-4 from every decision boundary, so last-ulp libm differences
+      // can never flip a pick. Integer output columns only.
+      import s.implicits._
+      val rows = for {
+        nh <- Seq(16, 32, 64)
+        tp <- (1 to 19).map(_ * 50000)
+      } yield {
+        val p = graft.llm.Dedup.lshPlan(tp / 1e6, nh)
+        (tp.toLong, nh.toLong, p.bands.toLong, p.rowsPerBand.toLong)
+      }
+      rows.toDF("threshold_ppm", "num_hashes", "bands", "rows_per_band")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       graft.llm.Dedup.embeddingDedupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
@@ -4019,6 +4038,28 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // replays the banding planner's argmin over divisor splits: diff =
+    // |ln(t) − ln((1/b)^(1/r))| = |ln(t) + ln(b)/r|, ties toward more
+    // bands. Thresholds sit ≥9e-4 from every split boundary, so libm
+    // last-ulp differences cannot flip the pick; output integers only.
+    "lsh_plan" ->
+      """WITH params AS (
+        |  SELECT nh.nh AS num_hashes, tp.tp AS threshold_ppm
+        |  FROM (SELECT unnest([16, 32, 64])::BIGINT AS nh) nh
+        |  CROSS JOIN (SELECT unnest(range(1, 20)) * 50000 AS tp) tp),
+        |cand AS (
+        |  SELECT threshold_ppm, num_hashes,
+        |    r.r AS rows_per_band, num_hashes // r.r AS bands,
+        |    abs(ln(threshold_ppm / 1000000.0)
+        |      + ln((num_hashes // r.r)::DOUBLE) / r.r) AS diff
+        |  FROM params CROSS JOIN range(1, 65) AS r(r)
+        |  WHERE r.r <= num_hashes AND num_hashes % r.r = 0)
+        |SELECT threshold_ppm, num_hashes, bands, rows_per_band
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY threshold_ppm, num_hashes
+        |    ORDER BY diff, bands DESC) AS rn FROM cand)
+        |WHERE rn = 1""".stripMargin,
 
     "dedup_ngram" ->
       """WITH toks AS (
