@@ -1211,6 +1211,17 @@ object SparkEntry {
       graft.llm.Multimodal.documentGzipStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_zip" -> ((s, dir) => {
+      // REAL ZIP container walk (the multi-member half of the web-archive
+      // ingest path): 2+id%3 deterministic text members are zipped per
+      // doc_id by ZipOutputStream, then ZipInputStream walks the actual
+      // central directory and inflates every member — one output row per
+      // member (a flatMap). The oracle replays member names and the token
+      // formula arithmetically; a wrong member boundary or byte anywhere
+      // breaks the hash.
+      graft.llm.Multimodal.documentZipStats(s, t(s, dir, "documents"))
+    }),
+
     "events_quantiles" -> ((s, dir) => {
       // exact order-statistic quantiles (actual elements, no interpolation
       // arithmetic — the engine-portable exact contract)
@@ -4665,6 +4676,24 @@ object SparkEntry {
         |    + 32 * (max(n) - 1))::BIGINT AS byte_sum,
         |  max(n)::BIGINT AS n_tokens
         |FROM t GROUP BY doc_id""".stripMargin,
+
+    // replays the ZIP member layout: member m of doc id holds
+    // archiveText(id·5+m) under name 'm<m>.txt'; same token byte math as
+    // multimodal_gzip per member
+    "multimodal_zip" ->
+      """WITH d AS (SELECT doc_id, m.m AS m, 20 + (doc_id * 5 + m.m) % 17 AS n
+        |  FROM documents CROSS JOIN range(0, 4) AS m(m)
+        |  WHERE m.m < 2 + doc_id % 3),
+        |t AS (SELECT d.doc_id, d.m, d.n,
+        |    ((d.doc_id * 5 + d.m) * 7 + j.j) % 23 AS v
+        |  FROM d CROSS JOIN range(0, 37) AS j(j) WHERE j.j < d.n)
+        |SELECT doc_id AS media_id, 'm' || m || '.txt' AS member_name,
+        |  (sum(CASE WHEN v < 10 THEN 2 ELSE 3 END) + max(n) - 1)::BIGINT
+        |    AS n_bytes,
+        |  (sum(119 + CASE WHEN v < 10 THEN 48 + v
+        |      ELSE 96 + (v // 10) + (v % 10) END)
+        |    + 32 * (max(n) - 1))::BIGINT AS byte_sum
+        |FROM t GROUP BY doc_id, m""".stripMargin,
 
     // replays the ceil(n·q) rank formula; n·q is an exact-int × double-literal
     // product, identical IEEE in both engines

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * North-star extension surface (SURVEY.md §2.4). Four decode paths, three
-  * of them REAL decoders:
+  * North-star extension surface (SURVEY.md §2.4). Seven decode paths, six
+  * of them REAL decoders (lossless PNG/BMP/GIF pixels, lossy JPEG
+  * round-trip, WAV/PCM samples, animated-GIF frames, gzip inflate, ZIP
+  * container walk); only payload classes with NO JDK codec keep a
+  * stand-in:
   *
   *  - '''Real image decode''' ([[decodeImageStats]]): PNG/JPEG/BMP/GIF
   *    payloads are decoded to actual pixels with the JDK's built-in
@@ -34,11 +37,19 @@ import org.apache.spark.sql.functions._
   *    frame-by-frame — are frame-SAMPLED and each sampled frame decoded to
   *    actual pixels; with an explicit 256-gray palette the encoding is
   *    lossless, so the `multimodal_video` oracle replays exactly.
-  *  - '''Opaque payload featurization''' ([[extractFeatures]]): for
-  *    payloads whose codecs genuinely don't exist in the JDK (H.264/VP9,
-  *    MP3/Opus, embedding models), a deterministic byte-hash feature
-  *    stands in. The Spark-side dataflow — schema, binary packing,
-  *    partition-batched processing shape — is the real thing either way.
+  *  - '''Real compressed/container decode''' ([[decodeGzipStats]],
+  *    [[decodeZipStats]]): gzip members inflate through the JDK's real
+  *    DEFLATE (the WARC/WET codec), and ZIP archives are walked
+  *    member-by-member (the multi-file container shape) — both with
+  *    integer-exact oracles.
+  *  - '''Opaque payload featurization''' ([[extractFeatures]]): the ONLY
+  *    remaining stand-in, scoped to payload classes with no JDK decoder —
+  *    per format: H.264/VP9 (patent-encumbered video codecs, never shipped
+  *    in the JDK), MP3/AAC/Opus (`AudioSystem` stock providers read
+  *    PCM-family WAV/AU/AIFF only), and learned embedding models (weights,
+  *    not a codec). A deterministic byte-hash feature stands in; the
+  *    Spark-side dataflow — schema, binary packing, partition-batched
+  *    processing shape — is the real thing either way.
   */
 object Multimodal {
 
@@ -573,6 +584,89 @@ object Multimodal {
       it.map(id => GzipRecord(id, synthesizeGzip(id)))
     }
     decodeGzipStats(records).toDF()
+  }
+
+  // --------------------------------------------- ZIP container (multi-member)
+
+  /** A complete ZIP archive payload and its id — the multi-member container
+    * shape (one blob → many files) that a crawl-dump or dataset-shard
+    * ingest walks. */
+  case class ZipRecord(media_id: Long, content: Array[Byte])
+
+  /** One row per archive MEMBER from a real container walk: entry name plus
+    * exact integer stats of the inflated member bytes. */
+  case class ZipMemberStats(
+      media_id: Long,
+      member_name: String,
+      n_bytes: Long,
+      byte_sum: Long)
+
+  /** Number of members in clip `id`'s archive: 2 + id%3. */
+  private[llm] def zipNumMembers(id: Long): Int = 2 + (id % 3).toInt
+
+  /** [[archiveText]] members wrapped in a REAL ZIP container by the JDK's
+    * `java.util.zip.ZipOutputStream` (central directory, per-entry DEFLATE —
+    * no native dependencies). Member `m` is named `m<m>.txt` and holds
+    * `archiveText(id·5 + m)`; entry timestamps are pinned so the archive
+    * bytes are deterministic (they don't affect decode either way). */
+  def synthesizeZip(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeZip needs a non-negative id, got $id")
+    val baos = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(baos)
+    var m = 0
+    while (m < zipNumMembers(id)) {
+      val e = new java.util.zip.ZipEntry(s"m$m.txt")
+      e.setTime(0L)
+      z.putNextEntry(e)
+      z.write(archiveText(id * 5 + m)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      z.closeEntry()
+      m += 1
+    }
+    z.close()
+    baos.toByteArray
+  }
+
+  /** REAL container walk: each payload is opened by the JDK's
+    * `ZipInputStream`, every member inflated (DEFLATE) and reduced to exact
+    * integer stats — a flatMap (one archive row → one row per member), the
+    * container half of the web-archive ingest path [[decodeGzipStats]]'s
+    * single-member gzip covers. Undecodable bytes fail loudly. As with
+    * gzip, the COMPRESSED member sizes are deliberately not in the output
+    * contract — encoder output is implementation-defined; member names and
+    * inflated streams are canonical. */
+  def decodeZipStats(records: Dataset[ZipRecord]): Dataset[ZipMemberStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { rec =>
+        val in = new java.util.zip.ZipInputStream(
+          new ByteArrayInputStream(rec.content))
+        val out = scala.collection.mutable.ArrayBuffer.empty[ZipMemberStats]
+        var e = in.getNextEntry
+        while (e != null) {
+          val bytes = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+          out += ZipMemberStats(rec.media_id, e.getName, bytes.length.toLong, sum)
+          e = in.getNextEntry
+        }
+        in.close()
+        out
+      }
+    }
+  }
+
+  /** End-to-end real-container pipeline over the documents table: zip
+    * deterministic members per doc_id, walk the REAL central directory and
+    * inflate every member back out. Shuffle-free narrow flatMap. */
+  def documentZipStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ZipRecord(id, synthesizeZip(id)))
+    }
+    decodeZipStats(records).toDF()
   }
 
   // ------------------------------------------------------- opaque payloads

@@ -517,6 +517,33 @@ class LlmSpec extends AnyFunSuite {
     assert(f.getAs[Long]("n_bytes") > 0)
   }
 
+  test("zip container walk: REAL central-directory members round-trip the text formula") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).as[Long]
+    val records = ids.map(id => Multimodal.ZipRecord(id, Multimodal.synthesizeZip(id)))
+    // genuine ZIP local-file-header magic, not a fake container
+    val magic = records.head().content.take(4).toSeq
+    assert(magic == Seq[Byte]('P', 'K', 3, 4))
+    val got = Multimodal.decodeZipStats(records).collect()
+      .map(s => (s.media_id, s.member_name) -> ((s.n_bytes, s.byte_sum))).toMap
+    // driver-side reference straight from archiveText's formula
+    def ref(tid: Long): (Long, Long) = {
+      val text = (0 until (20 + (tid % 17).toInt))
+        .map(j => "w" + ((tid * 7 + j) % 23)).mkString(" ")
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      (bytes.length.toLong, bytes.map(_ & 0xFF).map(_.toLong).sum)
+    }
+    var expected = 0
+    (0L until 40L).foreach { id =>
+      (0 until (2 + (id % 3).toInt)).foreach { m =>
+        expected += 1
+        assert(got((id, s"m$m.txt")) == ref(id * 5 + m),
+          s"member m$m.txt of archive $id diverges")
+      }
+    }
+    assert(got.size == expected) // no phantom or missing members
+  }
+
   test("image decode: REAL ImageIO pixels round-trip the generating formula") {
     import spark.implicits._
     // driver-side reference from the synthesis formula — no image code
