@@ -892,6 +892,22 @@ object SparkEntry {
         .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
     }),
 
+    "char_diversity" -> ((s, dir) => {
+      // per-doc character-histogram moments + Simpson collision index in
+      // ppm — ONE codegen'd pass inside the scan (no per-char explode, no
+      // shuffle), exact integers end-to-end (div, not floating entropy);
+      // decimal(38,0) for the ×10⁶ product (the gini_ppm overflow rule)
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.CharHistStats.charHistStats(
+          graft.llm.TextStats.normalizeText(col("text"))).as("__h"))
+        .select(col("doc_id"), col("__h")(0).as("n_cp"),
+          col("__h")(1).as("n_distinct"), col("__h")(2).as("coll"))
+        .withColumn("simpson_ppm",
+          when(col("n_cp") < 2, lit(0L)).otherwise(expr(
+            "(cast(coll as decimal(38,0)) * 1000000) div " +
+              "(cast(n_cp as decimal(38,0)) * (n_cp - 1))")))
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.bruteForceTopK(
@@ -1755,6 +1771,19 @@ object SparkEntry {
       graft.operators.Triangles.triangleCount(co, "pa", "pb")
     }),
 
+    "graph_link_predict" -> ((s, dir) => {
+      // co-purchase link prediction: customer pairs scored by shared
+      // parts — common-neighbor count + integer resource-allocation
+      // (Σ 10⁶ div deg) — with the hot-right-node degree cap applied
+      // BEFORE the wedge self-join (the quadratic-blowup guard)
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      graft.operators.LinkPredict.commonNeighborPairs(
+        edges, "c", "p", minCommon = 5, maxViaDegree = 1000)
+    }),
+
     "dedup_jaccard_exact" -> ((s, dir) => {
       // EXACT similarity self-join (no LSH misses): prefix-filtered
       // AllPairs on word 3-gram sets (16k+ distinct grams — the element
@@ -1764,6 +1793,16 @@ object SparkEntry {
       graft.llm.Dedup.exactJaccardJoin(
         t(s, dir, "documents"), "doc_id", "text",
         tNum = 1, tDen = 2, ngram = 3)
+    }),
+
+    "dedup_edit" -> ((s, dir) => {
+      // EXACT edit-distance similarity join (typo/OCR-variant dedup):
+      // every pair within 4 Levenshtein edits of each other's normalized
+      // text, found by PassJoin-style segment blocking (d+1 segments,
+      // pigeonhole equi-join on (len, segIdx, segment)) — never an
+      // all-pairs stage — then banded-levenshtein verified
+      graft.llm.Dedup.editDistancePairs(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 4)
     }),
 
     "dedup_containment" -> ((s, dir) => {
@@ -3313,6 +3352,27 @@ object SparkEntry {
          |    THEN 1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE
          |    ELSE 0.0 END AS dup_gram_ratio
          |FROM g""".stripMargin),
+
+    // per-char histogram ground truth for the one-pass expression: DuckDB
+    // rebuilds the histogram by exploding characters (the very plan shape
+    // the Spark side exists to avoid)
+    "char_diversity" -> (
+      s"""WITH nd AS (SELECT doc_id, $normSql AS t FROM documents),
+         |cnt AS (SELECT doc_id, c, count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, unnest([t[i:i] FOR i IN range(1, len(t)+1)]) AS c
+         |        FROM nd)
+         |  GROUP BY doc_id, c),
+         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_cp,
+         |    count(*)::BIGINT AS n_distinct,
+         |    sum(k * (k - 1))::BIGINT AS coll
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT nd.doc_id, coalesce(agg.n_cp, 0)::BIGINT AS n_cp,
+         |  coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(agg.coll, 0)::BIGINT AS coll,
+         |  CASE WHEN coalesce(agg.n_cp, 0) < 2 THEN 0
+         |    ELSE agg.coll * 1000000 // (agg.n_cp * (agg.n_cp - 1))
+         |  END::BIGINT AS simpson_ppm
+         |FROM nd LEFT JOIN agg ON nd.doc_id = agg.doc_id""".stripMargin),
 
     "ann_lsh" -> annLshSql(),
 
@@ -4949,6 +5009,21 @@ object SparkEntry {
         |    JOIN E e2 ON e1.b = e2.a
         |    JOIN E e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
+    // naive per-shared-part pair expansion ground truth — integer RA
+    // (10⁶ div deg summed) makes the score engine-portable
+    "graph_link_predict" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT p, count(*)::BIGINT AS d FROM e GROUP BY p),
+        |pairs AS (SELECT a.c AS id_a, b.c AS id_b,
+        |    count(*)::BIGINT AS cn,
+        |    sum(1000000 // deg.d)::BIGINT AS ra_ppm
+        |  FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+        |  JOIN deg ON deg.p = a.p
+        |  WHERE deg.d <= 1000
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cn, ra_ppm FROM pairs WHERE cn >= 5""".stripMargin,
+
     // all-pairs ground truth — the prefix filter must lose NOTHING
     "dedup_jaccard_exact" ->
       """WITH toks AS (
@@ -4965,6 +5040,18 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.gr, b.gr)) * 2 >=
         |  len(list_distinct(a.gr || b.gr))""".stripMargin,
+
+    // brute-force edit-distance ground truth — the PassJoin segment
+    // blocking must lose no pair within the distance budget
+    "dedup_edit" ->
+      """WITH nd AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.t, b.t)::INT AS dist
+        |FROM nd a JOIN nd b ON a.doc_id < b.doc_id
+        |WHERE abs(len(a.t) - len(b.t)) <= 4
+        |  AND levenshtein(a.t, b.t) <= 4""".stripMargin,
 
     // directed all-pairs containment ground truth — the probe-prefix ×
     // full-postings candidate generation must lose nothing

@@ -1328,4 +1328,126 @@ object Dedup {
     LshPlan(numHashes, b, r, inflection,
       1.0 - math.pow(1.0 - math.pow(threshold, r), b))
   }
+
+  /** EXACT edit-distance similarity self-join: every unordered pair of
+    * documents whose normalized texts are within `maxDist` Levenshtein
+    * edits, with the exact distance. The typo/OCR-variant dedup shape that
+    * set-based similarity (Jaccard over shingles) only approximates —
+    * reference `README.md:9` motivates skew-safe *equi* self-joins; this is
+    * the same discipline applied to a metric join.
+    *
+    * '''Algorithm (segment blocking, after Li/Deng/Feng's PassJoin).'''
+    * Never an all-pairs cross join:
+    *
+    *  1. Each document's normalized text of length `L ≥ d+1` splits into
+    *     `d+1` contiguous near-even segments. Pigeonhole: if
+    *     `ed(a, b) ≤ d` with `len(a) ≤ len(b)`, at least one of `a`'s
+    *     `d+1` segments survives untouched by the ≤ d edits and appears
+    *     in `b` *verbatim* — and since at most `d` edits precede it, at a
+    *     start position shifted by at most `d`.
+    *  2. The index leg emits each doc's `d+1` segments keyed by
+    *     `(len, segIdx, segment)`; the probe leg emits, for each partner
+    *     length `La ∈ [L−d, L]` and segment index, the substrings at the
+    *     segment's position ± d — a *bounded* `(d+1)²(2d+1)` keys per doc
+    *     (225 at d=4). Candidates are an equi-join on that composite key:
+    *     selective (length + position + content), shuffle-partitioned,
+    *     no quadratic stage.
+    *  3. Docs shorter than `d+1` chars can have all segments edited, so
+    *     they block by exact length instead (lengths `≤ 2d`; a short doc
+    *     can only pair with docs within `d` of its length, so this leg is
+    *     closed over the `≤ 2d` stratum).
+    *  4. Dedup candidate pairs, then verify with the codegen'd *banded*
+    *     `levenshtein(a, b, d)` (O(d·n) per pair, not O(n²)).
+    *
+    * The probe window `±d` is the provable superset of PassJoin's
+    * multi-match-aware window — recall is structural, the oracle checks
+    * exactness. At 100 TB the candidate join shuffles on high-entropy
+    * `(length, segIdx, segment)` keys; degenerate identical-content keys
+    * belong to exact dedup, which runs before any near-dup pass in the
+    * pipeline (see [[exactDedup]]).
+    *
+    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, `dist ∈ [0, d]`.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 4): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be at least 1: got $maxDist")
+    val d = maxDist
+    val nSeg = d + 1
+    // one materialization of (id, normalized text, length); six consumers
+    // (index, probe, two short legs, two verify attaches) — the
+    // exactJaccardJoinSets house rule
+    val base = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .repartition(col("id"))
+      .localCheckpoint()
+
+    // segment i of a length-La string: start i*q + min(i, r), width
+    // q + (i<r), where q = La div (d+1), r = La mod (d+1) (1-based substr)
+    def segStart(i: Column, q: Column, r: Column): Column =
+      i * q + least(i, r) + lit(1)
+    def segLen(i: Column, q: Column, r: Column): Column =
+      q + when(i < r, lit(1)).otherwise(lit(0))
+
+    val idx = base.filter(col("__len") >= nSeg)
+      .withColumn("__q", expr(s"__len div $nSeg"))
+      .withColumn("__r", col("__len") % nSeg)
+      .select(col("id").as("id_a"),
+        col("__len").as("__kl"),
+        posexplode(transform(sequence(lit(0), lit(d)), i =>
+          col("__t").substr(segStart(i, col("__q"), col("__r")),
+            segLen(i, col("__q"), col("__r"))))).as(Seq("__ki", "__ks")))
+
+    // (partnerLen delta, segIdx, shift) enumeration — a bounded literal
+    // array, exploded per probe doc; every arithmetic step is a codegen'd
+    // builtin over the exploded struct
+    val combos = array((for {
+      dl <- 0 to d; i <- 0 to d; sh <- -d to d
+    } yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(sh).as("sh"))): _*)
+    val probe = base.filter(col("__len") >= nSeg)
+      .select(col("id").as("id_b"), col("__t"), col("__len").as("__lb"),
+        explode(combos).as("__c"))
+      .withColumn("__kl", col("__lb") - col("__c.dl"))
+      .filter(col("__kl") >= nSeg)
+      .withColumn("__q", expr(s"__kl div $nSeg"))
+      .withColumn("__r", col("__kl") % nSeg)
+      .withColumn("__start",
+        segStart(col("__c.i"), col("__q"), col("__r")) + col("__c.sh"))
+      .withColumn("__slen", segLen(col("__c.i"), col("__q"), col("__r")))
+      .filter(col("__start") >= 1 &&
+        col("__start") + col("__slen") - 1 <= col("__lb"))
+      .select(col("id_b"), col("__kl"), col("__c.i").as("__ki"),
+        col("__t").substr(col("__start"), col("__slen")).as("__ks"))
+
+    val mainCands = idx.join(probe, Seq("__kl", "__ki", "__ks"))
+      .select(col("id_a"), col("id_b"))
+
+    // short stratum: all-segments-editable lengths block by exact length;
+    // |len(a)−len(b)| ≤ d keeps the stratum closed over lengths ≤ 2d
+    val shortIdx = base.filter(col("__len") <= 2 * d)
+      .select(col("id").as("id_a"), col("__len").as("__kl"))
+    val shortProbe = base.filter(col("__len") <= 2 * d)
+      .select(col("id").as("id_b"),
+        explode(sequence(greatest(col("__len") - d, lit(0)),
+          col("__len"))).as("__kl"))
+    val shortCands = shortIdx.join(shortProbe, Seq("__kl"))
+      .select(col("id_a"), col("id_b"))
+
+    val cands = mainCands.unionByName(shortCands)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+    cands
+      .join(base.select(col("id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), d))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }
