@@ -56,7 +56,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("dedup_apply_cc", 3, 0),
     ("dedup_cluster_sizes", 3, 0),
     ("dedup_containment", 9, 0),
-    ("dedup_incremental", 3, 0))
+    ("dedup_incremental", 3, 0),
+    ("dedup_edit", 5, 0),
+    ("graph_link_predict", 5, 0),
+    // the one-pass histogram expression: zero exchanges by construction —
+    // the whole point vs the explode+groupBy form
+    ("char_diversity", 0, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
