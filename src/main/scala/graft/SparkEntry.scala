@@ -908,6 +908,21 @@ object SparkEntry {
               "(cast(n_cp as decimal(38,0)) * (n_cp - 1))")))
     }),
 
+    "eval_rouge" -> ((s, dir) => {
+      // distillation/summarization eval: ROUGE-2 clipped-multiset overlap
+      // between consecutive doc pairs (even = reference, odd = candidate),
+      // exact integer counts + ppm ratios — per-(pair, gram) equi-join,
+      // no windows, never corpus-quadratic
+      val d = t(s, dir, "documents")
+      val pairs = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref_text"))
+        .join(d.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") - 1).as("pair_id"),
+            col("text").as("cand_text")), "pair_id")
+      graft.llm.EvalMetrics.rougeN(
+        pairs, "pair_id", "ref_text", "cand_text", n = 2)
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.bruteForceTopK(
@@ -3373,6 +3388,44 @@ object SparkEntry {
          |    ELSE agg.coll * 1000000 // (agg.n_cp * (agg.n_cp - 1))
          |  END::BIGINT AS simpson_ppm
          |FROM nd LEFT JOIN agg ON nd.doc_id = agg.doc_id""".stripMargin),
+
+    // clipped-multiset ROUGE-2 ground truth — per-side gram counts,
+    // least() clip, integer ppm ratios, all replayed in DuckDB
+    "eval_rouge" -> (
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex($normSql, '\\s+'),
+         |      x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+         |    ELSE [] END) AS g FROM tk),
+         |ga AS (SELECT doc_id AS pair_id, g, count(*)::BIGINT AS ca
+         |  FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |gb AS (SELECT doc_id - 1 AS pair_id, g, count(*)::BIGINT AS cb
+         |  FROM g WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |ov AS (SELECT pair_id, sum(least(ca, cb))::BIGINT AS overlap
+         |  FROM ga JOIN gb USING (pair_id, g) GROUP BY 1),
+         |ta AS (SELECT pair_id, sum(ca)::BIGINT AS n_ref FROM ga GROUP BY 1),
+         |tb AS (SELECT pair_id, sum(cb)::BIGINT AS n_cand FROM gb GROUP BY 1),
+         |p AS (SELECT a.doc_id AS pair_id FROM documents a
+         |  JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0)
+         |SELECT p.pair_id,
+         |  coalesce(ta.n_ref, 0)::BIGINT AS n_ref,
+         |  coalesce(tb.n_cand, 0)::BIGINT AS n_cand,
+         |  coalesce(ov.overlap, 0)::BIGINT AS overlap,
+         |  (CASE WHEN coalesce(tb.n_cand, 0) = 0 THEN 0
+         |    ELSE coalesce(ov.overlap, 0) * 1000000 // tb.n_cand END)::BIGINT
+         |    AS precision_ppm,
+         |  (CASE WHEN coalesce(ta.n_ref, 0) = 0 THEN 0
+         |    ELSE coalesce(ov.overlap, 0) * 1000000 // ta.n_ref END)::BIGINT
+         |    AS recall_ppm,
+         |  (CASE WHEN coalesce(ta.n_ref, 0) + coalesce(tb.n_cand, 0) = 0 THEN 0
+         |    ELSE 2 * coalesce(ov.overlap, 0) * 1000000
+         |      // (coalesce(ta.n_ref, 0) + coalesce(tb.n_cand, 0)) END)::BIGINT
+         |    AS f1_ppm
+         |FROM p LEFT JOIN ta USING (pair_id) LEFT JOIN tb USING (pair_id)
+         |  LEFT JOIN ov USING (pair_id)""".stripMargin),
 
     "ann_lsh" -> annLshSql(),
 

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical evaluation metrics over (reference, candidate) text pairs —
+  * the distributed scoring pass behind summarization/distillation
+  * filtering ("keep generations whose ROUGE against the source exceeds
+  * t") and eval-set regression tracking.
+  *
+  * ROUGE-N (Lin 2004) is clipped n-gram MULTISET overlap: each reference
+  * n-gram matches at most as many times as it occurs in the candidate.
+  * Scores stay exact integers — overlap/total counts plus ppm ratios by
+  * integer division — so results are engine-portable (no floating
+  * accumulation order).
+  *
+  * '''Scale design.''' One row per (pair, distinct n-gram, side) through
+  * a map-side-combined count aggregate, then an equi-join on
+  * `(pair, gram)` and a final per-pair aggregate: every stage keys on
+  * high-entropy composites, no windows, no cross join, candidate×reference
+  * work bounded by per-doc gram counts (never corpus-quadratic — the
+  * pairing is an input, not discovered here; near-dup discovery is
+  * [[Dedup]]'s job).
+  */
+object EvalMetrics {
+
+  /** Score each row's (reference, candidate) pair with ROUGE-N counts:
+    * `(n_ref, n_cand, overlap, precision_ppm, recall_ppm, f1_ppm)` where
+    * `overlap` is the clipped n-gram multiset intersection,
+    * `precision = overlap/n_cand`, `recall = overlap/n_ref`, and
+    * `f1 = 2PR/(P+R)` — all in exact ppm integer arithmetic
+    * (`f1_ppm = 2·overlap·10⁶ div (n_ref + n_cand)`, the algebraic
+    * simplification that avoids chaining two rounded divisions).
+    * Normalization matches the dedup family ([[TextStats.normalizeText]]).
+    * Pairs where either side has no n-gram score 0. */
+  def rougeN(
+      pairs: DataFrame,
+      idCol: String,
+      refCol: String,
+      candCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be at least 1: got $n")
+    // one materialization of the pair frame — three consumers (both gram
+    // legs + the zero-gram-pair id spine); the exactJaccardJoinSets rule
+    val p0 = pairs
+      .select(col(idCol).as("__pid"), col(refCol).as("__ref"),
+        col(candCol).as("__cand"))
+      .repartition(col("__pid"))
+      .localCheckpoint()
+    // true n-gram MULTISET (unlike Dedup.wordNgrams: no distinct, and a
+    // doc with fewer than n tokens has ZERO n-grams, not a padded stub).
+    // Tokens materialize in their own projection first — the shingleDocs
+    // inlining caveat: a token expression referenced inside the per-gram
+    // lambda would re-tokenize once per gram position (the multiple `__tk`
+    // references below block CollapseProject from inlining it).
+    def gramCounts(src: String, cnt: String) =
+      p0.select(col("__pid"),
+          TextStats.tokens(TextStats.normalizeText(col(src))).as("__tk"))
+        .select(col("__pid"),
+          explode(when(size(col("__tk")) >= n,
+            transform(sequence(lit(1), size(col("__tk")) - (n - 1)),
+              i => concat_ws(" ", slice(col("__tk"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("__g"))
+        .groupBy("__pid", "__g").agg(count(lit(1)).as(cnt))
+    // ONE full-outer join on (pair, gram) — both legs arrive
+    // hash-partitioned on exactly these keys from their aggregates, so the
+    // join adds no exchange — then ONE per-pair aggregate folds totals and
+    // the clipped overlap together (three separate aggregates would fork
+    // the gram-leg subtrees and re-pay their shuffles)
+    val merged = gramCounts("__ref", "__ca")
+      .join(gramCounts("__cand", "__cb"), Seq("__pid", "__g"), "full_outer")
+      .groupBy("__pid")
+      .agg(sum(coalesce(col("__ca"), lit(0L))).as("n_ref"),
+        sum(coalesce(col("__cb"), lit(0L))).as("n_cand"),
+        sum(least(coalesce(col("__ca"), lit(0L)),
+          coalesce(col("__cb"), lit(0L)))).as("overlap"))
+    p0.select(col("__pid"))
+      .join(merged, Seq("__pid"), "left")
+      .select(col("__pid").as(idCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision_ppm",
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(expr("(overlap * 1000000) div n_cand")))
+      .withColumn("recall_ppm",
+        when(col("n_ref") === 0, lit(0L))
+          .otherwise(expr("(overlap * 1000000) div n_ref")))
+      .withColumn("f1_ppm",
+        when(col("n_ref") + col("n_cand") === 0, lit(0L))
+          .otherwise(expr("(2 * overlap * 1000000) div (n_ref + n_cand)")))
+  }
+}

@@ -58,6 +58,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("dedup_containment", 9, 0),
     ("dedup_incremental", 3, 0),
     ("dedup_edit", 5, 0),
+    // one full-outer gram join (exchange-free: both legs arrive
+    // partitioned on (pair, gram)) + one per-pair aggregate
+    ("eval_rouge", 4, 0),
     ("graph_link_predict", 5, 0),
     // the one-pass histogram expression: zero exchanges by construction —
     // the whole point vs the explode+groupBy form
