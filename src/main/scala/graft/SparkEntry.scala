@@ -1910,6 +1910,23 @@ object SparkEntry {
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
     }),
 
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: customer order-count distribution — the
+      // canonical left-outer-join + double aggregate. count(o_orderkey)
+      // (not count(*)) keeps zero-order customers as c_count=0; the
+      // order-side predicate applies BEFORE the join (pushdown to the
+      // scan), never as a post-join filter that would turn matched rows
+      // into spurious zero groups
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // three curation stages composed end-to-end — the shape a real
       // pretraining data pipeline chains them in: rule filter → exact
@@ -5247,6 +5264,13 @@ object SparkEntry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2, 3, 4 HAVING sum(l.l_quantity) > 250""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) GROUP BY 1""".stripMargin,
 
     "frequent_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
