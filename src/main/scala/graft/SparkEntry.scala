@@ -667,6 +667,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
 
+    "dedup_edit_apply" -> ((s, dir) => {
+      // edit-distance dedup applied end-to-end: PassJoin pairs → connected
+      // components (edit distance is not transitive; chains of ≤4-edit
+      // steps form the variant family) → keep min-id per cluster
+      graft.llm.Dedup.dropEditDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 4)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "corpus_profile" -> ((s, dir) => {
       // the dataset-datasheet rollup: per (source, lang) — doc count, char
       // and token mass, and Gopher-filter pass count; one map-side-combined
@@ -4375,6 +4385,31 @@ object SparkEntry {
         |  HAVING min(lbl) <> node)
         |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
+
+    // the dedup_apply_cc recursive closure over brute-force levenshtein
+    // pairs — the PassJoin candidates must connect the same clusters
+    "dedup_edit_apply" ->
+      """WITH RECURSIVE nd AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+        |      ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nd a JOIN nd b ON a.doc_id < b.doc_id
+        |  WHERE abs(len(a.t) - len(b.t)) <= 4
+        |    AND levenshtein(a.t, b.t) <= 4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |dropped AS (
+        |  SELECT node AS doc_id FROM r GROUP BY node
+        |  HAVING min(lbl) <> node)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,
 
     // the dedup_apply_cc closure with the keep-policy swapped: per

@@ -1450,4 +1450,23 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Transitive edit-distance dedup APPLY: connect [[editDistancePairs]]
+    * matches into clusters (edit distance is not transitive — a chain of
+    * ≤ d steps can span arbitrary total distance, which is exactly the
+    * variant-family behavior a dedup wants) and keep the minimum-id doc
+    * per cluster. Same keep policy and CC machinery as
+    * [[dropNearDuplicatesTransitive]]. */
+  def dropEditDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 4): DataFrame = {
+    val pairs = editDistancePairs(docs, idCol, textCol, maxDist)
+    val dropped = graft.operators.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

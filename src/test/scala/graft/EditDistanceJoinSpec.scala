@@ -78,6 +78,19 @@ class EditDistanceJoinSpec extends AnyFunSuite {
       assert(run(docs, d) == bruteForce(docs, d), s"diverges at d=$d")
   }
 
+  test("dropEditDuplicates: chains cluster transitively, min id survives") {
+    import spark.implicits._
+    // a→b and b→c are each within d=2, a→c is not (dist 4): one cluster
+    val docs = Seq[(Long, String)](
+      5L -> "abcdefghij",    // dist(5,3)=2
+      3L -> "abcdefghxy",    // dist(3,8)=2
+      8L -> "abcdefwzxy",    // chain end
+      9L -> "unrelated text here")
+    val kept = Dedup.dropEditDuplicates(docs.toDF("id", "txt"), "id", "txt", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 9L))
+  }
+
   test("normalization applies before distance (case/punct collapse to dist 0)") {
     val docs = Seq[(Long, String)](
       10L -> "Hello,   World!", 11L -> "hello world", 12L -> "hello worlds")
