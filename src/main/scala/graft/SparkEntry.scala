@@ -1059,6 +1059,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "eval_ann_recall" -> ((s, dir) => {
+      // the ANN acceptance gate: per-query recall@3 of the IVF index
+      // against exact brute force, in exact ppm integers — the metric that
+      // decides whether nProbe/nCells ship
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      graft.llm.Similarity.recallAtK(
+        graft.llm.Similarity.ivfTopK(
+          q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 3),
+        graft.llm.Similarity.bruteForceTopK(
+          q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 3),
+        k = 3)
+    }),
+
     "ann_ivfpq" -> ((s, dir) => {
       // the production composition: IVF prunes which vectors are scored,
       // PQ codes bound what the scan reads — FAISS's IVFx,PQy shape
@@ -3845,6 +3859,25 @@ object SparkEntry {
     "embed_project" -> embedProjectSql(),
 
     "ann_ivf" -> annIvfSql(),
+
+    // recall@k join of the two validated legs: the IVF pipeline (the
+    // ann_ivf oracle verbatim) against exact brute force, integer ppm
+    "eval_ann_recall" ->
+      s"""WITH ivf AS (${annIvfSql()}),
+         |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 20),
+         |xs AS (SELECT query_id, vec_id AS neighbor_id,
+         |    list_cosine_similarity(qv, v) AS cos
+         |  FROM q2 CROSS JOIN e2 WHERE vec_id <> query_id),
+         |xr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM xs) WHERE rank <= 3),
+         |hits AS (SELECT query_id, count(*)::BIGINT AS n_hits
+         |  FROM ivf JOIN xr USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q2.query_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+         |  (coalesce(hits.n_hits, 0) * 1000000 // 3)::BIGINT AS recall_ppm
+         |FROM q2 LEFT JOIN hits USING (query_id)""".stripMargin,
 
     "ann_ivfpq" -> annIvfPqSql(),
 

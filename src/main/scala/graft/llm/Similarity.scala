@@ -618,4 +618,28 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "rank_ab", "rank_ba")
   }
+
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * THE acceptance metric for every ANN index in this file (tune
+    * nProbe/numTables until recall clears the bar, then ship). Both inputs
+    * are `(query_id, neighbor_id, …)` top-k frames; output is per-query
+    * `(query_id, n_hits, recall_ppm)` with `recall_ppm = n_hits·10⁶ div k`
+    * — exact integers, no floating averages (fleet-wide recall is then a
+    * weighted mean the caller can take exactly).
+    *
+    * Scale: one equi-join on (query, neighbor) + a per-query count; the
+    * exact side at 100 TB comes from a bounded eval SAMPLE of queries (the
+    * industry pattern — recall is estimated on a panel, not the full query
+    * log), which is the caller's slice. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be at least 1: got $k")
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
+  }
 }
