@@ -2131,6 +2131,37 @@ object SparkEntry {
         base, changelog, Seq("doc_id"), Seq("text"))
     }),
 
+    "stream_cdc_apply" -> ((s, dir) => {
+      // the cdc_apply changelog replayed THROUGH the streaming state fold:
+      // per-key last-writer-wins in flatMapGroupsWithState (one
+      // (seq,op,attr) of state per key), serve-side max-seq pick, then the
+      // same one-join apply against the batch base — converges to the
+      // batch cdc_apply result exactly, so it shares that oracle's shape
+      import graft.streaming.StreamOps
+      val docsB = t(s, dir, "documents").select("doc_id", "text")
+      val base = docsB.filter(col("doc_id") % 17 =!= 0)
+      val ds = StreamOps.parquetStream(s, s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      def slice(m: Int, suffix: String, o: String, seqOff: Int) =
+        ds.filter(col("doc_id") % m === 0).select(
+          col("doc_id"), concat(col("text"), lit(suffix)).as("text"),
+          lit(o).as("op"), (col("doc_id") * 10 + seqOff).as("seq"))
+      val changelog = slice(13, " ins", "I", 0)
+        .unionAll(slice(5, " u1", "U", 1))
+        .unionAll(slice(10, " u2", "U", 2))
+        .unionAll(slice(7, "", "D", 3))
+      val mem = StreamOps.runToMemory(s,
+        StreamOps.cdcLastWriterUpdates(changelog, "doc_id", "text"),
+        "graft_stream_cdc", outputMode = "update")
+      val last = graft.operators.GroupedTopK.topKPerGroup(
+        mem, Seq("doc_id"), Seq(col("seq")), 1, "__r", ascending = false)
+        .drop("__r")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text"), col("op"), col("seq"))
+      graft.operators.CdcApply.applyChangelog(
+        base, last, Seq("doc_id"), Seq("text"))
+    }),
+
     "sample_cap_per_group" -> ((s, dir) => {
       // long-tail flattening: at most 15 docs per source, chosen by the
       // portable md5 sampling hash — bounded-state GroupedTopK (≤ k rows
@@ -3136,6 +3167,28 @@ object SparkEntry {
         |FROM c CROSS JOIN b GROUP BY shard_id""".stripMargin),
 
     "cdc_apply" -> (
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |base AS (SELECT doc_id, text FROM docs WHERE doc_id % 17 <> 0),
+        |log AS (
+        |  SELECT doc_id, text || ' ins' AS text, 'I' AS op, doc_id*10 AS seq
+        |    FROM docs WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id, text || ' u1', 'U', doc_id*10+1
+        |    FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text || ' u2', 'U', doc_id*10+2
+        |    FROM docs WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, 'D', doc_id*10+3
+        |    FROM docs WHERE doc_id % 7 = 0),
+        |last AS (SELECT doc_id, text, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+        |  FROM log) WHERE rn = 1)
+        |SELECT coalesce(l.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text
+        |FROM base b FULL JOIN last l ON b.doc_id = l.doc_id
+        |WHERE coalesce(l.op <> 'D', TRUE)""".stripMargin),
+
+    // identical semantics to cdc_apply — the streaming fold must converge
+    // to the batch changelog argmax exactly
+    "stream_cdc_apply" -> (
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |base AS (SELECT doc_id, text FROM docs WHERE doc_id % 17 <> 0),
         |log AS (

@@ -33,7 +33,13 @@ object StreamOps {
     * The stream schema comes from a one-footer batch read — a driver-side
     * metadata probe, not a data scan. The file source requires a directory,
     * so a lone file is exposed through a temp dir holding a symlink. */
-  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+  def eventsStream(spark: SparkSession, path: String): DataFrame =
+    graft.sources.EventTime.withTsNs(parquetStream(spark, path))
+
+  /** File-source stream over any parquet path (schema from a one-footer
+    * batch read — a driver-side metadata probe, not a data scan; lone files
+    * get the symlink-dir treatment the file source requires). */
+  def parquetStream(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
     val dir =
       if (f.isFile) {
@@ -44,8 +50,7 @@ object StreamOps {
         d.toString
       } else path
     val fileSchema = spark.read.parquet(dir).schema
-    graft.sources.EventTime.withTsNs(
-      spark.readStream.schema(fileSchema).parquet(dir))
+    spark.readStream.schema(fileSchema).parquet(dir)
   }
 
   /** Tumbling-window counts per event type (with watermark so the query is
@@ -293,6 +298,56 @@ object StreamOps {
           Iterator((uid, n))
       }
       .toDF("user_id", "n_events")
+  }
+
+  /** Streaming CDC last-writer-wins fold (`flatMapGroupsWithState`, update
+    * mode): per key, keep the highest-`seq` mutation seen so far and emit
+    * it whenever it changes — the live face of
+    * [[graft.operators.CdcApply.applyChangelog]]'s bounded per-key argmax.
+    * The converged state equals the batch argmax over the same changelog
+    * EXACTLY (the fold `max by seq` is commutative/associative, so
+    * micro-batch slicing can't change it); each emission carries the state
+    * seq, so the serve side takes the max-seq row per key (GroupedTopK k=1)
+    * and applies it to a base snapshot with the same one-join apply as the
+    * batch path.
+    *
+    * '''Plan shape (the ∞-time design).''' State is ONE (seq, op, attr)
+    * per key — never the key's history; a key churning 10⁹ versions holds
+    * 3 fields of state and emits at most once per micro-batch. The
+    * changelog contract matches CdcApply: `op ∈ {I, U, D}` and `(key,
+    * seq)` unique — deletes stay IN state (a tombstone must win over a
+    * late lower-seq update; dropping it would resurrect the row).
+    *
+    * Key-type note: the state key is the STRING form of `keyCol` (the
+    * kmvDistinctUpdates canonicalization); serve-side joins against a
+    * non-string base key cast back. */
+  def cdcLastWriterUpdates(
+      changelog: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .filter(col(keyCol).isNotNull && col(seqCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(seqCol).cast("long"),
+        col(opCol).cast("string"), col(attrCol).cast("string"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, String), (String, Long, String, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, String, String)],
+         state: GroupState[(Long, String, String)]) =>
+          val best = (state.getOption.iterator ++
+            rows.map(r => (r._2, r._3, r._4))).maxBy(_._1)
+          if (!state.getOption.contains(best)) {
+            state.update(best)
+            Iterator((key, best._1, best._2, best._3))
+          } else Iterator.empty
+      }
+      .toDF(keyCol, seqCol, opCol, attrCol)
   }
 
   /** Streaming KMV distinct-count sketch per group (`flatMapGroupsWithState`

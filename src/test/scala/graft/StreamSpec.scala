@@ -293,6 +293,47 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming CDC fold converges to the batch argmax across micro-batch slices") {
+    import spark.implicits._
+    // out-of-order delivery across three micro-batches: the tombstone for
+    // key 1 lands in batch 1, its lower-seq update in batch 3 — the state
+    // must NOT resurrect the row; key 2's updates arrive ascending, key 3
+    // descending
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    dir.toFile.deleteOnExit()
+    val batches = Seq(
+      Seq((1L, "a v1", "U", 11L), (2L, "b v1", "U", 21L)),
+      Seq((1L, "", "D", 13L), (3L, "c v2", "U", 32L)),
+      Seq((1L, "a v0", "U", 12L), (2L, "b v2", "U", 22L), (3L, "c v1", "U", 31L)))
+    batches.foreach { chunk =>
+      chunk.toDF("doc_id", "text", "op", "seq").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, op STRING, seq BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.cdcLastWriterUpdates(stream, "doc_id", "text"),
+      "t_stream_cdc", outputMode = "update")
+    // a superseded arrival emits nothing: key 1's late low-seq update
+    // (after its tombstone) and key 3's descending second row must both be
+    // swallowed by the state — 5 emissions for 7 changelog rows
+    val nUpd = updates.groupBy("doc_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nUpd == Map("1" -> 2L, "2" -> 2L, "3" -> 1L))
+    val last = graft.operators.GroupedTopK.topKPerGroup(
+      updates, Seq("doc_id"), Seq(col("seq")), 1, "__r", ascending = false)
+      .drop("__r")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("op"), col("seq"))
+    val base = Seq((4L, "base row")).toDF("doc_id", "text")
+    val applied = graft.operators.CdcApply.applyChangelog(
+      base, last, Seq("doc_id"), Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied == Map(2L -> "b v2", 3L -> "c v2", 4L -> "base row"))
+  }
+
   test("streaming KMV skips NULL values exactly like the batch sketch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv_null_")
