@@ -444,6 +444,15 @@ object SparkEntry {
         "doc_id", "source", Seq("src0", "src1", "src2", "src3"), salt = ":7")
     }),
 
+    "embed_gram" -> ((s, dir) => {
+      // covariance/whitening audit input: the d×d quantized Gram matrix
+      // in ONE bounded-state aggregate pass (16 KB of state per
+      // partition), never the d²-fold posexplode shuffle; per-row floor
+      // quantization keeps the sum order-independent → exact integers
+      graft.llm.Quantize.gramMatrix(
+        t(s, dir, "embeddings"), "embedding", dim = 64)
+    }),
+
     "embed_drift" -> ((s, dir) => {
       // integer-exact embedding drift monitor: even vs odd vec_ids play
       // two corpus snapshots; per label, fixed-point per-dimension mean
@@ -3819,6 +3828,16 @@ object SparkEntry {
     // replays quantizeInt8 per vector, then the fixed-point mean drift:
     // ((Σcode + 127·n)·1e6) // n with a non-negative numerator, so
     // DuckDB's flooring // equals Spark's truncating div exactly
+    // d²-fold lateral expansion ground truth for the one-pass aggregate —
+    // same float→double widening, same per-row floor(v_i·v_j·2²⁴)
+    "embed_gram" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT i::INT AS i, j::INT AS j,
+        |  sum(CAST(floor(v[i] * v[j] * 16777216.0) AS BIGINT))::BIGINT AS qsum,
+        |  count(*)::BIGINT AS n
+        |FROM e, range(1, 65) r1(i), range(1, 65) r2(j)
+        |WHERE j >= i GROUP BY i, j""".stripMargin,
+
     "embed_drift" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings),

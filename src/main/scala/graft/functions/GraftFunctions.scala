@@ -32,6 +32,7 @@ object GraftFunctions {
     "sorted_jaccard" -> two("sorted_jaccard")(SortedJaccard(_, _)),
     "sorted_intersect" -> two("sorted_intersect")(SortedIntersect(_, _)),
     "vector_dot" -> two("vector_dot")(VectorDot(_, _)),
+    "char_hist_stats" -> one("char_hist_stats")(CharHistStats(_)),
     // aggregate: kmv_kmins(hash, k) — k must be an integer literal (it
     // sizes the aggregation buffer, so it cannot be row-dependent); the
     // analyzer wraps the returned AggregateFunction like any built-in agg

@@ -136,4 +136,18 @@ object Quantize {
         sum("__d").cast("long").as("drift_l1"),
         max("__d").cast("long").as("drift_max"))
   }
+
+  /** Quantized Gram/second-moment matrix of the embedding corpus:
+    * `(i, j, qsum, n)` rows over the 1-based upper triangle, where
+    * `qsum = Σ floor(v_i·v_j·2²⁴)` — the covariance/whitening/PCA audit
+    * input, computed by [[graft.functions.GramMatrixAgg]] in one
+    * bounded-state pass (never a d²-fold row explode; see its scaladoc).
+    * `n` counts the non-null vectors that entered the sum. */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.select(col(vecCol).cast("array<double>").as("__v"))
+      .agg(graft.functions.GramMatrixAgg.gramMatrix(col("__v"), dim).as("__g"),
+        count(col("__v")).as("n"))
+      .select(explode(col("__g")).as("__e"), col("n"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"),
+        col("__e.qsum").as("qsum"), col("n"))
 }

@@ -365,12 +365,14 @@ class LlmSpec extends AnyFunSuite {
       """SELECT sorted_jaccard(array('a','b'), array('b','c')) AS j,
         |       sorted_intersect(array('a','b'), array('b','c')) AS i,
         |       vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
-        |       nfc_normalize('café') AS n""".stripMargin)
+        |       nfc_normalize('café') AS n,
+        |       char_hist_stats('aabbb') AS h""".stripMargin)
       .head()
     assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-15)
     assert(r.getInt(1) == 1)
     assert(r.getDouble(2) == 11.0)
     assert(r.getString(3) == "café")
+    assert(r.getSeq[Long](4) == Seq(5L, 2L, 8L))
   }
 
   test("kmv_kmins aggregate is callable from SQL and k must be a literal") {

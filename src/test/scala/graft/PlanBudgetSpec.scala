@@ -64,7 +64,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("graph_link_predict", 5, 0),
     // the one-pass histogram expression: zero exchanges by construction —
     // the whole point vs the explode+groupBy form
-    ("char_diversity", 0, 0))
+    ("char_diversity", 0, 0),
+    // one bounded-state aggregate (partial + final around a single
+    // exchange) — the whole point vs the d²-fold posexplode shuffle
+    ("embed_gram", 1, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
