@@ -409,6 +409,33 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", k = 16)
     }),
 
+    "approx_distinct_hll" -> ((s, dir) => {
+      // HLL register sketch per event type: distinct users from 64
+      // one-byte registers (vs KMV's 16 longs) — the mergeable default
+      // for streaming distinct counts; integer-exact estimator, raw HLL
+      // branch only (see HllOps scaladoc)
+      graft.sketch.HllOps.hllEstimate(
+        events(s, dir), Seq("event_type"), "user_id", p = 6)
+    }),
+
+    "events_trend" -> ((s, dir) => {
+      // per-type metric drift: exact fixed-point OLS slope of the value
+      // (micro-units) over event time (seconds since 2024-01-01) — one
+      // map-side-combined groupBy, no sort, no regression library
+      graft.operators.Trend.groupedTrend(
+        events(s, dir), Seq("event_type"),
+        x = expr("ts_ns div 1000000000 - 1704067200"),
+        y = expr("cast(floor(value * 1000000.0) as long)"))
+    }),
+
+    "length_ks" -> ((s, dir) => {
+      // cross-source distribution-shift audit: pairwise two-sample KS
+      // distance over document lengths in exact integer ppm — flags a
+      // source whose length distribution drifted before quality scores do
+      graft.operators.RobustStats.ksPairwise(
+        t(s, dir, "documents"), "source", "n_chars")
+    }),
+
     "quality_pct_rank" -> ((s, dir) => {
       // cross-source score calibration: raw scores aren't comparable
       // across sources, their in-source percentiles are — tag each doc
@@ -3745,6 +3772,68 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // same 48-bit md5-prefix hash as the KMV replay; bucket = top 6 bits,
+    // register = leading-zero rank of the low 42 via length(bin(x)) —
+    // minimal binary rendering, identical in both engines; estimator all
+    // in HUGEINT with floor // on a positive denominator
+    "approx_distinct_hll" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
+        |  FROM h),
+        |m AS (SELECT event_type, bucket, max(reg) AS reg
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS used_buckets,
+        |    sum(1::BIGINT << (43 - reg))::BIGINT AS present_q
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, 64::BIGINT AS m, used_buckets,
+        |  (64 - used_buckets)::BIGINT AS zero_buckets,
+        |  (present_q + (64 - used_buckets) * 8796093022208)::BIGINT AS denom_q,
+        |  ((709::HUGEINT * 64 * 64 * 8796093022208) //
+        |    (1000::HUGEINT * (present_q + (64 - used_buckets) * 8796093022208))
+        |  )::BIGINT AS est_distinct
+        |FROM a""".stripMargin,
+
+    // exact rational OLS slope replay: int64 per-row products, HUGEINT
+    // sums, truncation-toward-zero via sign × floor-// on |num|
+    "events_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+        |    )::BIGINT END AS slope_ppm
+        |FROM a""".stripMargin,
+
+    // pairwise KS replay: per-(source, value) counts, ECDF on the
+    // source × distinct-value grid, max |cumA·nB − cumB·nA| in HUGEINT
+    "length_ks" ->
+      """WITH c AS (SELECT source AS g, n_chars AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT g, v FROM (SELECT DISTINCT g FROM c),
+        |    (SELECT DISTINCT v FROM c)),
+        |cum AS (SELECT grid.g, grid.v,
+        |    sum(coalesce(c.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM grid LEFT JOIN c ON grid.g = c.g AND grid.v = c.v),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM c GROUP BY 1)
+        |SELECT a.g AS src_a, b.g AS src_b, ta.n AS n_a, tb.n AS n_b,
+        |  ((max(abs(a.cum::HUGEINT * tb.n - b.cum::HUGEINT * ta.n)) * 1000000)
+        |    // (ta.n::HUGEINT * tb.n))::BIGINT AS ks_ppm
+        |FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+        |JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // the streaming sketch's converged state must equal the batch KMV
     // sketch exactly (same hashes, same k-min set, same integer estimator)

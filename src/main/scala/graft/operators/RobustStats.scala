@@ -146,4 +146,63 @@ object RobustStats {
       .select(col("digit"), col("n"), col("observed_ppm"), col("benford_ppm"),
         abs(col("observed_ppm") - col("benford_ppm")).as("dev_ppm"))
   }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between every pair of
+    * groups over an integral value column, in exact integer ppm — the
+    * distribution-shift screen ("did src7's length distribution drift away
+    * from the rest?") that mean/stddev comparisons miss entirely.
+    *
+    * `D = max_v |F_a(v) − F_b(v)|` evaluated at every distinct value, as
+    * the exact rational `max |cumA·n_b − cumB·n_a| / (n_a·n_b)`, reported
+    * `ks_ppm = (max_num · 10⁶) div (n_a·n_b)` — all cross-terms in
+    * decimal(38,0) (`cum·n` overflows int64 past ~3·10⁹ rows per side).
+    *
+    * '''Plan shape (100 TB).''' ONE `groupBy (group, value)` count pass
+    * over the corpus — the only stage that scales with the data, and it
+    * appears exactly once in the lineage (the naive self-join formulation
+    * computes the corpus aggregate once per ECDF leg). ECDFs live on the
+    * `#groups × #distinct-values` grid (domain-bounded, NOT
+    * corpus-bounded: document lengths, scores, durations have bounded
+    * domains), built by cross-joining the broadcast group list with the
+    * distinct values; the cumulative count AND the group total ride the
+    * same window pass partitioned BY GROUP — each window partition is one
+    * ECDF of domain-size rows, never a single global sort. Pairs come
+    * from a per-value `collect_list` + double explode (`#groups²` rows
+    * per value, all grid-sized), not a self-join — no second lineage.
+    * `#groups` must be small (sources, shards — it's a pairwise audit;
+    * p groups emit p(p−1)/2 rows).
+    */
+  def ksPairwise(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val groups = counts.select("__g").distinct()
+    val values = counts.select("__v").distinct()
+    // grid fill: every group needs a cum value AT every distinct value of
+    // any group, else the max-gap scan misses steps the other side took
+    val W = org.apache.spark.sql.expressions.Window
+    val wg = W.partitionBy("__g").orderBy("__v")
+    val cum = values.crossJoin(broadcast(groups))
+      .join(counts, Seq("__g", "__v"), "left")
+      .withColumn("__cum", sum(coalesce(col("__c"), lit(0L)))
+        .over(wg.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("__n", sum(coalesce(col("__c"), lit(0L)))
+        .over(wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    cum.groupBy("__v")
+      .agg(collect_list(struct(col("__g"), col("__cum"), col("__n"))).as("__gs"))
+      .select(explode(col("__gs")).as("__a"), col("__gs"))
+      .select(col("__a"), explode(col("__gs")).as("__b"))
+      .filter(col("__a.__g") < col("__b.__g"))
+      .groupBy(col("__a.__g").as("src_a"), col("__b.__g").as("src_b"))
+      .agg(first(col("__a.__n")).as("n_a"), first(col("__b.__n")).as("n_b"),
+        max(abs(expr("cast(__a.__cum as decimal(38,0)) * __b.__n") -
+          expr("cast(__b.__cum as decimal(38,0)) * __a.__n"))).as("__maxnum"))
+      .withColumn("ks_ppm", expr(
+        "(__maxnum * 1000000) div (cast(n_a as decimal(38,0)) * n_b)"))
+      .select("src_a", "src_b", "n_a", "n_b", "ks_ppm")
+  }
 }

@@ -67,7 +67,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("char_diversity", 0, 0),
     // one bounded-state aggregate (partial + final around a single
     // exchange) — the whole point vs the d²-fold posexplode shuffle
-    ("embed_gram", 1, 0))
+    ("embed_gram", 1, 0),
+    // one map-side-combined groupBy of five decimal sums — no sort, no
+    // window, no second pass
+    ("events_trend", 1, 0),
+    // register build (group,bucket) + estimate fold (group)
+    ("approx_distinct_hll", 2, 0),
+    // one corpus-scale count pass; everything after runs on the
+    // #groups × #values domain grid (both windows share one grid sort)
+    ("length_ks", 8, 2))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RobustStats, Trend}
+import graft.sketch.HllOps
+
+class TrendKsHllSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("groupedTrend: exact slopes, truncation toward zero, zero-variance NULL") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: y = 2x exactly → slope_ppm = 2_000_000
+      ("g1", 0L, 0L), ("g1", 1L, 2L), ("g1", 2L, 4L),
+      // g2: y = 4−2x → −2_000_000 (negative truncation path)
+      ("g2", 0L, 4L), ("g2", 1L, 2L), ("g2", 2L, 0L),
+      // g3: (0,0),(1,0),(2,1): num=3, den=6 → 500_000 (non-integer slope)
+      ("g3", 0L, 0L), ("g3", 1L, 0L), ("g3", 2L, 1L),
+      // g4: all x equal → zero variance → NULL
+      ("g4", 5L, 1L), ("g4", 5L, 9L)
+    ).toDF("g", "x", "y")
+    val got = Trend.groupedTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got("g1") == ((3L, Some(2000000L))))
+    assert(got("g2") == ((3L, Some(-2000000L))))
+    assert(got("g3") == ((3L, Some(500000L))))
+    assert(got("g4") == ((2L, None)))
+  }
+
+  test("groupedTrend is partitioning-invariant (decimal sums commute)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      ("g" + (i % 3), rnd.nextInt(1000000).toLong, rnd.nextInt(2000000).toLong - 1000000L))
+    val a = Trend.groupedTrend(rows.toDF("g", "x", "y").repartition(1),
+      Seq("g"), col("x"), col("y")).collect().map(_.toSeq).toSet
+    val b = Trend.groupedTrend(rows.toDF("g", "x", "y").repartition(13),
+      Seq("g"), col("x"), col("y")).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("ksPairwise: hand case D=1/4, disjoint supports D=1, symmetric pairs once") {
+    import spark.implicits._
+    val df = (Seq.fill(1)(("a", 1L)) ++ Seq(("a", 2L), ("a", 3L), ("a", 4L)) ++
+      Seq(("b", 2L), ("b", 4L)) ++ Seq(("c", 9L), ("c", 10L))).toDF("src", "v")
+    val got = RobustStats.ksPairwise(df, "src", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a=[1,2,3,4] vs b=[2,4]: max gap at v=1 or 3: |1·2−0·4|=2 → 2e6/8
+    assert(got(("a", "b")) == ((4L, 2L, 250000L)))
+    // c's support is disjoint and above both → D = 1
+    assert(got(("a", "c")) == ((4L, 2L, 1000000L)))
+    assert(got(("b", "c")) == ((2L, 2L, 1000000L)))
+    assert(got.size == 3) // each unordered pair exactly once
+  }
+
+  test("ksPairwise: identical distributions → 0 ppm") {
+    import spark.implicits._
+    val df = (1 to 50).flatMap(i => Seq(("p", i.toLong), ("q", i.toLong)))
+      .toDF("src", "v")
+    val got = RobustStats.ksPairwise(df, "src", "v").collect()
+    assert(got.length == 1 && got.head.getLong(4) == 0L)
+  }
+
+  test("hllRegisters matches a driver-side md5 replay; estimate is sane and invariant") {
+    import spark.implicits._
+    val values = (1 to 500).map(_.toString)
+    // driver-side replay of the exact register rule
+    def h48(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 12), 16)
+    }
+    val want = values.map(h48).groupBy(_ >> 42).map { case (b, hs) =>
+      b -> hs.map { h =>
+        val sfx = h & ((1L << 42) - 1)
+        if (sfx == 0) 43L else 43L - java.lang.Long.toBinaryString(sfx).length
+      }.max
+    }
+    for (parts <- Seq(1, 11)) {
+      val df = values.map(v => ("g", v)).toDF("g", "v").repartition(parts)
+      val got = HllOps.hllRegisters(df, Seq("g"), "v", p = 6)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == want, s"register divergence at $parts partitions")
+    }
+    val est = HllOps.hllEstimate(values.map(v => ("g", v)).toDF("g", "v"),
+      Seq("g"), "v", p = 6).select("est_distinct").head().getLong(0)
+    // m=64 raw HLL: ~13% relative error envelope; 3σ bound
+    assert(est > 250 && est < 1000, s"estimate $est implausible for 500 distinct")
+  }
+
+  test("hllEstimate: duplicates don't move the registers") {
+    import spark.implicits._
+    val once = (1 to 200).map(i => ("g", i.toString))
+    val thrice = once ++ once ++ once
+    val a = HllOps.hllEstimate(once.toDF("g", "v"), Seq("g"), "v", 6)
+      .select("denom_q", "est_distinct").head()
+    val b = HllOps.hllEstimate(thrice.toDF("g", "v"), Seq("g"), "v", 6)
+      .select("denom_q", "est_distinct").head()
+    assert(a == b)
+  }
+}
