@@ -1559,6 +1559,25 @@ object SparkEntry {
           col("__f.est_distinct").as("est_distinct"))
     }),
 
+    "stream_trend" -> ((s, dir) => {
+      // streaming OLS drift monitor (update mode, five power sums of
+      // state per group — never the points): the converged slope equals
+      // batch events_trend bit-for-bit, so the same exact-rational replay
+      // gates it; serve side takes each group's last update (max seq)
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.trendUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type",
+          x = expr("ts_ns div 1000000000 - 1704067200"),
+          y = expr("cast(floor(value * 1000000.0) as long)")),
+        "graft_stream_trend", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("n"), col("slope_ppm"))).as("__f"))
+        .select(col("event_type"), col("__f.n").as("n"),
+          col("__f.slope_ppm").as("slope_ppm"))
+    }),
+
     "stream_sessions" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
@@ -3801,6 +3820,24 @@ object SparkEntry {
     // exact rational OLS slope replay: int64 per-row products, HUGEINT
     // sums, truncation-toward-zero via sign × floor-// on |num|
     "events_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+        |    )::BIGINT END AS slope_ppm
+        |FROM a""".stripMargin,
+
+    // the streaming fold's converged state must equal the batch trend
+    // exactly (same power sums, same truncating rational) — replay verbatim
+    "stream_trend" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 - 1704067200 AS x,
         |    CAST(floor(value * 1000000.0) AS BIGINT) AS y

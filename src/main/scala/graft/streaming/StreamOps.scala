@@ -415,6 +415,63 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "n_sample", "kth_hash", "est_distinct")
   }
 
+  /** Streaming per-group OLS trend (update mode): the live "is this metric
+    * creeping" monitor. State per group is the five classic power sums
+    * `(n, Σx, Σy, Σxy, Σx²)` — constant-size, mergeable, never the points —
+    * held as decimal strings so the arithmetic is EXACT 128-bit+ integer
+    * math (int64 overflows `Σxy` within ~10⁴ rows at second×micro-unit
+    * scale; the batch [[graft.operators.Trend]] uses decimal(38,0) for the
+    * same reason). Each update emits the slope over everything seen so
+    * far: `slope_ppm = sign·(|n·Σxy − ΣxΣy|·10⁶ div (n·Σx² − Σx²))`,
+    * truncation toward zero — the converged (last-update) row equals the
+    * batch operator bit-for-bit, which is how the oracle gates it.
+    *
+    * Caller supplies integral `x`/`y` columns (same exactness contract as
+    * the batch operator: rebased epoch seconds, micro-quantized metric).
+    * NULL x or y rows are skipped, matching the batch filter. */
+  def trendUpdates(
+      stream: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val pts = stream
+      .select(col(groupCol).cast("string").as("g"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, String, String, String, String),
+        (String, Long, Long, Option[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Long, String, String, String, String)]) =>
+          val (seq, n0, sx0, sy0, sxy0, sxx0) = state.getOption
+            .getOrElse((0L, 0L, "0", "0", "0", "0"))
+          var n = n0
+          var sx = BigInt(sx0); var sy = BigInt(sy0)
+          var sxy = BigInt(sxy0); var sxx = BigInt(sxx0)
+          rows.foreach { case (_, xv, yv) =>
+            n += 1
+            val xb = BigInt(xv)
+            sx += xb; sy += BigInt(yv)
+            sxy += xb * yv; sxx += xb * xv
+          }
+          state.update((seq + 1, n, sx.toString, sy.toString,
+            sxy.toString, sxx.toString))
+          val num = BigInt(n) * sxy - sx * sy
+          val den = BigInt(n) * sxx - sx * sx
+          // BigInt `/` truncates toward zero on the non-negative |num|,
+          // matching the batch decimal `div` and the oracle's floor-`//`
+          val slope =
+            if (den == 0) None
+            else Some((num.signum * (num.abs * 1000000 / den)).toLong)
+          Iterator((grp, seq + 1, n, slope))
+      }
+      .toDF(groupCol, "update_seq", "n", "slope_ppm")
+  }
+
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */

@@ -293,6 +293,52 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming trend fold converges to the batch OLS slope across micro-batch slices") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(13)
+    // x, y big enough that Σxy overflows int64 within a group if the fold
+    // ever dropped to long arithmetic (3e6 · 5e8 · 100 rows ≈ 1.5e17·100)
+    val data = (1L to 300L).map(i =>
+      (s"g${i % 3}", rnd.nextInt(3000000).toLong,
+        rnd.nextInt(1000000000).toLong - 500000000L))
+    data.grouped(100).foreach { chunk =>
+      chunk.toDF("g", "x", "y").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, x BIGINT, y BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.trendUpdates(stream, "g", col("x"), col("y")),
+      "t_stream_trend", outputMode = "update")
+    // multiple updates per group proves the slicing actually happened
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("n"), col("slope_ppm"))).as("__f"))
+      .select(col("g"), col("__f.n").as("n"), col("__f.slope_ppm").as("slope_ppm"))
+    val batch = graft.operators.Trend.groupedTrend(
+      spark.read.parquet(dir.toString), Seq("g"), col("x"), col("y"))
+    fin.ensureDatasetEquals(batch)
+  }
+
+  test("streaming trend: zero x-variance group reports NULL, not 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trendnull_")
+    dir.toFile.deleteOnExit()
+    Seq(("flat", 7L, 1L), ("flat", 7L, 9L)).toDF("g", "x", "y")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema("g STRING, x BIGINT, y BIGINT").parquet(dir.toString)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.trendUpdates(stream, "g", col("x"), col("y")),
+      "t_stream_trendnull", outputMode = "update")
+    val r = got.orderBy(col("update_seq").desc).head()
+    assert(r.getLong(2) == 2L && r.isNullAt(3))
+  }
+
   test("streaming CDC fold converges to the batch argmax across micro-batch slices") {
     import spark.implicits._
     // out-of-order delivery across three micro-batches: the tombstone for
