@@ -1021,6 +1021,17 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
+    "model_auc" -> ((s, dir) => {
+      // threshold-free classifier acceptance: one-vs-rest AUC per label of
+      // the JL p0 sketch score, exact rank-sum in integer ppm — global
+      // rank via range-partitioned GroupedRank, no single-task sort
+      val scored = graft.llm.Quantize.signProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 1,
+        dim = 64, keepCols = Seq("label"))
+        .select(col("vec_id"), col("label"), col("p0").as("score"))
+      graft.llm.EvalMetrics.aucByLabel(scored, "label", "score", "vec_id")
+    }),
+
     "batch_by_length" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens",
@@ -2536,6 +2547,37 @@ object SparkEntry {
     * ±1 [[graft.llm.Quantize.signMatrix]] the Spark expression embeds —
     * both sides are literals from one Scala generator, and the sums are
     * integer, so any summation order agrees. */
+  /** Generated oracle for `model_auc`: the p0 sketch score from the SAME
+    * [[graft.llm.Quantize.signMatrix]] row 0 the Spark expression embeds,
+    * then the tie-broken Mann–Whitney rank-sum in HUGEINT — row_number
+    * over `(score, vec_id)` is the identical injective permutation. */
+  private def modelAucSql(dim: Int = 64, seed: Long = 42L): String = {
+    val signs = graft.llm.Quantize.signMatrix(1, dim, seed)
+    val terms = (0 until dim).map { i =>
+      s"${if (signs(0)(i) > 0) "+" else "-"} codes[${i + 1}]"
+    }.mkString(" ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, label, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |q AS (SELECT vec_id, label,
+       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
+       |      END AS codes FROM m),
+       |s AS (SELECT vec_id, label, (0 $terms)::BIGINT AS score FROM q),
+       |r AS (SELECT label,
+       |    row_number() OVER (ORDER BY score, vec_id) AS r FROM s),
+       |p AS (SELECT label, count(*)::BIGINT AS n_pos,
+       |    sum(r)::HUGEINT AS rpos FROM r GROUP BY 1),
+       |t AS (SELECT sum(n_pos)::BIGINT AS n FROM p)
+       |SELECT p.label, p.n_pos, (t.n - p.n_pos)::BIGINT AS n_neg,
+       |  CASE WHEN t.n - p.n_pos = 0 THEN NULL
+       |    ELSE (((2 * rpos - n_pos::HUGEINT * (n_pos + 1)) * 1000000) //
+       |      (2 * n_pos::HUGEINT * (t.n - p.n_pos)))::BIGINT
+       |  END AS auc_ppm
+       |FROM p, t""".stripMargin
+  }
+
   private def embedProjectSql(outDim: Int = 8, dim: Int = 64,
       seed: Long = 42L): String = {
     val signs = graft.llm.Quantize.signMatrix(outDim, dim, seed)
@@ -4055,6 +4097,7 @@ object SparkEntry {
         |WHERE rn <= quota""".stripMargin,
 
     "embed_project" -> embedProjectSql(),
+    "model_auc" -> modelAucSql(),
 
     "ann_ivf" -> annIvfSql(),
 

@@ -90,4 +90,45 @@ object EvalMetrics {
         when(col("n_ref") + col("n_cand") === 0, lit(0L))
           .otherwise(expr("(2 * overlap * 1000000) div (n_ref + n_cand)")))
   }
+
+  /** One-vs-rest AUC per label in exact integer ppm — the
+    * Mann–Whitney/rank-sum form: `AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)`
+    * where `R₊` sums the global ranks of the label's rows under
+    * `(scoreCol, idCol)` ordering. The classifier-quality acceptance
+    * metric for quality/safety scorers — threshold-free, unlike the
+    * calibration audit's fixed bins.
+    *
+    * '''Tie contract.''' Ranks are made injective by the `idCol`
+    * tie-break, so this is the deterministic tie-broken AUC (both engines
+    * replay the identical permutation), not the average-rank mid-AUC —
+    * for fine-grained integer scores the two differ only on exact score
+    * collisions. Everything stays integral: `2·R₊ − n₊(n₊+1)` is even
+    * ×10⁶ over `2·n₊·n₋`, all in decimal(38,0) (`R₊` is O(N²)).
+    *
+    * '''Plan shape (100 TB).''' The global rank is
+    * [[graft.operators.GroupedRank]] with EMPTY groups — range-partitioned,
+    * no single-task sort — then one #labels-grain aggregate and a 1-row
+    * broadcast total. Labels with an empty rest-class report NULL. */
+  def aucByLabel(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      idCol: String): DataFrame = {
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      df.select(col(labelCol), col(scoreCol), col(idCol))
+        .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull),
+      Seq.empty, Seq(col(scoreCol), col(idCol)), "__graft_r")
+    val per = ranked.groupBy(labelCol)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("__graft_r").cast("decimal(38,0)")).as("__rpos"))
+    val total = per.agg(sum("n_pos").as("__n"))
+    per.crossJoin(broadcast(total))
+      .withColumn("n_neg", col("__n") - col("n_pos"))
+      .withColumn("auc_ppm",
+        when(col("n_neg") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "((2 * __rpos - cast(n_pos as decimal(38,0)) * (n_pos + 1)) " +
+              "* 1000000) div (2 * cast(n_pos as decimal(38,0)) * n_neg)")))
+      .select(col(labelCol), col("n_pos"), col("n_neg"), col("auc_ppm"))
+  }
 }

@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   * Shuffle-free narrow map; codegen'd higher-order functions only. */
 object Quantize {
 
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(v, x => abs(x)))
     val codes = when(mx === 0.0,
         transform(v, _ => lit(0L)))
       .otherwise(transform(v, x => floor(x / mx * 127.0)))
-    df.select(col(idCol), codes.as("codes"), mx.as("scale"))
+    df.select(col(idCol) +: keepCols.map(col) :+ codes.as("codes")
+      :+ mx.as("scale"): _*)
   }
 
   /** Approximate reconstruction from [[quantizeInt8]] output. */
@@ -63,9 +65,10 @@ object Quantize {
     * vectors, codegen'd adds of `element_at` terms. */
   def signProject(
       df: DataFrame, idCol: String, vecCol: String,
-      outDim: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      outDim: Int = 8, dim: Int = 64, seed: Long = 42L,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val signs = signMatrix(outDim, dim, seed)
-    val q0 = quantizeInt8(df, idCol, vecCol)
+    val q0 = quantizeInt8(df, idCol, vecCol, keepCols)
     // a vector shorter than `dim` would make element_at return NULL under
     // non-ANSI SQL and every projection silently all-NULL — fail loudly on
     // the first mismatched row instead
@@ -81,7 +84,7 @@ object Quantize {
         if (signs(j)(i) > 0) term else -term
       }.reduce(_ + _).as(s"p$j")
     }
-    q.select(col(idCol) +: projections: _*)
+    q.select(col(idCol) +: keepCols.map(col) :++ projections: _*)
   }
 
   private def groupDimSums(

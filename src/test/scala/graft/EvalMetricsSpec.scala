@@ -56,4 +56,36 @@ class EvalMetricsSpec extends AnyFunSuite {
     // ref {a:2, b:1}, cand {a:1, c:2} → overlap 1; P=1/3, R=1/3
     assert(got(1L) == Seq(3L, 3L, 1L, 333333L, 333333L, 333333L))
   }
+
+  private def auc(rows: Seq[(Int, Long, Long)]): Map[Int, (Long, Long, Option[Long])] = {
+    import spark.implicits._
+    EvalMetrics.aucByLabel(rows.toDF("label", "score", "id"),
+      "label", "score", "id")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+  }
+
+  test("aucByLabel: perfect separation → 1e6, chance interleave → 500000") {
+    // label 1 strictly above label 0 → AUC(1)=1e6, AUC(0)=0
+    val sep = auc(Seq((0, 1L, 1L), (0, 2L, 2L), (1, 9L, 3L), (1, 10L, 4L)))
+    assert(sep(1) == ((2L, 2L, Some(1000000L))))
+    assert(sep(0) == ((2L, 2L, Some(0L))))
+    // pos {3} vs neg {1,5}: ranks 1,2,3; R+=2 → (4−2)e6/(2·1·2)=500000
+    val mid = auc(Seq((0, 1L, 1L), (1, 3L, 2L), (0, 5L, 3L)))
+    assert(mid(1) == ((1L, 2L, Some(500000L))))
+  }
+
+  test("aucByLabel: single-label input reports NULL (empty rest class)") {
+    val got = auc(Seq((7, 1L, 1L), (7, 2L, 2L)))
+    assert(got(7) == ((2L, 0L, None)))
+  }
+
+  test("aucByLabel: score ties broken by id, deterministically") {
+    // all scores equal → permutation is id order: ranks 1..4
+    // label 1 holds ids 3,4 → R+=7 → (14−6)e6/8 = 1e6 × … = 1000000
+    val got = auc(Seq((0, 5L, 1L), (0, 5L, 2L), (1, 5L, 3L), (1, 5L, 4L)))
+    assert(got(1) == ((2L, 2L, Some(1000000L))))
+    assert(got(0) == ((2L, 2L, Some(0L))))
+  }
 }

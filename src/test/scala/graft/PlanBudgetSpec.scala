@@ -75,7 +75,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("approx_distinct_hll", 2, 0),
     // one corpus-scale count pass; everything after runs on the
     // #groups × #values domain grid (both windows share one grid sort)
-    ("length_ks", 8, 2))
+    ("length_ks", 8, 2),
+    // GroupedRank global rank (range exchange shared by counts+join) +
+    // #labels-grain fold; both windows are GroupedRank-internal
+    // (partition-bounded local rank, #partitions-grain offsets)
+    ("model_auc", 14, 2))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
