@@ -1512,6 +1512,23 @@ object SparkEntry {
           max("value").as("max_v"))
     }),
 
+    "events_ohlc" -> ((s, dir) => {
+      // per (type, day) open-high-low-close: first/last BY TIME as plain
+      // min/max over an injective (ts_ns, event_id, value) struct — a
+      // bounded-state map-side-combined aggregate, never a per-key window
+      // sort (the events_top_user_event window form co-locates each key;
+      // this shape survives a key holding the whole corpus)
+      events(s, dir)
+        .withColumn("day", expr("ts_ns DIV 86400000000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts_ns"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("ts_ns"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          min("value").as("lo"), max("value").as("hi"))
+    }),
+
     "events_top_user_event" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
@@ -4098,6 +4115,18 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // argmax-as-aggregate replay: min/max over the same injective
+    // (ts_ns, event_id, value) struct; field order decides, value rides
+    "events_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    epoch_ns(ts) AS tns, event_id, value FROM events)
+        |SELECT event_type, day, count(*)::BIGINT AS n,
+        |  (min(struct_pack(t := tns, e := event_id, v := value))).v AS open,
+        |  (max(struct_pack(t := tns, e := event_id, v := value))).v AS close,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "ann_ivf" -> annIvfSql(),
 
