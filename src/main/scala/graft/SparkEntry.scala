@@ -1021,6 +1021,23 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
+    "canary_scan" -> ((s, dir) => {
+      // memorization-canary / blocklist sweep: K exact substrings found in
+      // ONE codegen'd Aho–Corasick pass over the corpus (vs K contains
+      // scans or a K-row explode join); the pattern set is a KB-scale
+      // model parameter, collected like the BPE merge table
+      val docs = t(s, dir, "documents")
+      val pats = docs
+        .filter(col("doc_id") <= 10 && length(col("text")) >= 32)
+        .select(substring(col("text"), 21, 12).as("c"))
+        .collect().map(_.getString(0)).distinct.toSeq
+      docs.select(col("doc_id"),
+        explode(graft.functions.MultiContains.multiContains(col("text"), pats))
+          .as("__p"))
+        .select(col("doc_id"),
+          element_at(typedLit(pats), col("__p") + 1).as("canary"))
+    }),
+
     "model_auc" -> ((s, dir) => {
       // threshold-free classifier acceptance: one-vs-rest AUC per label of
       // the JL p0 sketch score, exact rank-sum in integer ppm — global
@@ -4115,6 +4132,15 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // literal-substring replay of the Aho–Corasick sweep: same canary
+    // construction (char-based substr both engines), contains() filter
+    "canary_scan" ->
+      """WITH pats AS (SELECT DISTINCT substr(text, 21, 12) AS canary
+        |  FROM documents WHERE doc_id <= 10 AND length(text) >= 32)
+        |SELECT d.doc_id, p.canary
+        |FROM documents d, pats p
+        |WHERE contains(d.text, p.canary)""".stripMargin,
 
     // argmax-as-aggregate replay: min/max over the same injective
     // (ts_ns, event_id, value) struct; field order decides, value rides
