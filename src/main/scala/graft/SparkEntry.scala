@@ -1021,6 +1021,15 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
+    "winsorized_stats" -> ((s, dir) => {
+      // robust per-source mean: clamp to exact [p10, p90] order statistics
+      // (range-partitioned GroupedRank bounds, no per-group sort task),
+      // then one broadcast-join + aggregate pass — tails keep their rows
+      // but lose their leverage
+      graft.operators.RobustStats.winsorizedStats(
+        t(s, dir, "documents"), Seq("source"), "n_chars")
+    }),
+
     "canary_scan" -> ((s, dir) => {
       // memorization-canary / blocklist sweep: K exact substrings found in
       // ONE codegen'd Aho–Corasick pass over the corpus (vs K contains
@@ -4132,6 +4141,28 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // same lower-discrete-quantile rule as the events_quantiles replay
+    // (rank = greatest(1, ceil(n·f))), then clamp + exact ppm mean
+    "winsorized_stats" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT source,
+        |    max(CASE WHEN rn = greatest(1, ceil(n * 0.1)) THEN n_chars END) AS p10,
+        |    max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN n_chars END) AS p90
+        |  FROM r GROUP BY source),
+        |j AS (SELECT d.source, d.n_chars, b.p10, b.p90,
+        |    least(greatest(d.n_chars, b.p10), b.p90) AS wv
+        |  FROM documents d JOIN b ON d.source = b.source
+        |  WHERE d.n_chars IS NOT NULL)
+        |SELECT source, count(*)::BIGINT AS n,
+        |  min(p10)::BIGINT AS p10, min(p90)::BIGINT AS p90,
+        |  sum(CASE WHEN n_chars < p10 THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+        |  sum(CASE WHEN n_chars > p90 THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+        |  ((sum(wv)::HUGEINT * 1000000) // count(*))::BIGINT AS wins_mean_ppm
+        |FROM j GROUP BY source""".stripMargin,
 
     // literal-substring replay of the Aho–Corasick sweep: same canary
     // construction (char-based substr both engines), contains() filter

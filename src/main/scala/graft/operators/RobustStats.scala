@@ -147,6 +147,50 @@ object RobustStats {
         abs(col("observed_ppm") - col("benford_ppm")).as("dev_ppm"))
   }
 
+  /** Per-group winsorized statistics: values clamped to the group's exact
+    * [p10, p90] order statistics (the house lower-discrete-quantile rule —
+    * actual elements, never interpolated, so the whole rule is exact long
+    * arithmetic), then one aggregate. The robust mean for metric columns
+    * whose tails are exactly the rows you distrust — winsorizing keeps the
+    * tail rows (unlike trimming) but caps their leverage.
+    *
+    * Output per group: `n`, the clamp bounds `p10`/`p90`, `n_lo`/`n_hi`
+    * (rows clamped from below/above) and `wins_mean_ppm` — the winsorized
+    * mean in exact micro-units (`Σclamped·10⁶ div n`, decimal(38,0)).
+    *
+    * '''Plan shape (100 TB).''' [[Quantiles.groupQuantiles]] (range-
+    * partitioned GroupedRank, no per-group sort task) produces a #groups-
+    * row bounds frame; the clamp+aggregate pass joins it back broadcast.
+    * Two corpus passes total — the unavoidable minimum for an exact
+    * order-statistic bound (sketch bounds would be one pass, but then the
+    * clamp is approximate and engine-dependent). */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val bounds = Quantiles.groupQuantiles(
+      df, groupCols, valueCol, Seq(0.1, 0.9))
+      .select(groupCols.map(col) :+ col("p10") :+ col("p90"): _*)
+    val bndR = groupCols.foldLeft(bounds) { (d, c) =>
+      d.withColumnRenamed(c, s"__graft_w_$c")
+    }
+    val joined = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(bndR),
+        groupCols.map(c => col(c) <=> col(s"__graft_w_$c")).reduce(_ && _))
+      .withColumn("__graft_wv",
+        least(greatest(col(valueCol), col("p10")), col("p90")))
+    joined.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first("p10").as("p10"), first("p90").as("p90"),
+        sum(when(col(valueCol) < col("p10"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col(valueCol) > col("p90"), 1L).otherwise(0L)).as("n_hi"),
+        sum(col("__graft_wv").cast("decimal(38,0)")).as("__graft_ws"))
+      .withColumn("wins_mean_ppm",
+        expr("(__graft_ws * 1000000) div cast(n as decimal(38,0))"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("p10"), col("p90"),
+        col("n_lo"), col("n_hi"), col("wins_mean_ppm")): _*)
+  }
+
   /** Pairwise two-sample Kolmogorov–Smirnov distance between every pair of
     * groups over an integral value column, in exact integer ppm — the
     * distribution-shift screen ("did src7's length distribution drift away

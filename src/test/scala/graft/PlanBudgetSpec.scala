@@ -79,7 +79,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // GroupedRank global rank (range exchange shared by counts+join) +
     // #labels-grain fold; both windows are GroupedRank-internal
     // (partition-bounded local rank, #partitions-grain offsets)
-    ("model_auc", 14, 2))
+    ("model_auc", 14, 2),
+    // one codegen'd Aho–Corasick pass + explode: zero exchanges — the
+    // whole point vs K contains scans or a K-row explode join
+    ("canary_scan", 0, 0),
+    // one bounded-state struct-argmax aggregate, never a per-key window
+    ("events_ohlc", 1, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {

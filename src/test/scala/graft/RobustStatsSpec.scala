@@ -125,4 +125,31 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(got("2") == ((1L, 200000L, 176091L, 23909L)))
     assert(got("9") == ((2L, 400000L, 45757L, 354243L)))
   }
+
+  test("winsorizedStats: exact order-stat clamp caps the outlier's leverage") {
+    import spark.implicits._
+    // g: 1..10 → p10 = rank ceil(1) = 1, p90 = rank ceil(9) = 9;
+    // only 10 clamps (→9): sum 55−10+9 = 54 → mean 5_400_000 ppm
+    // h: huge outlier → clamped to p90, mean barely moves
+    val rows = (1L to 10L).map(("g", _)) ++
+      Seq(("h", 1L), ("h", 2L), ("h", 3L), ("h", 1000000L))
+    val got = RobustStats.winsorizedStats(rows.toDF("src", "v"), Seq("src"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("g") == ((10L, 1L, 9L, 0L, 1L, 5400000L)))
+    // h: n=4, p10 = rank ceil(0.4)=1 → 1, p90 = rank ceil(3.6)=4 → 1000000
+    // nothing clamps (p90 IS the outlier at this tiny n) — documents the
+    // order-stat rule honestly: winsorizing needs n ≥ ~1/(1−f)
+    assert(got("h") == ((4L, 1L, 1000000L, 0L, 0L, ((1000006L * 1000000L) / 4L))))
+  }
+
+  test("winsorizedStats: NULL group is an ordinary group (null-safe join back)") {
+    import spark.implicits._
+    val rows = Seq((Option.empty[String], 5L), (None, 7L), (Some("a"), 3L))
+    val got = RobustStats.winsorizedStats(
+      rows.toDF("src", "v"), Seq("src"), "v")
+    assert(got.count() == 2)
+    assert(got.filter(got("src").isNull).head().getLong(1) == 2L)
+  }
 }
