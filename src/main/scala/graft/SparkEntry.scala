@@ -1613,6 +1613,26 @@ object SparkEntry {
           col("__f.est_distinct").as("est_distinct"))
     }),
 
+    "stream_distinct_hll" -> ((s, dir) => {
+      // streaming HLL registers (update mode, 64 bytes of state per
+      // group): the converged registers equal the batch HllOps sketch
+      // exactly, so the same integer-estimator replay gates it
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.hllDistinctUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type", "user_id", p = 6),
+        "graft_stream_hll", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("used_buckets"),
+          col("denom_q"), col("est_distinct"))).as("__f"))
+        .select(col("event_type"), lit(64L).as("m"),
+          col("__f.used_buckets").as("used_buckets"),
+          (lit(64L) - col("__f.used_buckets")).as("zero_buckets"),
+          col("__f.denom_q").as("denom_q"),
+          col("__f.est_distinct").as("est_distinct"))
+    }),
+
     "stream_trend" -> ((s, dir) => {
       // streaming OLS drift monitor (update mode, five power sums of
       // state per group — never the points): the converged slope equals
@@ -3882,6 +3902,29 @@ object SparkEntry {
     // minimal binary rendering, identical in both engines; estimator all
     // in HUGEINT with floor // on a positive denominator
     "approx_distinct_hll" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
+        |  FROM h),
+        |m AS (SELECT event_type, bucket, max(reg) AS reg
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS used_buckets,
+        |    sum(1::BIGINT << (43 - reg))::BIGINT AS present_q
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, 64::BIGINT AS m, used_buckets,
+        |  (64 - used_buckets)::BIGINT AS zero_buckets,
+        |  (present_q + (64 - used_buckets) * 8796093022208)::BIGINT AS denom_q,
+        |  ((709::HUGEINT * 64 * 64 * 8796093022208) //
+        |    (1000::HUGEINT * (present_q + (64 - used_buckets) * 8796093022208))
+        |  )::BIGINT AS est_distinct
+        |FROM a""".stripMargin,
+
+    // the streaming sketch's converged registers must equal the batch
+    // HLL sketch exactly (same hash, same rank rule, same integer estimator)
+    "stream_distinct_hll" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
         |  FROM events),

@@ -415,6 +415,60 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "n_sample", "kth_hash", "est_distinct")
   }
 
+  /** Streaming HLL distinct-count sketch (update mode): `2^p` one-byte
+    * max-rank registers of state per group — the textbook mergeable
+    * streaming distinct counter (vs [[kmvDistinctUpdates]]'s k longs; both
+    * exist so pipelines can cross-check sketches). Same engine-portable
+    * register rule as the batch [[graft.sketch.HllOps]] (48-bit md5-prefix
+    * hash, leading-zero rank), same all-integer estimator — the converged
+    * (last-update) row equals the batch sketch bit-for-bit, which is how
+    * the oracle gates it. NULL values skipped, matching batch. */
+  def hllDistinctUpdates(
+      stream: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 16, s"p must be in [2,16]: got $p")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sfx = 48 - p
+    val m = 1 << p
+    val hashed = stream.filter(col(valueCol).isNotNull).select(
+      col(groupCol).cast("string"),
+      conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+        .cast("long"))
+      .as[(String, Long)]
+    hashed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Byte]), (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long)],
+            state: GroupState[(Long, Array[Byte])]) =>
+          val (seq, old) = state.getOption.getOrElse((0L, new Array[Byte](m)))
+          val regs = old.clone()
+          rows.foreach { case (_, h) =>
+            val bucket = (h >>> sfx).toInt
+            val suffix = h & ((1L << sfx) - 1)
+            val reg = (if (suffix == 0) sfx + 1
+              else sfx + 1 - (64 - java.lang.Long.numberOfLeadingZeros(suffix))).toByte
+            if (reg > regs(bucket)) regs(bucket) = reg
+          }
+          state.update((seq + 1, regs))
+          var used = 0L
+          var denom = 0L
+          var b = 0
+          while (b < m) {
+            if (regs(b) > 0) used += 1
+            denom += 1L << (sfx + 1 - regs(b))
+            b += 1
+          }
+          // α_scaled = 709/1000 (the batch constant); all-integer division
+          val est = (BigInt(709) * m * m * (BigInt(1) << (sfx + 1)) /
+            (BigInt(1000) * denom)).toLong
+          Iterator((grp, seq + 1, used, denom, est))
+      }
+      .toDF(groupCol, "update_seq", "used_buckets", "denom_q", "est_distinct")
+  }
+
   /** Streaming per-group OLS trend (update mode): the live "is this metric
     * creeping" monitor. State per group is the five classic power sums
     * `(n, Σx, Σy, Σxy, Σx²)` — constant-size, mergeable, never the points —

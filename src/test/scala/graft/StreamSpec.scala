@@ -293,6 +293,36 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming HLL registers converge to the batch sketch across micro-batch slices") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shll_")
+    dir.toFile.deleteOnExit()
+    val data = (1L to 300L).map(i => (s"g${i % 3}", i % 97))
+    data.grouped(100).foreach { chunk =>
+      chunk.toDF("g", "v").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, v BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.hllDistinctUpdates(stream, "g", "v", p = 6),
+      "t_stream_hll", outputMode = "update")
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("used_buckets"),
+        col("denom_q"), col("est_distinct"))).as("__f"))
+      .select(col("g"), lit(64L).as("m"),
+        col("__f.used_buckets").as("used_buckets"),
+        (lit(64L) - col("__f.used_buckets")).as("zero_buckets"),
+        col("__f.denom_q").as("denom_q"),
+        col("__f.est_distinct").as("est_distinct"))
+    val batch = graft.sketch.HllOps.hllEstimate(
+      spark.read.parquet(dir.toString), Seq("g"), "v", p = 6)
+    fin.ensureDatasetEquals(batch)
+  }
+
   test("streaming trend fold converges to the batch OLS slope across micro-batch slices") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_trend_")
