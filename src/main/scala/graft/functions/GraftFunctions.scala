@@ -45,6 +45,35 @@ object GraftFunctions {
       }
       KmvSketchAgg(child, k)
     },
+    // multi_contains(text, array('p1', 'p2', ...)) — the pattern list must
+    // be a foldable array of string literals (it builds the Aho–Corasick
+    // automaton, a plan-time model parameter, not row data)
+    "multi_contains" -> two("multi_contains") { (child, patsExpr) =>
+      val pats = patsExpr match {
+        case e if e.foldable =>
+          e.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString).toSeq
+            case other => throw new IllegalArgumentException(
+              s"multi_contains: patterns must be an ARRAY<STRING> literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"multi_contains: patterns must be foldable, got $other")
+      }
+      MultiContains(child, pats)
+    },
+    // aggregate: gram_matrix(vec, dim) — dim must be an integer literal
+    // (it sizes the d(d+1)/2-long aggregation buffer)
+    "gram_matrix" -> two("gram_matrix") { (child, dimExpr) =>
+      val dim = dimExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"gram_matrix: dim must be an INT literal, got $other")
+      }
+      GramMatrixAgg(child, dim)
+    },
     // aggregate: top_k(v, k) — the group's k smallest values of any
     // orderable v (struct for multi-key + payload), ascending; k must be
     // an integer literal for the same buffer-sizing reason as kmv_kmins

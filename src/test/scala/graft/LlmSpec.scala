@@ -373,6 +373,16 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 11.0)
     assert(r.getString(3) == "café")
     assert(r.getSeq[Long](4) == Seq(5L, 2L, 8L))
+    val mc = spark.sql(
+      "SELECT multi_contains('abc', array('ab', 'zz', 'bc')) AS m").head()
+    assert(mc.getSeq[Int](0) == Seq(0, 2))
+    val gm = spark.sql(
+      """SELECT explode(gram_matrix(v, 2)) AS e FROM
+        |  (SELECT array(1.0D, 2.0D) AS v)""".stripMargin)
+      .select("e.i", "e.j", "e.qsum")
+      .collect().map(r2 => (r2.getInt(0), r2.getInt(1), r2.getLong(2))).toList
+    def q24(x: Double) = math.floor(x * 16777216.0).toLong
+    assert(gm == List((1, 1, q24(1.0)), (1, 2, q24(2.0)), (2, 2, q24(4.0))))
   }
 
   test("kmv_kmins aggregate is callable from SQL and k must be a literal") {
