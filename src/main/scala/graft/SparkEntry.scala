@@ -1538,6 +1538,25 @@ object SparkEntry {
           max("value").as("max_v"))
     }),
 
+    "watermark_audit" -> ((s, dir) => {
+      // disorder census that PICKS the watermark: per type, how many
+      // events arrive (event_id order) with event-time behind the running
+      // max — i.e. would be dropped at delay D — for D ∈ {0, 1m, 5m, 1h}.
+      // Running max via RunningExtremum: range-partitioned two-phase, no
+      // per-type single-task sort even when one type is the whole stream
+      val rm = graft.operators.RunningExtremum.withRunningMax(
+        events(s, dir).select("event_type", "event_id", "ts_ns"),
+        Seq("event_type"), Seq(col("event_id")), "ts_ns", "rmax")
+      rm.withColumn("late_ns", col("rmax") - col("ts_ns"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_ns") > 0, 1L).otherwise(0L)).as("n_ooo"),
+          sum(when(col("late_ns") > 60000000000L, 1L).otherwise(0L)).as("n_late_1m"),
+          sum(when(col("late_ns") > 300000000000L, 1L).otherwise(0L)).as("n_late_5m"),
+          sum(when(col("late_ns") > 3600000000000L, 1L).otherwise(0L)).as("n_late_1h"),
+          max("late_ns").as("max_late_ns"))
+    }),
+
     "events_ohlc" -> ((s, dir) => {
       // per (type, day) open-high-low-close: first/last BY TIME as plain
       // min/max over an injective (ts_ns, event_id, value) struct — a
@@ -4215,6 +4234,21 @@ object SparkEntry {
         |SELECT d.doc_id, p.canary
         |FROM documents d, pats p
         |WHERE contains(d.text, p.canary)""".stripMargin,
+
+    // running-max window replay (the two-phase operator must equal the
+    // plain cumulative window exactly); lateness vs arrival order
+    "watermark_audit" ->
+      """WITH r AS (SELECT event_type, epoch_ns(ts) AS tns,
+        |    max(epoch_ns(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rmax
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN rmax - tns > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ooo,
+        |  sum(CASE WHEN rmax - tns > 60000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1m,
+        |  sum(CASE WHEN rmax - tns > 300000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_5m,
+        |  sum(CASE WHEN rmax - tns > 3600000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1h,
+        |  max(rmax - tns)::BIGINT AS max_late_ns
+        |FROM r GROUP BY 1""".stripMargin,
 
     // argmax-as-aggregate replay: min/max over the same injective
     // (ts_ns, event_id, value) struct; field order decides, value rides
