@@ -1021,6 +1021,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8, dim = 64)
     }),
 
+    "sample_fair_cap" -> ((s, dir) => {
+      // max–min-fair corpus quotas: largest common cap with
+      // Σ min(n_src, cap) ≤ 300, remainder dealt one-each by key order —
+      // the water-filling "don't let one crawl drown the mix" allocator,
+      // exact integers, one corpus count pass + #groups-grain epilogue
+      graft.llm.Sampling.fairCaps(t(s, dir, "documents"), "source", 300L)
+    }),
+
     "winsorized_stats" -> ((s, dir) => {
       // robust per-source mean: clamp to exact [p10, p90] order statistics
       // (range-partitioned GroupedRank bounds, no per-group sort task),
@@ -4203,6 +4211,32 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // water-filling replay: segment-candidate max (engines differ only on
+    // useless negative-numerator candidates — both stay ≤ c*, and the
+    // true segment's candidate is exact in both), then the same
+    // one-each remainder deal by key order
+    "sample_fair_cap" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |f AS (SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) AS i,
+        |    sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS s,
+        |    count(*) OVER () AS g, sum(n) OVER () AS tot
+        |  FROM c),
+        |cap AS (SELECT max(CASE WHEN tot <= 300 THEN n
+        |    ELSE (300 - (s - n)) // (g - i + 1) END)::BIGINT AS cap FROM f),
+        |a AS (SELECT c.source, c.n, cap.cap,
+        |    least(c.n, greatest(cap.cap, 0)) AS alloc0 FROM c, cap),
+        |r AS (SELECT greatest(least(300 - sum(alloc0), 300), 0)::BIGINT AS rem
+        |  FROM a),
+        |b AS (SELECT a.*, r.rem,
+        |    row_number() OVER (PARTITION BY (n > alloc0) ORDER BY source) AS br
+        |  FROM a, r)
+        |SELECT source, n, cap,
+        |  (CASE WHEN n > alloc0 AND br <= rem THEN alloc0 + 1
+        |    ELSE alloc0 END)::BIGINT AS alloc
+        |FROM b""".stripMargin,
 
     // same lower-discrete-quantile rule as the events_quantiles replay
     // (rank = greatest(1, ceil(n·f))), then clamp + exact ppm mean

@@ -335,4 +335,76 @@ object Sampling {
         (col("__graft_r") - 1) * sources.size + sourceIdx)
       .drop("__graft_hk", "__graft_r")
   }
+
+  /** Max–min-fair per-group sampling quotas under a global row budget —
+    * the "balanced corpus mix" allocator: find the largest common cap `c*`
+    * with `Σ_g min(n_g, c*) ≤ B`, give every group `min(n_g, c*)`, and
+    * hand the remaining `B − Σ min(n_g, c*)` rows one each to the first
+    * still-capped groups in group-key order. Small groups keep everything;
+    * big groups are flattened to the same ceiling — the water-filling
+    * quota every "don't let CommonCrawl drown the mix" policy wants, made
+    * exact and deterministic.
+    *
+    * All integer arithmetic on the #groups-grain counts frame: the cap
+    * segment is found by sorting groups by count ascending and scanning
+    * the piecewise-linear `total(c) = S_i + (G−i)·c` — prefix sums and a
+    * max over G rows, no iteration, no bisection. If `Σ n_g ≤ B` every
+    * group gets `n_g` (cap = max count, remainder 0 by construction).
+    *
+    * Output per group: `n`, `cap` (the common ceiling `c*`), `alloc`
+    * (`min(n, c*)` plus any remainder bump). `Σ alloc = min(B, Σ n)`
+    * exactly. Pair with [[capPerGroup]] (k = alloc_g) to materialize the
+    * sample.
+    *
+    * '''Plan shape (100 TB).''' One corpus-scale `groupBy` count — the
+    * only stage that scales with data. Everything after (sort, prefix
+    * sums, the segment scan, the remainder ranks) runs on #groups rows:
+    * windows with no partition key, fine at quota grain (sources/domains
+    * number in the thousands, not billions). */
+  def fairCaps(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: got $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val byN = W.orderBy(col("n"), col(groupCol))
+    // row i (ascending by count): if the cap lands in segment
+    // [n_{i−1}, n_i) — groups before i uncapped, i..G capped — then
+    // total = S_{i−1} + (G−i+1)·c, giving candidate
+    // c_i = (B − S_{i−1}) div (G−i+1). Every candidate is ≤ c* (the
+    // segment formula OVERestimates total(c) off its own segment), and
+    // the true segment's candidate equals c* — so c* is the plain MAX,
+    // no validity clauses. Truncating div on a negative numerator yields
+    // 0 ≥ floor, still ≤ c* (c* ≥ 0 always); both engines agree at the
+    // true segment, which is all the max needs.
+    val framed = counts
+      .withColumn("__i", row_number().over(byN))
+      .withColumn("__s", sum("n").over(byN.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("__g", count(lit(1)).over(
+        byN.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("__tot", sum("n").over(
+        byN.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val cap = framed
+      .agg(max(when(col("__tot") <= budget, col("n"))
+        .otherwise(expr(s"($budget - (__s - n)) div (__g - __i + 1)")))
+        .as("cap"))
+    val withCap = counts.crossJoin(broadcast(cap))
+      .withColumn("alloc0", least(col("n"), greatest(coalesce(col("cap"), lit(0L)), lit(0L))))
+    // remainder: B − Σ alloc0 rows, one each to the first still-capped
+    // groups in group-key order (deterministic, no weights)
+    val rem = withCap.agg((lit(budget) - sum("alloc0")).as("__rem"))
+      .withColumn("__rem", greatest(least(col("__rem"), lit(budget)), lit(0L)))
+    val wKey = W.orderBy(col(groupCol))
+    withCap.crossJoin(broadcast(rem))
+      .withColumn("__bumprank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n") > col("alloc0")).orderBy(col(groupCol))))
+      .withColumn("alloc",
+        when(col("n") > col("alloc0") && col("__bumprank") <= col("__rem"),
+          col("alloc0") + 1).otherwise(col("alloc0")))
+      .select(col(groupCol), col("n"), col("cap"), col("alloc"))
+  }
 }

@@ -84,7 +84,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // whole point vs K contains scans or a K-row explode join
     ("canary_scan", 0, 0),
     // one bounded-state struct-argmax aggregate, never a per-key window
-    ("events_ohlc", 1, 0))
+    ("events_ohlc", 1, 0),
+    // GroupedRank quantile bounds + broadcast clamp join; both windows are
+    // GroupedRank-internal (partition-bounded local rank, offsets frame)
+    ("winsorized_stats", 11, 2),
+    // RunningExtremum two-phase: range exchange (shared) + prefix-max
+    // frame + broadcast join; windows are partition-bounded local max and
+    // the #partitions-grain prefix max
+    ("watermark_audit", 7, 2))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
