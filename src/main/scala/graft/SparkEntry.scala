@@ -1640,6 +1640,28 @@ object SparkEntry {
           col("__f.est_distinct").as("est_distinct"))
     }),
 
+    "stream_lateness" -> ((s, dir) => {
+      // streaming disorder audit (update mode, a handful of counters of
+      // state per type): converged counters equal the batch
+      // watermark_audit exactly — the live watermark-picker
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.latenessUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type", "event_id", "ts_ns"),
+        "graft_stream_late", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("n"), col("n_ooo"),
+          col("n_late_1m"), col("n_late_5m"), col("n_late_1h"),
+          col("max_late_ns"))).as("__f"))
+        .select(col("event_type"), col("__f.n").as("n"),
+          col("__f.n_ooo").as("n_ooo"),
+          col("__f.n_late_1m").as("n_late_1m"),
+          col("__f.n_late_5m").as("n_late_5m"),
+          col("__f.n_late_1h").as("n_late_1h"),
+          col("__f.max_late_ns").as("max_late_ns"))
+    }),
+
     "stream_distinct_hll" -> ((s, dir) => {
       // streaming HLL registers (update mode, 64 bytes of state per
       // group): the converged registers equal the batch HllOps sketch
@@ -4272,6 +4294,21 @@ object SparkEntry {
     // running-max window replay (the two-phase operator must equal the
     // plain cumulative window exactly); lateness vs arrival order
     "watermark_audit" ->
+      """WITH r AS (SELECT event_type, epoch_ns(ts) AS tns,
+        |    max(epoch_ns(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rmax
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN rmax - tns > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ooo,
+        |  sum(CASE WHEN rmax - tns > 60000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1m,
+        |  sum(CASE WHEN rmax - tns > 300000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_5m,
+        |  sum(CASE WHEN rmax - tns > 3600000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1h,
+        |  max(rmax - tns)::BIGINT AS max_late_ns
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // the streaming fold's converged counters must equal the batch
+    // disorder audit exactly (same arrival order, same thresholds)
+    "stream_lateness" ->
       """WITH r AS (SELECT event_type, epoch_ns(ts) AS tns,
         |    max(epoch_ns(ts)) OVER (PARTITION BY event_type
         |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS rmax

@@ -415,6 +415,55 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "n_sample", "kth_hash", "est_distinct")
   }
 
+  /** Streaming disorder/lateness audit (update mode): per group, a
+    * handful of counters of state — running event-time max, out-of-order
+    * count, late counts at fixed delay thresholds, max lateness — the
+    * live census that tells you which watermark a stream can afford.
+    * Within each micro-batch rows are folded in `arrivalCol` order (the
+    * cross-batch order is the file/offset order, which the file source
+    * already delivers in arrival sequence), so the converged counters
+    * equal the batch [[graft.SparkEntry]] `watermark_audit` exactly.
+    * `thresholdsNs` must be ascending. */
+  def latenessUpdates(
+      stream: DataFrame, groupCol: String,
+      arrivalCol: String, tsCol: String,
+      thresholdsNs: Seq[Long] = Seq(60000000000L, 300000000000L, 3600000000000L))
+      : DataFrame = {
+    require(thresholdsNs.size == 3 && thresholdsNs == thresholdsNs.sorted,
+      "latenessUpdates: exactly 3 ascending thresholds")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val Seq(t1, t2, t3) = thresholdsNs
+    val pts = stream.select(col(groupCol).cast("string"),
+      col(arrivalCol).cast("long"), col(tsCol).cast("long"))
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Long, Long, Long, Long),
+        (String, Long, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (seq, n, maxTs, nOoo, n1, n2, n3, maxLate) = state.getOption
+            .getOrElse((0L, 0L, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, ts) =>
+            n += 1
+            val late = if (maxTs == Long.MinValue) 0L else maxTs - ts
+            if (late > 0) nOoo += 1
+            if (late > t1) n1 += 1
+            if (late > t2) n2 += 1
+            if (late > t3) n3 += 1
+            if (late > maxLate) maxLate = late
+            if (ts > maxTs) maxTs = ts
+          }
+          state.update((seq + 1, n, maxTs, nOoo, n1, n2, n3, maxLate))
+          Iterator((grp, seq + 1, n, nOoo, n1, n2, n3, maxLate))
+      }
+      .toDF(groupCol, "update_seq", "n", "n_ooo",
+        "n_late_1m", "n_late_5m", "n_late_1h", "max_late_ns")
+  }
+
   /** Streaming HLL distinct-count sketch (update mode): `2^p` one-byte
     * max-rank registers of state per group — the textbook mergeable
     * streaming distinct counter (vs [[kmvDistinctUpdates]]'s k longs; both

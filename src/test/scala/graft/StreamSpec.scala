@@ -293,6 +293,55 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming lateness audit converges to the batch running-max census across slices") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(41)
+    // disorder ON PURPOSE: event times shuffled against arrival order,
+    // including regressions that span micro-batch boundaries
+    val data = (1L to 300L).map { i =>
+      val ts = i * 120000000000L + (rnd.nextInt(41) - 20) * 300000000000L
+      (s"g${i % 2}", i, ts)
+    }
+    data.grouped(100).foreach { chunk =>
+      chunk.toDF("g", "arr", "ts").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, arr BIGINT, ts BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.latenessUpdates(stream, "g", "arr", "ts"),
+      "t_stream_late", outputMode = "update")
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 2)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("n"), col("n_ooo"),
+        col("n_late_1m"), col("n_late_5m"), col("n_late_1h"),
+        col("max_late_ns"))).as("__f"))
+      .select(col("g"), col("__f.n").as("n"), col("__f.n_ooo").as("n_ooo"),
+        col("__f.n_late_1m").as("n_late_1m"),
+        col("__f.n_late_5m").as("n_late_5m"),
+        col("__f.n_late_1h").as("n_late_1h"),
+        col("__f.max_late_ns").as("max_late_ns"))
+    val batch = spark.read.parquet(dir.toString)
+      .withColumn("rmax", max("ts").over(Window.partitionBy("g")
+        .orderBy("arr").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("late", col("rmax") - col("ts"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_ooo"),
+        sum(when(col("late") > 60000000000L, 1L).otherwise(0L)).as("n_late_1m"),
+        sum(when(col("late") > 300000000000L, 1L).otherwise(0L)).as("n_late_5m"),
+        sum(when(col("late") > 3600000000000L, 1L).otherwise(0L)).as("n_late_1h"),
+        max("late").as("max_late_ns"))
+    fin.ensureDatasetEquals(batch)
+    // the disorder actually exercised the threshold counters
+    assert(fin.agg(sum("n_late_5m")).head().getLong(0) > 0)
+  }
+
   test("streaming HLL registers converge to the batch sketch across micro-batch slices") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_shll_")
