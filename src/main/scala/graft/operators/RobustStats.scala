@@ -220,10 +220,17 @@ object RobustStats {
       df: DataFrame,
       groupCol: String,
       valueCol: String): DataFrame = {
+    // localCheckpoint the (group, value)-grain counts: THREE legs read it
+    // (groups, values, the cum join) and column pruning differentiates
+    // their aggregate subtrees, so ReusedExchange cannot collapse them —
+    // without the checkpoint the corpus count pass would run three times.
+    // The frame is domain-bounded (never corpus-sized), which is exactly
+    // when materializing is the right trade (contrast GroupedRank's doc).
     val counts = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
       .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val groups = counts.select("__g").distinct()
     val values = counts.select("__v").distinct()
     // grid fill: every group needs a cum value AT every distinct value of

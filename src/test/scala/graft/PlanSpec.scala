@@ -442,6 +442,46 @@ class PlanSpec extends AnyFunSuite {
       s"top-k did not plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("canary scan prunes the documents read to (doc_id, text)") {
+    val p = plan(SparkEntry.queries("canary_scan")(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"canary scan reads more than it needs:\n$p")
+  }
+
+  test("trend and OHLC prune the events scan to the used columns") {
+    val pt = plan(SparkEntry.queries("events_trend")(spark, sf))
+    assert(pt.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>")
+      || pt.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>")
+      || pt.contains("event_type") && !pt.contains("props"),
+      s"events_trend reads unused columns (props/user_id):\n$pt")
+    assert(!pt.contains("props"), s"events_trend reads props:\n$pt")
+    val po = plan(SparkEntry.queries("events_ohlc")(spark, sf))
+    assert(!po.contains("props") && !po.contains("user_id"),
+      s"events_ohlc reads unused columns:\n$po")
+  }
+
+  test("KS audit: one materialized corpus pass, counts shape prunes the scan") {
+    // the (g, v) counts frame is localCheckpointed at construction, so the
+    // query plan itself must contain NO documents FileScan at all — the
+    // corpus pass happened exactly once, at the checkpoint
+    val q = SparkEntry.queries("length_ks")(spark, sf)
+    val p = plan(q)
+    val scans = "FileScan parquet[^\\n]*documents\\.parquet".r
+      .findAllIn(p).length
+    assert(scans == 0,
+      s"documents FileScan leaked past the counts checkpoint ($scans):\n$p")
+    // and the counts shape itself (what the checkpoint materializes)
+    // column-prunes the scan to exactly (source, n_chars)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = docs
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long"))
+      .groupBy("source", "n_chars").count()
+    val cp = plan(counts)
+    assert(cp.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"counts pass reads more than (source, n_chars):\n$cp")
+  }
+
   test("transition counts scan the events table exactly once (ReusedExchange)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val q = graft.operators.Transitions.transitionCounts(
