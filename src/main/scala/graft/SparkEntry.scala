@@ -1029,6 +1029,15 @@ object SparkEntry {
       graft.llm.Sampling.fairCaps(t(s, dir, "documents"), "source", 300L)
     }),
 
+    "image_neardup" -> ((s, dir) => {
+      // multimodal near-dup: REAL PNG decode → perceptual dHash (9×8
+      // sample grid, 64 bits) → 4×16-bit banded self-join (pigeonhole:
+      // hamming ≤ 3 shares a band) → exact bit_count verify — the image
+      // twin of the MinHash-LSH text path, never all-pairs
+      graft.llm.Multimodal.imageNearDupPairs(
+        s, t(s, dir, "documents"), maxHamming = 3)
+    }),
+
     "winsorized_stats" -> ((s, dir) => {
       // robust per-source mean: clamp to exact [p10, p90] order statistics
       // (range-partitioned GroupedRank bounds, no per-group sort task),
@@ -4233,6 +4242,34 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // PNG is lossless, so the decoded grays equal the generating formula —
+    // the dHash bits, bands, and hamming verify all replay as pure integer
+    // SQL (sign bit via the -2^63 literal; DuckDB rejects 1<<63)
+    "image_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w,
+        |    8 + doc_id % 5 AS h FROM documents),
+        |bits AS (SELECT d.id,
+        |    sum(CASE WHEN
+        |        ((d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13) % 256
+        |         + (d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 101) % 256
+        |         + (d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 202) % 256) >
+        |        ((d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13) % 256
+        |         + (d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 101) % 256
+        |         + (d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 202) % 256)
+        |      THEN (CASE WHEN j*8 + i = 63 THEN -9223372036854775808
+        |            ELSE 1::BIGINT << (j*8 + i)::INT END) ELSE 0 END)::BIGINT AS dhash
+        |  FROM d, range(0, 8) ri(i), range(0, 8) rj(j)
+        |  GROUP BY d.id),
+        |band AS (SELECT id, dhash, band, (dhash >> (band*16)::INT) & 65535 AS bv
+        |  FROM bits, range(0, 4) rb(band)),
+        |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib,
+        |    a.dhash AS ha, b.dhash AS hb
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.id < b.id)
+        |SELECT ia AS media_a, ib AS media_b,
+        |  bit_count(xor(ha, hb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
     // water-filling replay: segment-candidate max (engines differ only on
     // useless negative-numerator candidates — both stay ≤ c*, and the

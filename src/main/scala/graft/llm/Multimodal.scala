@@ -179,6 +179,84 @@ object Multimodal {
     decodeImageStats(records).toDF()
   }
 
+  /** Perceptual difference-hash of a decoded image: gray = r+g+b at a
+    * fixed 9×8 nearest-neighbor sample grid (`xs(i) = i·(w−1) div 8`,
+    * `ys(j) = j·(h−1) div 7` — integer-exact, no empty pooling boxes at
+    * any size), bit `j·8+i` set when the right sample outgrows the left.
+    * The standard near-dup fingerprint for image corpora: 64 bits per
+    * image, robust to re-encode/resize, exact integer arithmetic end to
+    * end (and for the lossless test pattern, SQL-replayable from the
+    * generating formula). */
+  case class ImageHash(media_id: Long, dhash: Long)
+
+  def imageDHash(records: Dataset[ImageRecord]): Dataset[ImageHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val img = ImageIO.read(new ByteArrayInputStream(rec.content))
+        require(img != null,
+          s"media_id=${rec.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        def gray(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        }
+        val xs = Array.tabulate(9)(i => i * (w - 1) / 8)
+        val ys = Array.tabulate(8)(j => j * (h - 1) / 7)
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (gray(xs(i + 1), ys(j)) > gray(xs(i), ys(j)))
+              hash |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        ImageHash(rec.media_id, hash)
+      }
+    }
+  }
+
+  /** Image near-dup pairs over the document corpus: REAL PNG decode →
+    * [[imageDHash]] → SimHash-style 4×16-bit banded self-join (k bit
+    * flips can break at most k of the 4 bands, so any pair with hamming
+    * ≤ 3 shares at least one exact band — the pigeonhole guarantee) →
+    * exact `bit_count(xor)` verify. Never an
+    * all-pairs comparison: candidates are band-bucket colocated, the
+    * classic LSH shape at image-corpus scale.
+    *
+    * Output `(media_a, media_b, hamming)`, each unordered pair once. */
+  def imageNearDupPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] (4 bands tolerate at most 3 flips " +
+        s"by pigeonhole): got $maxHamming")
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ImageRecord(id, synthesizePng(id)))
+    }
+    val hashes = imageDHash(records).toDF()
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(expr(
+        "array(0, 1, 2, 3)")).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(dhash, cast(band * 16 as int)) & 65535"))
+    val a = banded.select(col("media_id").as("media_a"),
+      col("dhash").as("__ha"), col("band"), col("band_val"))
+    val b = banded.select(col("media_id").as("media_b"),
+      col("dhash").as("__hb"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "__ha", "__hb").distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   // ------------------------------------------------------------ jpeg (lossy)
 
   /** Outcome of a REAL lossy JPEG round-trip: exact dimensions plus an
