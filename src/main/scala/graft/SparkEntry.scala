@@ -1029,6 +1029,26 @@ object SparkEntry {
       graft.llm.Sampling.fairCaps(t(s, dir, "documents"), "source", 300L)
     }),
 
+    "image_dedup_apply" -> ((s, dir) => {
+      // end-to-end image dedup: dHash band pairs → connected components
+      // (perceptual similarity isn't transitive; chains form the variant
+      // family) → keep min-id per cluster; survivors audited per (w, h)
+      // pattern shape — the image twin of dedup_apply_cc
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Multimodal
+        .imageNearDupPairs(s, docs, maxHamming = 3)
+        .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
+      val cc = graft.operators.ConnectedComponents.connectedComponents(pairs)
+      val dropped = cc.filter(col("component") =!= col("node"))
+        .select(col("node").as("doc_id"))
+      docs.select("doc_id")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .withColumn("w", lit(8L) + col("doc_id") % 8)
+        .withColumn("h", lit(8L) + col("doc_id") % 5)
+        .groupBy("w", "h")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+    }),
+
     "image_neardup" -> ((s, dir) => {
       // multimodal near-dup: REAL PNG decode → perceptual dHash (9×8
       // sample grid, 64 bits) → 4×16-bit banded self-join (pigeonhole:
@@ -4242,6 +4262,41 @@ object SparkEntry {
 
     "embed_project" -> embedProjectSql(),
     "model_auc" -> modelAucSql(),
+
+    // the image_neardup pair replay + the dedup_apply_cc recursive
+    // min-label closure, survivors audited per pattern shape
+    "image_dedup_apply" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w,
+        |    8 + doc_id % 5 AS h FROM documents),
+        |bits AS (SELECT d.id,
+        |    sum(CASE WHEN
+        |        ((d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13) % 256
+        |         + (d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 101) % 256
+        |         + (d.id*31 + ((i+1)*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 202) % 256) >
+        |        ((d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13) % 256
+        |         + (d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 101) % 256
+        |         + (d.id*31 + (i*(d.w-1)//8)*7 + (j*(d.h-1)//7)*13 + 202) % 256)
+        |      THEN (CASE WHEN j*8 + i = 63 THEN -9223372036854775808
+        |            ELSE 1::BIGINT << (j*8 + i)::INT END) ELSE 0 END)::BIGINT AS dhash
+        |  FROM d, range(0, 8) ri(i), range(0, 8) rj(j)
+        |  GROUP BY d.id),
+        |band AS (SELECT id, dhash, band, (dhash >> (band*16)::INT) & 65535 AS bv
+        |  FROM bits, range(0, 4) rb(band)),
+        |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib,
+        |    a.dhash AS ha, b.dhash AS hb
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.id < b.id),
+        |p AS (SELECT ia, ib FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION SELECT ib, ia FROM p),
+        |r AS (SELECT src AS node, src AS lbl FROM e
+        |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |dropped AS (SELECT node FROM r GROUP BY node HAVING min(lbl) <> node)
+        |SELECT 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |  count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+        |GROUP BY 1, 2""".stripMargin,
 
     // PNG is lossless, so the decoded grays equal the generating formula —
     // the dHash bits, bands, and hamming verify all replay as pure integer
