@@ -91,7 +91,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // RunningExtremum two-phase: range exchange (shared) + prefix-max
     // frame + broadcast join; windows are partition-bounded local max and
     // the #partitions-grain prefix max
-    ("watermark_audit", 7, 2))
+    ("watermark_audit", 7, 2),
+    // dHash is a narrow decode map; the band self-join + distinct are the
+    // only exchanges
+    ("image_neardup", 2, 0),
+    // CC runs pre-materialized (localCheckpoint loop); this pins the
+    // survivor-stitch plan
+    ("image_dedup_apply", 3, 0),
+    // one corpus count pass; the cap/remainder epilogue runs entirely on
+    // the #groups-grain frame (its windows are #groups rows, not corpus)
+    ("sample_fair_cap", 11, 3))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
