@@ -841,6 +841,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    "langid_kappa" -> ((s, dir) => {
+      // chance-corrected language-ID acceptance: Cohen's kappa of the
+      // n-gram heuristic against the ground-truth lang column, exact
+      // integer ppm — accuracy alone rewards majority-class parroting
+      graft.llm.EvalMetrics.cohenKappa(
+        t(s, dir, "documents")
+          .withColumn("lang_pred", graft.llm.TextStats.langId(col("text"))),
+        "lang", "lang_pred")
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.llm.TextStats.fingerprint(col("text")).as("fp"))
@@ -5231,6 +5241,47 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred,
         |  count(*) AS n_docs
         |FROM scored GROUP BY lang, lang_pred""".stripMargin,
+
+    // the text_langid prediction replay feeding the exact kappa rational:
+    // (n·diag − Σ row·col)·1e6 // (n² − Σ row·col) in HUGEINT, sign split
+    "langid_kappa" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('le','la','les','et','un','une','est'))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('el','los','las','y','un','una','es'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ein','ist','von'))) AS s_de,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    length(text) AS n
+        |  FROM documents),
+        |cm AS (SELECT lang AS a,
+        |  CASE WHEN cjk*10 > n*3 THEN 'zh'
+        |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+        |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+        |    WHEN s_de > 0 THEN 'de'
+        |    ELSE 'und' END AS b,
+        |  count(*)::BIGINT AS c
+        |FROM scored GROUP BY 1, 2),
+        |t AS (SELECT sum(c)::HUGEINT AS n FROM cm),
+        |dg AS (SELECT coalesce(sum(c), 0)::HUGEINT AS diag FROM cm WHERE a = b),
+        |pe AS (SELECT coalesce(sum(ra.r * cb.c2), 0)::HUGEINT AS pen
+        |  FROM (SELECT a, sum(c)::HUGEINT AS r FROM cm GROUP BY 1) ra
+        |  JOIN (SELECT b, sum(c)::HUGEINT AS c2 FROM cm GROUP BY 1) cb
+        |    ON ra.a = cb.b)
+        |SELECT n::BIGINT AS n,
+        |  ((diag * 1000000) // n)::BIGINT AS po_ppm,
+        |  ((pen * 1000000) // (n * n))::BIGINT AS pe_ppm,
+        |  CASE WHEN n * n - pen = 0 THEN NULL
+        |    ELSE ((CASE WHEN n * diag - pen < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(n * diag - pen) * 1000000) // (n * n - pen)))::BIGINT
+        |  END AS kappa_ppm
+        |FROM t, dg, pe""".stripMargin,
 
     // same normalized tokenizer as the dedup paths; score = tf::DOUBLE/df is
     // one exact-integer IEEE division, identical across engines

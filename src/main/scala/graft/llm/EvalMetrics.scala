@@ -91,6 +91,52 @@ object EvalMetrics {
           .otherwise(expr("(2 * overlap * 1000000) div (n_ref + n_cand)")))
   }
 
+  /** Cohen's kappa between two categorical labelings in exact integer
+    * ppm — chance-corrected agreement, the standard acceptance metric for
+    * a heuristic classifier against ground truth (plain accuracy rewards
+    * majority-class parroting; kappa doesn't). One row:
+    * `n`, `po_ppm` (observed agreement), `pe_ppm` (chance agreement from
+    * the marginals), `kappa_ppm = (n·diag − Σ row·col)·10⁶ div
+    * (n² − Σ row·col)` — sign via `sign·(|num| div den)` truncation (kappa
+    * is negative for worse-than-chance raters), decimal(38,0) throughout
+    * (`n²` overflows int64 past ~3·10⁹ rows). Degenerate single-class
+    * marginals (`pe = 1`) report NULL kappa.
+    *
+    * '''Plan shape (100 TB).''' One corpus-scale confusion-count groupBy;
+    * marginals, diagonal, and the kappa arithmetic all run on the
+    * #classes²-grain frame. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // 4 consumers below; #classes² rows — tiny
+    val n = cm.agg(sum("__n").as("n"))
+    val diag = cm.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum("__n"), lit(0L)).as("__diag"))
+    val peNum = cm.groupBy("__a").agg(sum("__n").as("__ra"))
+      .join(cm.groupBy("__b").agg(sum("__n").as("__cb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(expr(
+        "cast(__ra as decimal(38,0)) * __cb")), lit(0).cast("decimal(38,0)"))
+        .as("__pe"))
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(peNum))
+      .withColumn("po_ppm", expr("(__diag * 1000000) div n"))
+      .withColumn("pe_ppm", expr(
+        "(__pe * 1000000) div (cast(n as decimal(38,0)) * n)"))
+      .withColumn("__num", expr(
+        "cast(n as decimal(38,0)) * __diag - __pe"))
+      .withColumn("__den", expr(
+        "cast(n as decimal(38,0)) * n - __pe"))
+      .withColumn("kappa_ppm",
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(
+            when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(__num) * 1000000) div __den")))
+      .select("n", "po_ppm", "pe_ppm", "kappa_ppm")
+  }
+
   /** One-vs-rest AUC per label in exact integer ppm — the
     * Mann–Whitney/rank-sum form: `AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)`
     * where `R₊` sums the global ranks of the label's rows under

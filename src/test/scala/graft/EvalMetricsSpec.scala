@@ -81,6 +81,29 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got(7) == ((2L, 0L, None)))
   }
 
+  private def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val r = EvalMetrics.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
+  test("cohenKappa: textbook confusion matrix [[20,5],[10,15]] → κ = 0.4") {
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    // po = 35/50, pe = (25·30 + 25·20)/2500 = 1/2, κ = 0.2/0.5 = 0.4
+    assert(kappa(rows) == ((50L, 700000L, 500000L, Some(400000L))))
+  }
+
+  test("cohenKappa: perfect = 1e6, symmetric swap = −1e6, one class → NULL") {
+    val perfect = Seq.fill(3)(("p", "p")) ++ Seq.fill(3)(("q", "q"))
+    assert(kappa(perfect)._4.contains(1000000L))
+    val swapped = Seq.fill(3)(("p", "q")) ++ Seq.fill(3)(("q", "p"))
+    assert(kappa(swapped)._4.contains(-1000000L))
+    val mono = Seq.fill(4)(("p", "p"))
+    assert(kappa(mono) == ((4L, 1000000L, 1000000L, None)))
+  }
+
   test("aucByLabel: score ties broken by id, deterministically") {
     // all scores equal → permutation is id order: ranks 1..4
     // label 1 holds ids 3,4 → R+=7 → (14−6)e6/8 = 1e6 × … = 1000000
