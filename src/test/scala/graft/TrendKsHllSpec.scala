@@ -58,6 +58,26 @@ class TrendKsHllSpec extends AnyFunSuite {
     assert(got.size == 3) // each unordered pair exactly once
   }
 
+  test("ksPairwise: randomized equivalence with the brute-force ECDF max gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map(_ => (s"s${rnd.nextInt(4)}", rnd.nextInt(25).toLong))
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def brute(a: Seq[Long], b: Seq[Long]): Long = {
+      val vs = (a ++ b).distinct.sorted
+      val num = vs.map(v =>
+        math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)).max
+      num * 1000000L / (a.size.toLong * b.size)
+    }
+    val want = (for {
+      ga <- byG.keys; gb <- byG.keys if ga < gb
+    } yield (ga, gb) -> brute(byG(ga), byG(gb))).toMap
+    val got = graft.operators.RobustStats.ksPairwise(
+      rows.toDF("src", "v").repartition(7), "src", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got == want)
+  }
+
   test("ksPairwise: identical distributions → 0 ppm") {
     import spark.implicits._
     val df = (1 to 50).flatMap(i => Seq(("p", i.toLong), ("q", i.toLong)))
