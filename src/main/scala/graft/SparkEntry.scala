@@ -1585,6 +1585,38 @@ object SparkEntry {
           max("value").as("max_v"))
     }),
 
+    "events_gaps" -> ((s, dir) => {
+      // ingestion-gap census: per type, which hour buckets of the global
+      // [min, max] span carry no events — n_missing plus the longest
+      // consecutive run. Observed hours collapse to at most span-many rows
+      // (domain-bounded) BEFORE any window; the lag runs per type over
+      // that hour grid, never over events
+      val hours = events(s, dir)
+        .withColumn("hour", expr("ts_ns DIV 3600000000000"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("__n"))
+      val span = hours.agg(min("hour").as("__h0"), max("hour").as("__h1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour")
+      hours.crossJoin(broadcast(span))
+        .withColumn("__prev", lag("hour", 1).over(w))
+        .withColumn("__gap",
+          when(col("__prev").isNull, col("hour") - col("__h0"))
+            .otherwise(col("hour") - col("__prev") - 1))
+        .groupBy("event_type")
+        .agg(first("__h1").as("__e1"), first("__h0").as("__e0"),
+          count(lit(1)).as("n_hours_observed"),
+          sum("__gap").as("__inner_missing"),
+          max("__gap").as("__max_inner_gap"),
+          max("hour").as("__last"))
+        .select(col("event_type"),
+          (col("__e1") - col("__e0") + 1).as("n_hours_expected"),
+          col("n_hours_observed"),
+          (col("__inner_missing") + (col("__e1") - col("__last")))
+            .as("n_missing"),
+          greatest(col("__max_inner_gap"), col("__e1") - col("__last"))
+            .as("longest_gap"))
+    }),
+
     "watermark_audit" -> ((s, dir) => {
       // disorder census that PICKS the watermark: per type, how many
       // events arrive (event_id order) with event-time behind the running
@@ -4392,6 +4424,26 @@ object SparkEntry {
         |SELECT d.doc_id, p.canary
         |FROM documents d, pats p
         |WHERE contains(d.text, p.canary)""".stripMargin,
+
+    // hour-grid lag replay over the domain-bounded observed-hours frame
+    "events_gaps" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_ns(ts) // 3600000000000 AS hour
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+        |g AS (SELECT event_type, hour,
+        |    lag(hour) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+        |  FROM h),
+        |a AS (SELECT g.event_type, g.hour, s.h0, s.h1,
+        |    CASE WHEN prev IS NULL THEN g.hour - s.h0
+        |      ELSE g.hour - prev - 1 END AS gap
+        |  FROM g, s)
+        |SELECT event_type,
+        |  (max(h1) - max(h0) + 1)::BIGINT AS n_hours_expected,
+        |  count(*)::BIGINT AS n_hours_observed,
+        |  (sum(gap) + max(h1) - max(hour))::BIGINT AS n_missing,
+        |  greatest(max(gap), max(h1) - max(hour))::BIGINT AS longest_gap
+        |FROM a GROUP BY 1""".stripMargin,
 
     // running-max window replay (the two-phase operator must equal the
     // plain cumulative window exactly); lateness vs arrival order
