@@ -1585,6 +1585,19 @@ object SparkEntry {
           max("value").as("max_v"))
     }),
 
+    "distinct_rolling_kmv" -> ((s, dir) => {
+      // trailing-24h distinct users per type at every observed hour, by
+      // KMV sketch RE-AGGREGATION: one corpus pass builds hourly k-min
+      // sketches; each window merges sketches (k longs × 24), never
+      // re-scanning events — the re-aggregatable-sketch property that
+      // makes windowed distinct affordable at 100 TB
+      graft.sketch.KmvOps.kmvRollingDistinct(
+        events(s, dir), Seq("event_type"), "user_id",
+        bucket = expr("ts_ns DIV 3600000000000"),
+        windowBuckets = 24, k = 16)
+        .withColumnRenamed("bucket", "hour")
+    }),
+
     "events_gaps" -> ((s, dir) => {
       // ingestion-gap census: per type, which hour buckets of the global
       // [min, max] span carry no events — n_missing plus the longest
@@ -4424,6 +4437,28 @@ object SparkEntry {
         |SELECT d.doc_id, p.canary
         |FROM documents d, pats p
         |WHERE contains(d.text, p.canary)""".stripMargin,
+
+    // window-merged sketches must equal the sketch of the window: replay
+    // as distinct (type, hour-range, hash) + the same k-min estimator
+    "distinct_rolling_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    epoch_ns(ts) // 3600000000000 AS hour,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |tgt AS (SELECT DISTINCT event_type, hour FROM h),
+        |w AS (SELECT DISTINCT t.event_type, t.hour AS bucket, s.h
+        |  FROM tgt t JOIN h s ON s.event_type = t.event_type
+        |    AND s.hour BETWEEN t.hour - 23 AND t.hour),
+        |r AS (SELECT event_type, bucket, h, row_number() OVER (
+        |    PARTITION BY event_type, bucket ORDER BY h) AS rn FROM w),
+        |k AS (SELECT event_type, bucket, count(*)::BIGINT AS n_sample,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 16 GROUP BY 1, 2)
+        |SELECT event_type, bucket AS hour, n_sample, kth_hash,
+        |  CASE WHEN n_sample < 16 OR kth_hash <= 0 THEN n_sample
+        |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
+        |    END AS est_distinct
+        |FROM k""".stripMargin,
 
     // hour-grid lag replay over the domain-bounded observed-hours frame
     "events_gaps" ->

@@ -77,6 +77,50 @@ object KmvOps {
       "kmv_sketch", k)
   }
 
+  /** Rolling-window distinct counts by KMV sketch RE-AGGREGATION — the
+    * property that makes sketches the 100-TB answer: per-bucket k-min
+    * sketches are built in ONE corpus pass, and every sliding window's
+    * estimate comes from MERGING the bucket sketches (union of k-min sets
+    * = k-min set of the union), never from re-scanning raw data per
+    * window. A 24-bucket window over a year of hourly buckets costs
+    * #groups × #buckets × windowBuckets × k longs — model-scale — where
+    * the naive `count(distinct) OVER (RANGE 24 hours)` re-shuffles the
+    * corpus once per window.
+    *
+    * Output per (group, bucket): the window `[bucket − windowBuckets + 1,
+    * bucket]` estimate in [[kmvDistinct]]'s exact integer form
+    * (`n_sample`, `kth_hash`, `est_distinct`), evaluated at every
+    * OBSERVED bucket. The merge is the same [[graft.functions.KmvSketchAgg]]
+    * bounded-state aggregate over the exploded bucket sketches —
+    * re-aggregation IS the aggregate, no new estimator to trust. */
+  def kmvRollingDistinct(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      bucket: org.apache.spark.sql.Column, windowBuckets: Int,
+      k: Int = 16): DataFrame = {
+    requireK(k)
+    require(windowBuckets >= 1, s"windowBuckets must be ≥ 1: got $windowBuckets")
+    val withB = df.withColumn("__graft_bkt", bucket.cast("long"))
+    val perBucket = kmvSketch(withB, groupCols :+ "__graft_bkt", valueCol, k)
+    val src = groupCols.foldLeft(
+        perBucket.withColumnRenamed("__graft_bkt", "__graft_sb")) {
+        (d, c) => d.withColumnRenamed(c, s"__graft_s_$c")
+      }
+    val targets = perBucket.select(
+      (groupCols.map(col) :+ col("__graft_bkt")): _*)
+    val cond = (groupCols.map(c => col(c) <=> col(s"__graft_s_$c")) :+
+      col("__graft_sb").between(
+        col("__graft_bkt") - (windowBuckets - 1), col("__graft_bkt")))
+      .reduce(_ && _)
+    val merged = targets.join(src, cond)
+      .select(groupCols.map(col) :+ col("__graft_bkt") :+
+        explode(col("kmv_sketch")).as("__graft_h"): _*)
+      .groupBy(groupCols.map(col) :+ col("__graft_bkt"): _*)
+      .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
+        .as("kmv_sketch"))
+    estimateFrom(merged, groupCols :+ "__graft_bkt", "kmv_sketch", k)
+      .withColumnRenamed("__graft_bkt", "bucket")
+  }
+
   /** SET-OPERATION estimates between every pair of groups' sketches:
     * `est_union` and `est_intersect` distinct counts from the k-min
     * arrays alone — the audience-overlap question ("how many users do

@@ -73,4 +73,30 @@ class KmvPropertySpec extends AnyFunSuite {
     assert(math.abs(uAc - 1000.0) / 1000.0 <= 3.0 / math.sqrt(14.0),
       s"disjoint union estimate off: $uAc")
   }
+
+  test("rolling re-aggregation: merged bucket sketches equal the window's own sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // values overlap across buckets so the merge genuinely dedupes
+    val rows = (1 to 600).map(_ =>
+      ("g" + rnd.nextInt(2), rnd.nextInt(10).toLong, rnd.nextInt(120).toLong))
+    val df = rows.toDF("g", "b", "v")
+    val got = KmvOps.kmvRollingDistinct(
+      df, Seq("g"), "v", bucket = org.apache.spark.sql.functions.col("b"),
+      windowBuckets = 3, k = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // ground truth: for each observed (g, b), sketch the window's raw rows
+    val observed = rows.map(t => (t._1, t._2)).distinct
+    observed.foreach { case (g, b) =>
+      val windowRows = rows.filter(t => t._1 == g && t._2 >= b - 2 && t._2 <= b)
+        .map(t => (g, t._3))
+      val direct = KmvOps.kmvDistinct(
+        windowRows.toDF("g", "v"), Seq("g"), "v", k = 8)
+        .head()
+      assert(got((g, b)) == ((direct.getLong(1), direct.getLong(2),
+        direct.getLong(3))), s"window ($g, $b) diverges")
+    }
+  }
 }
