@@ -1068,6 +1068,24 @@ object SparkEntry {
         s, t(s, dir, "documents"), maxHamming = 3)
     }),
 
+    "canary_positions" -> ((s, dir) => {
+      // span-extraction form of the canary sweep: first occurrence
+      // position (1-based chars, instr convention) of every canary, same
+      // single Aho–Corasick pass — char positions fall out of counting
+      // non-continuation bytes during the byte scan
+      val docs = t(s, dir, "documents")
+      val pats = docs
+        .filter(col("doc_id") <= 10 && length(col("text")) >= 32)
+        .select(substring(col("text"), 21, 12).as("c"))
+        .collect().map(_.getString(0)).distinct.toSeq
+      docs.select(col("doc_id"),
+        explode(graft.functions.MultiContains.multiFind(col("text"), pats))
+          .as("__m"))
+        .select(col("doc_id"),
+          element_at(typedLit(pats), col("__m.id") + 1).as("canary"),
+          col("__m.pos").as("pos"))
+    }),
+
     "winsorized_stats" -> ((s, dir) => {
       // robust per-source mean: clamp to exact [p10, p90] order statistics
       // (range-partitioned GroupedRank bounds, no per-group sort task),
@@ -4406,6 +4424,14 @@ object SparkEntry {
         |  (CASE WHEN n > alloc0 AND br <= rem THEN alloc0 + 1
         |    ELSE alloc0 END)::BIGINT AS alloc
         |FROM b""".stripMargin,
+
+    // instr's 1-based char position replays the byte-scan char counter
+    "canary_positions" ->
+      """WITH pats AS (SELECT DISTINCT substr(text, 21, 12) AS canary
+        |  FROM documents WHERE doc_id <= 10 AND length(text) >= 32)
+        |SELECT d.doc_id, p.canary, instr(d.text, p.canary)::INT AS pos
+        |FROM documents d, pats p
+        |WHERE contains(d.text, p.canary)""".stripMargin,
 
     // same lower-discrete-quantile rule as the events_quantiles replay
     // (rank = greatest(1, ceil(n·f))), then clamp + exact ppm mean

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -99,6 +100,46 @@ final class AhoCorasick(patterns: Array[Array[Byte]]) extends Serializable {
     }
     new GenericArrayData(ids)
   }
+
+  private val patCharLens: Array[Int] =
+    patterns.map(p => UTF8String.fromBytes(p).numChars())
+
+  /** First occurrence of each pattern as `(id, pos)` rows, `pos` the
+    * 1-based CHARACTER position of the match start (SQL `instr`
+    * convention, engine-portable) — char positions are tracked by
+    * counting non-continuation bytes during the same single scan. Rows
+    * ordered by id. */
+  def searchPositions(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val firstPos = Array.fill(patterns.length)(-1)
+    var nHit = 0
+    var st = 0
+    var i = 0
+    var chars = 0 // chars consumed up to and including byte i-1
+    while (i < bytes.length && nHit < patterns.length) {
+      // a UTF-8 continuation byte is 0b10xxxxxx; everything else starts a char
+      if ((bytes(i) & 0xc0) != 0x80) chars += 1
+      st = goto_(st)(bytes(i) & 0xff)
+      var o = if (out(st) >= 0) st else exit_(st)
+      while (o > 0) {
+        val id = out(o)
+        if (firstPos(id) < 0) {
+          firstPos(id) = chars - patCharLens(id) + 1
+          nHit += 1
+        }
+        o = exit_(o)
+      }
+      i += 1
+    }
+    val rows = new Array[Any](nHit)
+    var k = 0
+    var id = 0
+    while (id < firstPos.length) {
+      if (firstPos(id) >= 0) { rows(k) = InternalRow(id, firstPos(id)); k += 1 }
+      id += 1
+    }
+    new GenericArrayData(rows)
+  }
 }
 
 /** `multi_contains(text)` for a literal pattern list: sorted distinct
@@ -143,4 +184,50 @@ object MultiContains {
     * `text`. */
   def multiContains(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContains(Bridge.expression(text), patterns))
+
+  /** Column form of [[MultiFind]]: `array<struct<id:int, pos:int>>` —
+    * first occurrence of each found pattern, `pos` 1-based char position
+    * (SQL `instr` convention). */
+  def multiFind(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiFind(Bridge.expression(text), patterns))
+}
+
+/** `multi_find(text)`: first occurrence of each pattern as `(id, pos)`
+  * with `pos` the 1-based CHARACTER position — the span-extraction form
+  * of [[MultiContains]], same single Aho–Corasick pass (char positions
+  * fall out of counting non-continuation bytes during the byte scan). */
+case class MultiFind(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.distinct == patterns,
+    "multi_find: patterns must be non-empty and distinct")
+
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.map(UTF8String.fromString(_).getBytes).toArray)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_find requires a string column, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ac.searchPositions(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("graftAcF", ac, classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, a => s"$acRef.searchPositions($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiFind =
+    copy(child = newChild)
+
+  override def prettyName: String = "multi_find"
 }

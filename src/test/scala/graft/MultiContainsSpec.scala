@@ -61,6 +61,39 @@ class MultiContainsSpec extends AnyFunSuite {
       List(List(), List(0), List(1)))
   }
 
+  private def find(texts: Seq[String], pats: Seq[String]): Seq[Map[Int, Int]] = {
+    import spark.implicits._
+    texts.toDF("t")
+      .select(graft.functions.MultiContains.multiFind(col("t"), pats).as("m"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap).toList
+  }
+
+  test("multi_find: first occurrence only, 1-based char positions") {
+    val got = find(Seq("xabab", "zzz"), Seq("ab", "b"))
+    assert(got == Seq(Map(0 -> 2, 1 -> 3), Map.empty[Int, Int]))
+  }
+
+  test("multi_find: positions are CHAR positions through multi-byte text") {
+    // é is 2 bytes; ≤ is 3 bytes — byte offsets would be 4 and 9
+    val got = find(Seq("é≤xab"), Seq("ab", "x", "≤x"))
+    assert(got == Seq(Map(0 -> 4, 1 -> 3, 2 -> 2)))
+  }
+
+  test("multi_find agrees with indexOf on random small-alphabet strings") {
+    val rnd = new scala.util.Random(19)
+    def rs(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val pats = Iterator.continually(rs(1 + rnd.nextInt(3)))
+      .distinct.take(8).toSeq
+    val texts = (1 to 120).map(_ => rs(rnd.nextInt(25)))
+    val want = texts.map(t => pats.zipWithIndex.flatMap { case (p, i) =>
+      val at = t.indexOf(p)
+      if (at >= 0) Some(i -> (at + 1)) else None
+    }.toMap)
+    assert(find(texts, pats) == want)
+  }
+
   test("empty or duplicate pattern lists are rejected loudly") {
     intercept[IllegalArgumentException] {
       graft.functions.MultiContains(
