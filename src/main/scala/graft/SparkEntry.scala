@@ -418,6 +418,14 @@ object SparkEntry {
         events(s, dir), Seq("event_type"), "user_id", p = 6)
     }),
 
+    "hll_overlap" -> ((s, dir) => {
+      // audience overlap from register sketches alone: union = elementwise
+      // max (HLL's defining mergeability), intersection by
+      // inclusion–exclusion — never re-scans raw events per pair
+      graft.sketch.HllOps.hllSetEstimates(
+        events(s, dir), "event_type", "user_id", p = 6)
+    }),
+
     "events_trend" -> ((s, dir) => {
       // per-type metric drift: exact fixed-point OLS slope of the value
       // (micro-units) over event time (seconds since 2024-01-01) — one
@@ -4095,6 +4103,44 @@ object SparkEntry {
         |    (1000::HUGEINT * (present_q + (64 - used_buckets) * 8796093022208))
         |  )::BIGINT AS est_distinct
         |FROM a""".stripMargin,
+
+    // the per-type register replay + pairwise elementwise-max merge and
+    // the same integer estimator over the merged registers
+    "hll_overlap" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
+        |  FROM h),
+        |m AS (SELECT event_type, bucket, max(reg) AS reg
+        |  FROM r GROUP BY 1, 2),
+        |e AS (SELECT event_type, count(*)::BIGINT AS ub,
+        |    sum(1::BIGINT << (43 - reg))::BIGINT AS pq
+        |  FROM m GROUP BY 1),
+        |est AS (SELECT event_type,
+        |    ((709::HUGEINT * 64 * 64 * 8796093022208) //
+        |     (1000::HUGEINT * (pq + (64 - ub) * 8796093022208)))::BIGINT AS ed
+        |  FROM e),
+        |g AS (SELECT DISTINCT event_type FROM m),
+        |p AS (SELECT a.event_type AS ga, b.event_type AS gb
+        |  FROM g a, g b WHERE a.event_type < b.event_type),
+        |mr AS (SELECT p.ga, p.gb, m.bucket, max(m.reg) AS reg
+        |  FROM p JOIN m ON m.event_type = p.ga OR m.event_type = p.gb
+        |  GROUP BY 1, 2, 3),
+        |me AS (SELECT ga, gb, count(*)::BIGINT AS ub,
+        |    sum(1::BIGINT << (43 - reg))::BIGINT AS pq
+        |  FROM mr GROUP BY 1, 2),
+        |ue AS (SELECT ga, gb,
+        |    ((709::HUGEINT * 64 * 64 * 8796093022208) //
+        |     (1000::HUGEINT * (pq + (64 - ub) * 8796093022208)))::BIGINT AS eu
+        |  FROM me)
+        |SELECT ue.ga AS group_a, ue.gb AS group_b, ea.ed AS est_a,
+        |  eb.ed AS est_b, ue.eu AS est_union,
+        |  greatest(ea.ed + eb.ed - ue.eu, 0)::BIGINT AS est_intersect
+        |FROM ue JOIN est ea ON ea.event_type = ue.ga
+        |JOIN est eb ON eb.event_type = ue.gb""".stripMargin,
 
     // exact rational OLS slope replay: int64 per-row products, HUGEINT
     // sums, truncation-toward-zero via sign × floor-// on |num|

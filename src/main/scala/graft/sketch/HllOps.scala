@@ -58,6 +58,56 @@ object HllOps {
       .agg(max("reg").as("reg"))
   }
 
+  /** Pairwise SET-OPERATION estimates between groups' register sketches:
+    * HLL's defining algebra — the union sketch is the ELEMENTWISE MAX of
+    * registers (exactly the sketch the union stream would have built), so
+    * `est_union` is the standard estimator over the merged registers and
+    * `est_intersect = max(0, est_a + est_b − est_union)` by
+    * inclusion–exclusion. Runs entirely on the #groups × m register
+    * frame — model-scale, never re-touching raw data (the same property
+    * [[graft.sketch.KmvOps.kmvSetEstimates]] shows for k-min sketches;
+    * both sketch algebras live here so pipelines can cross-check).
+    *
+    * '''Plan shape.''' Bucket-grain pair join on (bucket) within the
+    * group-pair cross (p groups → p(p−1)/2 pairs × m rows), one greatest()
+    * fold per pair, then the integer estimator — all exact, engine-
+    * portable, partitioning-independent. */
+  def hllSetEstimates(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      p: Int): DataFrame = {
+    val regs = hllRegisters(df, Seq(groupCol), valueCol, p)
+      .localCheckpoint() // four consumers below; #groups × m rows — tiny
+    val est = estimateFromRegisters(regs, Seq(groupCol), p)
+      .select(col(groupCol), col("est_distinct"))
+    // group-pair cross (tiny, broadcast) × each member's registers,
+    // union-all reshaped so a bucket present in EITHER side reaches the
+    // pair's max-fold (a bucket join would drop buckets one side lacks)
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("group_a"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("group_b"))))
+      .filter(col("group_a") < col("group_b"))
+    val aRegs = pairs.join(regs, col(groupCol) === col("group_a"))
+      .select(col("group_a"), col("group_b"), col("bucket"), col("reg"))
+    val bRegs = pairs.join(regs, col(groupCol) === col("group_b"))
+      .select(col("group_a"), col("group_b"), col("bucket"), col("reg"))
+    val mergedRegs = aRegs.unionByName(bRegs)
+      .groupBy("group_a", "group_b", "bucket")
+      .agg(max("reg").as("reg"))
+    estimateFromRegisters(mergedRegs, Seq("group_a", "group_b"), p)
+      .select(col("group_a"), col("group_b"),
+        col("est_distinct").as("est_union"))
+      .join(broadcast(est.select(col(groupCol).as("group_a"),
+        col("est_distinct").as("est_a"))), Seq("group_a"))
+      .join(broadcast(est.select(col(groupCol).as("group_b"),
+        col("est_distinct").as("est_b"))), Seq("group_b"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .select("group_a", "group_b", "est_a", "est_b", "est_union",
+        "est_intersect")
+  }
+
   /** Per-group `(groupCols*, m, used_buckets, zero_buckets, denom_q,
     * est_distinct)`: the integer HLL estimate
     * `floor(α_scaled·m²·2^(48−p) / (1000·denom))` with `α_scaled = 709`
@@ -68,10 +118,18 @@ object HllOps {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      p: Int): DataFrame = {
+      p: Int): DataFrame =
+    estimateFromRegisters(
+      hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The integer estimator over an existing `(groupCols*, bucket, reg)`
+    * register frame — shared by [[hllEstimate]] (direct) and
+    * [[hllSetEstimates]] (merged pair registers). */
+  private def estimateFromRegisters(
+      regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     val m = 1L << p
     val sfx = 48 - p
-    hllRegisters(df, groupCols, valueCol, p)
+    regs
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("used_buckets"),

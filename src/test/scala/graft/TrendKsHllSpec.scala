@@ -113,6 +113,27 @@ class TrendKsHllSpec extends AnyFunSuite {
     assert(est > 250 && est < 1000, s"estimate $est implausible for 500 distinct")
   }
 
+  test("hllSetEstimates: identical groups fully intersect, disjoint groups don't") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => ("a", i.toString))
+    val b = (1 to 400).map(i => ("b", i.toString)) // identical value set
+    val c = (1001 to 1400).map(i => ("c", i.toString)) // disjoint
+    val got = HllOps.hllSetEstimates((a ++ b ++ c).toDF("g", "v"), "g", "v", p = 6)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (ea, eb, uAb, iAb) = got(("a", "b"))
+    // identical sets: union registers = either side's → est_union = est_a,
+    // inclusion–exclusion gives intersect = est exactly
+    assert(ea == eb && uAb == ea && iAb == ea, s"identical-set algebra broke: $got")
+    val (_, _, uAc, iAc) = got(("a", "c"))
+    // disjoint ~800 distinct: union within the m=64 3σ envelope, and the
+    // intersect estimate is small relative to the union
+    assert(math.abs(uAc - 800.0) / 800.0 <= 3.0 * 1.04 / math.sqrt(64.0),
+      s"disjoint union estimate off: $uAc")
+    assert(iAc <= uAc / 3, s"disjoint intersect too large: $iAc vs union $uAc")
+  }
+
   test("hllEstimate: duplicates don't move the registers") {
     import spark.implicits._
     val once = (1 to 200).map(i => ("g", i.toString))
