@@ -875,6 +875,15 @@ object SparkEntry {
       graft.llm.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    "source_terms" -> ((s, dir) => {
+      // corpus profiling: each source's most distinctive vocabulary by
+      // exact integer rate ratio (in-source rate over smoothed rest rate),
+      // top-5 via the bounded-state GroupedTopK — "what does src7 talk
+      // about that nothing else does", no floats, no rank-everything sort
+      graft.llm.TfIdf.distinctiveTerms(
+        t(s, dir, "documents"), "source", "text", k = 5)
+    }),
+
     "decontaminate" -> ((s, dir) => {
       // src0 plays the benchmark suite: flag training docs (all other
       // sources) sharing any 8-token n-gram with it. Eval grams broadcast;
@@ -5441,6 +5450,29 @@ object SparkEntry {
         |      ((abs(n * diag - pen) * 1000000) // (n * n - pen)))::BIGINT
         |  END AS kappa_ppm
         |FROM t, dg, pe""".stripMargin,
+
+    // same normalized tokenizer; the rate-ratio score is pure HUGEINT
+    // (in-source rate over add-one-smoothed rest rate), rank by
+    // (score desc, term) — the GroupedTopK struct order
+    "source_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, sum(n)::BIGINT AS st FROM c GROUP BY 1),
+        |tt AS (SELECT term, sum(n)::BIGINT AS tt FROM c GROUP BY 1),
+        |g AS (SELECT sum(st)::HUGEINT AS gt FROM st),
+        |s AS (SELECT c.source, c.term, c.n,
+        |    ((c.n::HUGEINT * (g.gt - st.st) * 1000000) //
+        |     (st.st::HUGEINT * (tt.tt - c.n + 1)))::BIGINT AS score_ppm
+        |  FROM c JOIN st USING (source) JOIN tt USING (term), g),
+        |r AS (SELECT source, term, n, score_ppm, row_number() OVER (
+        |    PARTITION BY source ORDER BY score_ppm DESC, term) AS rank
+        |  FROM s)
+        |SELECT source, term, n, score_ppm, rank::INT AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // same normalized tokenizer as the dedup paths; score = tf::DOUBLE/df is
     // one exact-integer IEEE division, identical across engines
