@@ -40,9 +40,15 @@ object TfIdf {
     * rows per group × map task; never a rank-everything window). */
   def distinctiveTerms(
       df: DataFrame, groupCol: String, textCol: String, k: Int = 5): DataFrame = {
+    // localCheckpoint: three consumers (scores, group totals, term totals)
+    // and column pruning differentiates their aggregate subtrees, so
+    // ReusedExchange can't collapse them — without this the corpus
+    // explode+count pass runs three times. The frame is (group, term)
+    // grain — the vocabulary cross, far below corpus scale.
     val counts = df.select(col(groupCol).as("__g"),
       explode(TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("term"))
       .groupBy("__g", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val srcTot = counts.groupBy("__g").agg(sum("n").as("__st"))
     val tokTot = counts.groupBy("term").agg(sum("n").as("__tt"))
     val grand = srcTot.agg(sum("__st").as("__gt"))

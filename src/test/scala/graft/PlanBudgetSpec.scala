@@ -100,7 +100,22 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("image_dedup_apply", 3, 0),
     // one corpus count pass; the cap/remainder epilogue runs entirely on
     // the #groups-grain frame (its windows are #groups rows, not corpus)
-    ("sample_fair_cap", 11, 3))
+    ("sample_fair_cap", 11, 3),
+    // confusion counts checkpointed; the kappa arithmetic runs on the
+    // #classes²-grain frame
+    ("langid_kappa", 8, 0),
+    // one corpus pass to per-bucket sketches; the window merge is a
+    // range join + re-aggregation over the sketch table (k longs/bucket)
+    ("distinct_rolling_kmv", 4, 0),
+    // observed hours collapse to the domain-bounded grid before the lag
+    ("events_gaps", 4, 1),
+    // span extraction: the same zero-exchange Aho–Corasick scan
+    ("canary_positions", 0, 0),
+    // registers checkpointed; every exchange after runs on #groups × m
+    ("hll_overlap", 12, 0),
+    // (group, term) counts checkpointed (corpus pass once); scores and
+    // totals run on the vocabulary-cross frame
+    ("source_terms", 8, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
