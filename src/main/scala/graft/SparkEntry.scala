@@ -542,6 +542,27 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
+    "dedup_cross_source" -> ((s, dir) => {
+      // contamination-direction evidence: the near-dup pair matrix by
+      // source pair (within-source dups = crawl noise; cross-source dups =
+      // syndication/mirroring you must dedup BEFORE mixing quotas trust
+      // per-source counts). Pairs from the LSH path; two broadcast-able
+      // doc→source lookups, never a second corpus pass
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+          Seq("id_b"))
+        .select(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "lsh_plan" -> ((s, dir) => {
       // the banding planner's full parameter sweep as a table: 19 target
       // thresholds × 3 signature sizes, each row the (bands, rowsPerBand)
@@ -4967,6 +4988,22 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    // the exact-Jaccard pair ground truth folded to the source-pair grain
+    "dedup_cross_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, source, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |    FROM documents)),
+        |p AS (SELECT least(a.source, b.source) AS src_a,
+        |    greatest(a.source, b.source) AS src_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5)
+        |SELECT src_a, src_b, count(*)::BIGINT AS n_pairs
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // replays the banding planner's argmin over divisor splits: diff =
     // |ln(t) − ln((1/b)^(1/r))| = |ln(t) + ln(b)/r|, ties toward more
