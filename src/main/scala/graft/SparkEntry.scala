@@ -307,6 +307,24 @@ object SparkEntry {
       graft.llm.Vocab.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    "bpe_fertility" -> ((s, dir) => {
+      // tokenizer-efficiency audit per language: BPE symbols per word in
+      // exact ppm — the fertility number that decides whether a tokenizer
+      // is fair across languages before mixing quotas assume it is
+      val docs = t(s, dir, "documents")
+      val merges = graft.llm.Vocab
+        .bpeTrainMerges(docs, "text", numMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_symbols").as("n_symbols"))
+        .withColumn("symbols_per_word_ppm", expr(
+          "(cast(n_symbols as decimal(38,0)) * 1000000) div n_words"))
+    }),
+
     "vocab_oov" -> ((s, dir) => {
       // vocabulary coverage: per-doc OOV rate against the corpus's own
       // top-100 vocabulary (output bounded to the first 50 docs)
@@ -4017,6 +4035,17 @@ object SparkEntry {
         |SELECT doc_id, score_micro, rank FROM r WHERE rank <= 15""".stripMargin,
 
     "bpe_encode" -> bpeEncodeSql(),
+
+    // the generated encode replay folded to language grain; fertility as
+    // one HUGEINT ratio
+    "bpe_fertility" ->
+      s"""SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |  sum(b.n_words)::BIGINT AS n_words,
+         |  sum(b.n_symbols)::BIGINT AS n_symbols,
+         |  ((sum(b.n_symbols)::HUGEINT * 1000000) //
+         |    sum(b.n_words))::BIGINT AS symbols_per_word_ppm
+         |FROM (${bpeEncodeSql()}) b JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // within-cluster pairwise replay of the SemDeDup policy: assignment is
     // the ann_ivf seed-centroid argmax, each ≥-threshold pair drops its
