@@ -1672,6 +1672,19 @@ object SparkEntry {
         .withColumnRenamed("bucket", "hour")
     }),
 
+    "events_heatmap" -> ((s, dir) => {
+      // ops profile: hour-of-day × day-of-week activity matrix with value
+      // sums in exact micro-units — pure integer arithmetic on ts_ns (no
+      // timezone/date library in the hot path; epoch day 0 = Thursday,
+      // hence the +3 shift to make dow 0 = Monday)
+      events(s, dir)
+        .withColumn("hod", expr("(ts_ns DIV 3600000000000) % 24"))
+        .withColumn("dow", expr("((ts_ns DIV 86400000000000) + 3) % 7"))
+        .groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(floor(value * 1000000.0) as long)")).as("value_micro"))
+    }),
+
     "events_gaps" -> ((s, dir) => {
       // ingestion-gap census: per type, which hour buckets of the global
       // [min, max] span carry no events — n_missing plus the longest
@@ -4590,6 +4603,14 @@ object SparkEntry {
         |    ELSE (15 * 281474976710656::BIGINT) // kth_hash
         |    END AS est_distinct
         |FROM k""".stripMargin,
+
+    // same pure-integer epoch arithmetic (dow 0 = Monday via the +3 shift)
+    "events_heatmap" ->
+      """SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+        |  (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS value_micro
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // hour-grid lag replay over the domain-bounded observed-hours frame
     "events_gaps" ->
