@@ -497,6 +497,20 @@ object SparkEntry {
         "doc_id", "source", Seq("src0", "src1", "src2", "src3"), salt = ":7")
     }),
 
+    "embed_norm" -> ((s, dir) => {
+      // embedding health per label: quantized squared-norm stats — zero
+      // vectors (dead encoder) and exploding norms (bad batch) surface as
+      // min/max outliers; per-row floor quantization keeps every number
+      // exact-integer and order-independent
+      t(s, dir, "embeddings")
+        .withColumn("q", expr(
+          "aggregate(transform(cast(embedding as array<double>), " +
+            "x -> cast(floor(x * x * 16777216.0) as bigint)), 0L, (a, x) -> a + x)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), min("q").as("min_q"),
+          max("q").as("max_q"), sum("q").as("sum_q"))
+    }),
+
     "embed_gram" -> ((s, dir) => {
       // covariance/whitening audit input: the d×d quantized Gram matrix
       // in ONE bounded-state aggregate pass (16 KB of state per
@@ -4351,6 +4365,16 @@ object SparkEntry {
     // replays quantizeInt8 per vector, then the fixed-point mean drift:
     // ((Σcode + 127·n)·1e6) // n with a non-negative numerator, so
     // DuckDB's flooring // equals Spark's truncating div exactly
+    // same float→double widening and per-component floor quantization
+    "embed_norm" ->
+      """WITH q AS (SELECT label,
+        |    list_sum(list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * x * 16777216.0) AS BIGINT)))::BIGINT AS q
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n, min(q)::BIGINT AS min_q,
+        |  max(q)::BIGINT AS max_q, sum(q)::BIGINT AS sum_q
+        |FROM q GROUP BY 1""".stripMargin,
+
     // d²-fold lateral expansion ground truth for the one-pass aggregate —
     // same float→double widening, same per-row floor(v_i·v_j·2²⁴)
     "embed_gram" ->
