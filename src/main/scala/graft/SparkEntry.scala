@@ -574,6 +574,35 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
+    "source_lang_mix" -> ((s, dir) => {
+      // mixing-table input: the source × language composition with exact
+      // in-source share ppm — the matrix a language-balanced sampling
+      // policy reads before trusting per-source quotas
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("source").agg(sum("n").as("__st"))
+      counts.join(broadcast(totals), Seq("source"))
+        .withColumn("share_ppm", expr("(n * 1000000) div __st"))
+        .select("source", "lang", "n", "share_ppm")
+    }),
+
+    "dup_rate_by_source" -> ((s, dir) => {
+      // per-source duplication accounting: how much of each source is
+      // involved in ≥1 near-dup pair — the number that says whether a
+      // source's row count can be trusted before dedup
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      docs.select("doc_id", "source")
+        .join(dupIds.withColumn("__dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_ppm", expr("(n_dup * 1000000) div n_docs"))
+    }),
+
     "dedup_cross_source" -> ((s, dir) => {
       // contamination-direction evidence: the near-dup pair matrix by
       // source pair (within-source dups = crawl noise; cross-source dups =
@@ -5062,6 +5091,35 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin,
+
+    "source_lang_mix" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n)::BIGINT AS st FROM c GROUP BY 1)
+        |SELECT c.source, c.lang, c.n,
+        |  ((c.n * 1000000) // t.st)::BIGINT AS share_ppm
+        |FROM c JOIN t USING (source)""".stripMargin,
+
+    // the exact-Jaccard pair set projected to involved doc ids, then
+    // per-source membership rate
+    "dup_rate_by_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, source, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |    FROM documents)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |ids AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN ids.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  ((sum(CASE WHEN ids.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*))::BIGINT AS dup_ppm
+        |FROM d LEFT JOIN ids ON d.doc_id = ids.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // the exact-Jaccard pair ground truth folded to the source-pair grain
     "dedup_cross_source" ->
