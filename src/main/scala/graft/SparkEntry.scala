@@ -591,8 +591,12 @@ object SparkEntry {
       // involved in ≥1 near-dup pair — the number that says whether a
       // source's row count can be trusted before dedup
       val docs = t(s, dir, "documents")
+      // localCheckpoint: the id_a and id_b union legs would otherwise each
+      // re-run the whole LSH pair pipeline (pruning breaks reuse); the
+      // pair set is output-scale, the right thing to materialize
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b").localCheckpoint()
       val dupIds = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id"))).distinct()
       docs.select("doc_id", "source")

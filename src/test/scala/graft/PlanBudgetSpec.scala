@@ -115,7 +115,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("hll_overlap", 12, 0),
     // (group, term) counts checkpointed (corpus pass once); scores and
     // totals run on the vocabulary-cross frame
-    ("source_terms", 8, 0))
+    ("source_terms", 8, 0),
+    // one narrow quantized-norm map + one groupBy
+    ("embed_norm", 1, 0),
+    // counts + #sources totals broadcast join
+    ("source_lang_mix", 4, 0),
+    // pure-integer epoch arithmetic, one groupBy
+    ("events_heatmap", 1, 0),
+    // merge-table collect (bounded) + encode rollup joins
+    ("bpe_fertility", 4, 0),
+    // pair set checkpointed (LSH lineage runs ONCE); membership join +
+    // per-source fold on the materialized ids
+    ("dup_rate_by_source", 5, 0),
+    // single pairs lineage + two source lookups + source-pair fold
+    ("dedup_cross_source", 25, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
