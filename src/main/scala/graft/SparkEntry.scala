@@ -1719,6 +1719,26 @@ object SparkEntry {
         .withColumnRenamed("bucket", "hour")
     }),
 
+    "events_stickiness" -> ((s, dir) => {
+      // DAU/WAU stickiness per day, EXACT: the (day, user) distinct frame
+      // (far below event grain) is the only corpus pass; WAU re-uses it
+      // through a 7-day range join + distinct — no per-window re-scan of
+      // raw events, no sketch needed at this grain
+      val du = events(s, dir)
+        .select(expr("ts_ns DIV 86400000000000").as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // three consumers (days, dau, wau range join)
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val days = du.select("day").distinct()
+      val wau = days.select(col("day").as("__d"))
+        .join(du, col("day").between(col("__d") - 6, col("__d")))
+        .select(col("__d"), col("user_id")).distinct()
+        .groupBy("__d").agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("__d"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) div wau"))
+        .select("day", "dau", "wau", "stickiness_ppm")
+    }),
+
     "events_heatmap" -> ((s, dir) => {
       // ops profile: hour-of-day × day-of-week activity matrix with value
       // sums in exact micro-units — pure integer arithmetic on ts_ns (no
@@ -1820,6 +1840,21 @@ object SparkEntry {
       out.select(
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("min_v"), col("max_v"))
+    }),
+
+    "stream_heatmap" -> ((s, dir) => {
+      // the live ops-profile heatmap: streaming groupBy (dow, hod) with
+      // count + micro-quantized value sums in complete mode — the sink
+      // holds one 7×24 frame of state; converges to the batch heatmap
+      import graft.streaming.StreamOps
+      val agg = StreamOps.eventsStream(s, s"$dir/events.parquet")
+        .withColumn("hod", expr("(ts_ns DIV 3600000000000) % 24"))
+        .withColumn("dow", expr("((ts_ns DIV 86400000000000) + 3) % 7"))
+        .groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(floor(value * 1000000.0) as long)")).as("value_micro"))
+      StreamOps.runToMemory(s, agg, "graft_stream_heatmap")
+        .select("dow", "hod", "n", "value_micro")
     }),
 
     "stream_topk" -> ((s, dir) => {
@@ -4661,8 +4696,30 @@ object SparkEntry {
         |    END AS est_distinct
         |FROM k""".stripMargin,
 
+    // exact DAU/WAU replay over the (day, user) distinct frame
+    "events_stickiness" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+        |    user_id FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM du),
+        |wau AS (SELECT d.day, count(DISTINCT du.user_id)::BIGINT AS wau
+        |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  ((dau.dau * 1000000) // wau.wau)::BIGINT AS stickiness_ppm
+        |FROM dau JOIN wau USING (day)""".stripMargin,
+
     // same pure-integer epoch arithmetic (dow 0 = Monday via the +3 shift)
     "events_heatmap" ->
+      """SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+        |  (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS value_micro
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming complete-mode aggregate must converge to the batch
+    // heatmap exactly (same integer epoch arithmetic)
+    "stream_heatmap" ->
       """SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
         |  (epoch_ns(ts) // 3600000000000) % 24 AS hod,
         |  count(*)::BIGINT AS n,
