@@ -128,7 +128,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-source fold on the materialized ids
     ("dup_rate_by_source", 5, 0),
     // single pairs lineage + two source lookups + source-pair fold
-    ("dedup_cross_source", 25, 0))
+    ("dedup_cross_source", 25, 0),
+    // (day,user) frame checkpointed; DAU fold + 7-day range join + WAU
+    // fold all run on it, never on raw events
+    ("events_stickiness", 6, 0))
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
