@@ -9,6 +9,7 @@ Usage: selfcheck.py ROUND [SF_DIR] [OUT_DIR]
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -39,9 +40,27 @@ cmp = subprocess.run(
     capture_output=True, text=True)
 compare_s = time.time() - t1
 
-lines = [l for l in cmp.stdout.splitlines() if ": " in l]
-match = [l.split(":")[0] for l in lines if ": MATCH" in l]
-fail = [l.split(":")[0] for l in lines if ": MATCH" not in l]
+# Strict result-line format: "<query>: MATCH (N rows)..." or a mismatch
+# verdict. A substring match on ": " would mis-tally future diagnostic
+# lines (e.g. compare.py's timing table) as failed queries.
+result_re = re.compile(
+    r"^(\S+): (MATCH \(\d+ rows\)|NO SPARK OUTPUT|ORACLE ERROR"
+    r"|SCHEMA MISMATCH|VALUE MISMATCH|TYPE MISMATCH)")
+lines = [m for l in cmp.stdout.splitlines()
+         if (m := result_re.match(l)) is not None]
+match = [m.group(1) for m in lines if m.group(2).startswith("MATCH")]
+fail = [m.group(1) for m in lines if not m.group(2).startswith("MATCH")]
+
+# Guard against doc drift: the query counts written in README.md and
+# SURVEY.md must equal the gated surface (oracle_sql.json size).
+n_oracle = len(json.load(open(os.path.join(out_dir, "oracle_sql.json"))))
+for doc, pat in [("README.md", r"exposes (\d+) named queries"),
+                 ("SURVEY.md", r"(\d+) oracle-gated queries total")]:
+    text = open(os.path.join(repo, doc)).read()
+    m = re.search(pat, text)
+    if not m or int(m.group(1)) != n_oracle:
+        sys.exit(f"{doc} query count {m.group(1) if m else '<missing>'} "
+                 f"!= gated surface {n_oracle}; update the doc")
 summary = {
     "round": round_no,
     "git_sha": sha,

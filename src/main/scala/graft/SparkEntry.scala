@@ -4662,7 +4662,9 @@ object SparkEntry {
         |  min(p10)::BIGINT AS p10, min(p90)::BIGINT AS p90,
         |  sum(CASE WHEN n_chars < p10 THEN 1 ELSE 0 END)::BIGINT AS n_lo,
         |  sum(CASE WHEN n_chars > p90 THEN 1 ELSE 0 END)::BIGINT AS n_hi,
-        |  ((sum(wv)::HUGEINT * 1000000) // count(*))::BIGINT AS wins_mean_ppm
+        |  ((CASE WHEN sum(wv) < 0 THEN -1 ELSE 1 END)
+        |   * ((abs(sum(wv))::HUGEINT * 1000000) // count(*)))::BIGINT
+        |    AS wins_mean_ppm
         |FROM j GROUP BY source""".stripMargin,
 
     // literal-substring replay of the Aho–Corasick sweep: same canary

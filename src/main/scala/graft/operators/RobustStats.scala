@@ -186,7 +186,10 @@ object RobustStats {
         sum(when(col(valueCol) > col("p90"), 1L).otherwise(0L)).as("n_hi"),
         sum(col("__graft_wv").cast("decimal(38,0)")).as("__graft_ws"))
       .withColumn("wins_mean_ppm",
-        expr("(__graft_ws * 1000000) div cast(n as decimal(38,0))"))
+        // Sign-split so Spark's truncating `div` matches DuckDB's floor
+        // `//` on negative winsorized sums too (they agree only on ≥0).
+        expr("case when __graft_ws < 0 then -1 else 1 end" +
+          " * ((abs(__graft_ws) * 1000000) div cast(n as decimal(38,0)))"))
       .select(groupCols.map(col) ++ Seq(col("n"), col("p10"), col("p90"),
         col("n_lo"), col("n_hi"), col("wins_mean_ppm")): _*)
   }

@@ -51,8 +51,11 @@ object Trend {
         count(lit(1)).as("n"),
         sum(dec(col("__x"))).as("__sx"),
         sum(dec(col("__y"))).as("__sy"),
-        sum(dec(col("__x") * col("__y"))).as("__sxy"),
-        sum(dec(col("__x") * col("__x"))).as("__sxx"))
+        // Cast BEFORE multiplying: an int64 product would wrap silently
+        // (non-ANSI) for |x|·|y| ≥ 2^63 while the DuckDB replay errors —
+        // decimal(38,0) products are exact for any pair of longs.
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
       .withColumn("__num",
         dec(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
       .withColumn("__den",

@@ -423,6 +423,10 @@ object StreamOps {
     * cross-batch order is the file/offset order, which the file source
     * already delivers in arrival sequence), so the converged counters
     * equal the batch [[graft.SparkEntry]] `watermark_audit` exactly.
+    * That cross-batch assumption is GUARDED, not trusted: the max
+    * `arrivalCol` seen is tracked in state, and a batch that delivers a
+    * row below it (a reordering source or repartitioned upstream) fails
+    * the task loudly instead of silently converging to wrong counters.
     * `thresholdsNs` must be ascending. */
   def latenessUpdates(
       stream: DataFrame, groupCol: String,
@@ -440,14 +444,24 @@ object StreamOps {
       .as[(String, Long, Long)]
     pts.groupByKey(_._1)
       .flatMapGroupsWithState[
-        (Long, Long, Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long),
         (String, Long, Long, Long, Long, Long, Long, Long)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (grp: String, rows: Iterator[(String, Long, Long)],
-            state: GroupState[(Long, Long, Long, Long, Long, Long, Long, Long)]) =>
-          var (seq, n, maxTs, nOoo, n1, n2, n3, maxLate) = state.getOption
-            .getOrElse((0L, 0L, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
-          rows.toSeq.sortBy(_._2).foreach { case (_, _, ts) =>
+            state: GroupState[
+              (Long, Long, Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (seq, n, maxTs, nOoo, n1, n2, n3, maxLate, maxArr) =
+            state.getOption
+              .getOrElse((0L, 0L, Long.MinValue, 0L, 0L, 0L, 0L, 0L,
+                Long.MinValue))
+          rows.toSeq.sortBy(_._2).foreach { case (_, arr, ts) =>
+            if (arr < maxArr)
+              throw new IllegalStateException(
+                s"latenessUpdates: group $grp received arrival $arr below " +
+                  s"a prior batch's max $maxArr — the source is delivering " +
+                  "slices out of arrival order; counters would diverge " +
+                  "from the batch watermark_audit census")
+            if (arr > maxArr) maxArr = arr
             n += 1
             val late = if (maxTs == Long.MinValue) 0L else maxTs - ts
             if (late > 0) nOoo += 1
@@ -457,7 +471,7 @@ object StreamOps {
             if (late > maxLate) maxLate = late
             if (ts > maxTs) maxTs = ts
           }
-          state.update((seq + 1, n, maxTs, nOoo, n1, n2, n3, maxLate))
+          state.update((seq + 1, n, maxTs, nOoo, n1, n2, n3, maxLate, maxArr))
           Iterator((grp, seq + 1, n, nOoo, n1, n2, n3, maxLate))
       }
       .toDF(groupCol, "update_seq", "n", "n_ooo",

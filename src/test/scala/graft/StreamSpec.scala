@@ -342,6 +342,33 @@ class StreamSpec extends AnyFunSuite {
     assert(fin.agg(sum("n_late_5m")).head().getLong(0) > 0)
   }
 
+  test("lateness audit fails loudly when a source delivers slices out of arrival order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_ooo_")
+    dir.toFile.deleteOnExit()
+    // file 1 carries arrivals 101..200, file 2 arrivals 1..100 — a
+    // reordering source; the equality-with-batch contract is void, so the
+    // operator must throw, not converge to wrong counters.
+    Seq((101L to 200L), (1L to 100L)).foreach { arrs =>
+      arrs.map(a => ("g0", a, a * 1000000000L)).toDF("g", "arr", "ts")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      Thread.sleep(1100) // distinct mtimes so file order is deterministic
+    }
+    val stream = spark.readStream
+      .schema("g STRING, arr BIGINT, ts BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir.toString)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamOps.runToMemory(spark,
+        StreamOps.latenessUpdates(stream, "g", "arr", "ts"),
+        "t_stream_late_ooo", outputMode = "update")
+    }
+    assert(ex.getMessage.contains("out of arrival order") ||
+      Option(ex.getCause).exists(_.getMessage != null &&
+        ex.getCause.getMessage.contains("out of arrival order")))
+  }
+
   test("streaming HLL registers converge to the batch sketch across micro-batch slices") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_shll_")
