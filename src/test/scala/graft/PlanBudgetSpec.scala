@@ -15,15 +15,32 @@ class PlanBudgetSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def counts(name: String): (Int, Int, Int) = {
+  private def counts(name: String): (Int, Int, Int, Int) = {
     val df = SparkEntry.queries(name)(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
     val ex = "Exchange".r.findAllIn(p).size -
       "ReusedExchange".r.findAllIn(p).size // reused = paid once
     val win = "Window".r.findAllIn(p).size
     val cart = "CartesianProduct".r.findAllIn(p).size
-    (ex, win, cart)
+    (ex, win, cart, partitionlessWindows(plan))
   }
+
+  /** Windows with an empty partition spec funnel the whole frame through
+    * ONE task — safe only on a domain-bounded (post-aggregate /
+    * #partitions-grain / grid) frame, melted at 100× on a corpus-grain
+    * one. Budgets pin the COUNT per query so a corpus-grain partitionless
+    * window can't slip into a pinned plan unnoticed (VERDICT r12 #3). */
+  private def partitionlessWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        partitionlessWindows(a.executedPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        if (w.partitionSpec.isEmpty) 1 else 0
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        if (w.partitionSpec.isEmpty) 1 else 0
+    }.sum
 
   // (query, max non-reused exchanges incl. broadcasts, max windows)
   private val budgets = Seq(
@@ -133,14 +150,32 @@ class PlanBudgetSpec extends AnyFunSuite {
     // fold all run on it, never on raw events
     ("events_stickiness", 6, 0))
 
+  // Partitionless-window pins (absent = 0): every allowed one names the
+  // domain-bounded frame that makes a single-task window safe at 100 TB.
+  private val partitionlessPins: Map[String, Int] = Map(
+    // GroupedRank's cross-partition offset window: runs on the
+    // #shuffle-partitions-grain per-partition-counts frame (≤ a few
+    // hundred rows on any cluster), never on the ranked corpus
+    // (GroupedRank.scala offsets step)
+    "model_auc" -> 1,
+    // fair-cap water-filling epilogue: both windows (quota prefix sums)
+    // run on the #groups-grain aggregate frame (Sampling.fairCaps) —
+    // group count is the domain bound, not corpus rows
+    "sample_fair_cap" -> 2)
+
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
-      val (ex, win, cart) = counts(name)
+      val (ex, win, cart, pw) = counts(name)
+      val maxPw = partitionlessPins.getOrElse(name, 0)
       assert(cart == 0, s"$name plans a CartesianProduct")
       assert(ex <= maxEx,
         s"$name now pays $ex exchanges (budget $maxEx) — a shuffle crept in")
       assert(win <= maxWin,
         s"$name now plans $win windows (budget $maxWin)")
+      assert(pw <= maxPw,
+        s"$name now plans $pw partitionless windows (pin $maxPw) — a " +
+          "single-task funnel crept in; if the frame is domain-bounded, " +
+          "raise the pin WITH a comment naming the bound")
     }
   }
 }
