@@ -149,6 +149,74 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skewJoin under AQE: stays correct, pre-empts OptimizeSkewedJoin; plain join is the positive control") {
+    import spark.implicits._
+    // one key carrying 95% of the rows — same shape as the effect test,
+    // but with AQE ON (the Spark 4 default the operator actually meets).
+    // Payloads are pseudo-random hex: AQE's skew detection reads COMPRESSED
+    // map-output sizes, and 40k identical rows lz4 down to nothing
+    def pay(i: Int): String = (0 until 8).map(j =>
+      f"${scala.util.hashing.MurmurHash3.productHash((i, j))}%08x").mkString
+    val hot = ((1 to 40000).map(i => (1L, pay(i))) ++
+      (1 to 2000).map(i => (i.toLong + 1, pay(-i))))
+      .toDF("k", "lv").repartition(8)
+    val rhs = ((1 to 4).map(i => (1L, s"r$i")) ++ (1 to 2000).map(i => (i.toLong + 1, "w")))
+      .toDF("k", "rv")
+    // 0.005 → ~200-way fragmentation of the 40k-row hot key (maxReplication
+    // must be lifted: it defaults to shuffle.partitions=8, and 8 salts into
+    // 8 partitions leaves 2-salt bins over threshold by balls-into-bins
+    // luck; 200 salts spread ~25 per partition, uniform to ±20%)
+    val cfg = SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.005,
+      maxReplication = Some(200))
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds sized between the salted partitions (hot bytes ÷ the 40-way
+    // replication spread, ~160 KB compressed) and the unsalted hot partition
+    // (~1.5 MB): AQE must fire on the plain join and find nothing left to
+    // split after key-level salting
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512kb")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256kb")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // positive control: AQE's partition-level mitigation DOES engage on
+      // the plain shuffle join of the same data
+      // execute each frame's OWN query execution (count() would plan a
+      // separate query and leave this one un-finalized under AQE)
+      def run(df: org.apache.spark.sql.DataFrame): Unit =
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+      val plain = hot.join(rhs, Seq("k"), "inner")
+      run(plain)
+      assert(plain.queryExecution.executedPlan.toString.contains("skew=true"),
+        "control failed: AQE did not mark the plain join skewed — " +
+          "thresholds no longer bite this data shape")
+      // the salted join stays correct under AQE...
+      val salted = hot.skewJoin(rhs, Seq("k"), "inner", cfg)
+      salted.ensureDatasetEquals(hot.join(rhs, Seq("k"), "inner"))
+      // ...and leaves AQE nothing to split: key-level fragmentation already
+      // spread the hot key, so no post-shuffle partition crosses the same
+      // thresholds that fired on the plain join
+      val salted2 = hot.skewJoin(rhs, Seq("k"), "inner", cfg)
+      run(salted2)
+      assert(!salted2.queryExecution.executedPlan.toString.contains("skew=true"),
+        "salted plan still triggered OptimizeSkewedJoin — salting left a " +
+          "partition-level hotspot AQE had to repair")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skewJoin handles an empty side like plain join for every joinType") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
