@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe (VERDICT r12 task 5): synthesize a ~10×-bench-scale
+  * documents corpus and run the heaviest dedup family heads once, reporting
+  * wall time, result cardinality, LSH bucket-cap pressure, and checkpoint
+  * storage — the evidence that the bucket caps and CC checkpoints tuned at
+  * sf0.1 still hold an order of magnitude up.
+  *
+  * Corpus synthesis: each replica k offsets ids by k·10⁸ and appends a
+  * replica-salt token to `text`. NB this does NOT isolate replicas — one
+  * appended token moves 5-gram Jaccard by ~10/215 (J ≈ 0.9 across
+  * replicas) and replicas 1..9 sit at edit distance 1 of each other — so
+  * every source doc becomes a dense ~10-clique under BOTH similarity
+  * metrics, and the probe's pair mass grows ~100× while docs grow 10×.
+  * Deliberately kept: denser-than-linear duplication is the stress case
+  * for the bucket caps, the prefilter, and the CC loop (a merely-linear
+  * corpus would under-test all three). Image bytes are copied verbatim,
+  * so image clusters grow 10× too — same stress for the dHash band cap.
+  *
+  * Usage: runMain graft.ScaleProbe [srcSfDir] [workDir] [replicas]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_scaleprobe")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docsPath = s"$work/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val rep = spark.range(replicas).select(col("id").as("__rep"))
+      base.crossJoin(broadcast(rep))
+        .withColumn("doc_id", col("doc_id") + col("__rep") * 100000000L)
+        .withColumn("text",
+          when(col("__rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" repsalt"), col("__rep"))))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val n = spark.read.parquet(docsPath).count()
+    println(s"PROBE corpus: $n docs at $work (replicas=$replicas of $src)")
+
+    // LSH bucket-cap pressure at probe scale: rebuild the band rows with the
+    // same public expressions the pipeline uses and histogram bucket sizes
+    // against the default cap (256).
+    val docs = spark.read.parquet(docsPath)
+    val sh = docs.select(col("doc_id").as("id"),
+      graft.functions.CharShingleSet.charShingleSet(
+        graft.llm.TextStats.normalizeText(col("text")), 5).as("sh"))
+    val numHashes = 32; val bands = 16; val rowsPerBand = numHashes / bands
+    val sig = sh.select(col("id"),
+      graft.functions.MinHashSig.minHashSig(col("sh"), numHashes).as("__sig"))
+    val bandCols = (0 until bands).map { b =>
+      val stripe = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("__sig"), i + 1))
+      xxhash64(stripe :+ lit(b): _*)
+    }
+    val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)))
+      .groupBy(col("pos").as("band_idx"), col("col").as("band_key"))
+      .agg(count(lit(1)).as("sz"))
+    val capStats = buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("sz") > 256, 1L).otherwise(0L)).as("n_over_cap"),
+      sum(when(col("sz") > 256, col("sz")).otherwise(0L)).as("rows_over_cap"),
+      sum(col("sz")).as("band_rows"),
+      max(col("sz")).as("max_bucket")).head()
+    println(s"PROBE lsh buckets: total=${capStats.getLong(0)} " +
+      s"over_cap=${capStats.getLong(1)} rows_dropped=${capStats.getLong(2)} " +
+      s"of ${capStats.getLong(3)} band rows max_bucket=${capStats.getLong(4)}")
+
+    def checkpointBytes(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+    }
+    val heads = Seq("dedup_minhash", "dedup_apply_priority", "winnow_neardup",
+      "dedup_edit", "image_neardup")
+    heads.foreach { name =>
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(name)(spark, work).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mem, disk) = checkpointBytes()
+      println(f"PROBE $name%-22s $dt%8.1f s  rows=$cnt%-9d " +
+        f"ckpt_mem=${mem / 1048576}%d MiB ckpt_disk=${disk / 1048576}%d MiB")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

@@ -1464,6 +1464,15 @@ object SparkEntry {
       graft.llm.Multimodal.documentImageStats(s, t(s, dir, "documents"))
     }),
 
+    "multimodal_tiff" -> ((s, dir) => {
+      // REAL baseline-TIFF decode (the JDK's built-in TIFF plugin, JDK 9+):
+      // a deterministic TIFF is synthesized per doc_id with its OWN
+      // generating formula, decoded back to actual pixels through the same
+      // format-agnostic ImageIO path as multimodal_decode — shrinking the
+      // opaque-codec stand-in to formats with genuinely no JDK decoder
+      graft.llm.Multimodal.documentTiffStats(s, t(s, dir, "documents"))
+    }),
+
     "multimodal_jpeg" -> ((s, dir) => {
       // REAL lossy JPEG round-trip: smooth ramp pattern → JDK JPEG encoder
       // (DCT + 4:2:0 subsampling) → REAL Huffman+IDCT decode → integer-
@@ -5893,6 +5902,23 @@ object SparkEntry {
         |CROSS JOIN range(0, 15) AS xs(x)
         |CROSS JOIN range(0, 12) AS ys(y)
         |WHERE xs.x < 8 + d.doc_id % 8 AND ys.y < 8 + d.doc_id % 5
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // replays Multimodal.synthesizeTiff's generating formula (width
+    // 8+id%7, height 8+id%6, channel base id·37 + x·11 + y·17, offsets
+    // 0/97/193) — baseline TIFF is lossless, so the REAL ImageIO decode
+    // must reproduce these exact integer channel sums
+    "multimodal_tiff" ->
+      """SELECT d.doc_id AS media_id,
+        |  (8 + d.doc_id % 7)::BIGINT AS width,
+        |  (8 + d.doc_id % 6)::BIGINT AS height,
+        |  sum((d.doc_id * 37 + xs.x * 11 + ys.y * 17) % 256)::BIGINT AS r_sum,
+        |  sum((d.doc_id * 37 + xs.x * 11 + ys.y * 17 + 97) % 256)::BIGINT AS g_sum,
+        |  sum((d.doc_id * 37 + xs.x * 11 + ys.y * 17 + 193) % 256)::BIGINT AS b_sum
+        |FROM documents d
+        |CROSS JOIN range(0, 14) AS xs(x)
+        |CROSS JOIN range(0, 13) AS ys(y)
+        |WHERE xs.x < 8 + d.doc_id % 7 AND ys.y < 8 + d.doc_id % 6
         |GROUP BY d.doc_id""".stripMargin,
 
     // replays Multimodal.synthesizeWav's sample formula: sample i of clip id

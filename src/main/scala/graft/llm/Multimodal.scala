@@ -179,6 +179,51 @@ object Multimodal {
     decodeImageStats(records).toDF()
   }
 
+  /** Deterministic RGB test pattern for `id`, encoded as a real baseline
+    * TIFF by the JDK's built-in TIFF plugin (in `javax.imageio` since
+    * JDK 9 — dependency-free like PNG). A DIFFERENT generating formula
+    * than [[synthesizePng]] (`width = 8 + id%7`, `height = 8 + id%6`,
+    * channel base `id·37 + x·11 + y·17`, offsets 0/97/193) so the TIFF
+    * query is its own oracle surface, not an alias of the PNG one.
+    * Baseline RGB TIFF is lossless, so decode returns exact values. */
+  def synthesizeTiff(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeTiff needs a non-negative id, got $id")
+    val w = 8 + (id % 7).toInt
+    val h = 8 + (id % 6).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 37 + x * 11 + y * 17
+        val r = (base % 256).toInt
+        val g = ((base + 97) % 256).toInt
+        val b = ((base + 193) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, "tiff", baos)
+    require(ok, "JDK TIFF ImageWriter unavailable")
+    baos.toByteArray
+  }
+
+  /** End-to-end real-TIFF pipeline over the documents table: synthesize a
+    * deterministic baseline TIFF per doc_id, decode REAL pixels back out
+    * through the same [[decodeImageStats]] path (ImageIO dispatches on the
+    * container's magic bytes — nothing image-stats-side is format-aware).
+    * Narrow `mapPartitions` stages end to end, shuffle-free. */
+  def documentTiffStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ImageRecord(id, synthesizeTiff(id)))
+    }
+    decodeImageStats(records).toDF()
+  }
+
   /** Perceptual difference-hash of a decoded image: gray = r+g+b at a
     * fixed 9×8 nearest-neighbor sample grid (`xs(i) = i·(w−1) div 8`,
     * `ys(j) = j·(h−1) div 7` — integer-exact, no empty pooling boxes at

@@ -585,6 +585,31 @@ class LlmSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("tiff decode: REAL JDK TIFF plugin round-trips its own generating formula") {
+    import spark.implicits._
+    def reference(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = 8 + (id % 7); val h = 8 + (id % 6)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        val base = id * 37 + x * 11 + y * 17
+        rs += base % 256; gs += (base + 97) % 256; bs += (base + 193) % 256
+      }
+      (w, h, rs, gs, bs)
+    }
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.ImageRecord(id, Multimodal.synthesizeTiff(id)))
+    // genuine TIFF containers: little-endian "II*\0" or big-endian "MM\0*"
+    val magic = records.head().content.take(4).toSeq
+    assert(magic == Seq[Byte]('I', 'I', 42, 0) || magic == Seq[Byte]('M', 'M', 0, 42),
+      s"not a TIFF header: $magic")
+    val got = Multimodal.decodeImageStats(records).collect()
+      .map(s => s.media_id -> ((s.width, s.height, s.r_sum, s.g_sum, s.b_sum))).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      assert(got(id) == reference(id), s"decoded TIFF stats diverge for id=$id")
+    }
+  }
+
   test("stripHtml: blocks die with content, tags die, entities decode, amp last") {
     import spark.implicits._
     val cases = Seq(
