@@ -454,6 +454,17 @@ object SparkEntry {
         y = expr("cast(floor(value * 1000000.0) as long)"))
     }),
 
+    "events_theilsen" -> ((s, dir) => {
+      // robust per-type trend: Theil–Sen median of pairwise slopes over
+      // the DAILY metric-mass grid — outlier days can't move it, unlike
+      // events_trend's OLS; the O(grid²) pair stage runs on the
+      // #types × #days frame, never on raw events
+      graft.operators.Trend.theilSenTrend(
+        events(s, dir), Seq("event_type"),
+        x = expr("ts_ns div 86400000000000"),
+        y = expr("cast(floor(value * 1000000.0) as long)"))
+    }),
+
     "length_ks" -> ((s, dir) => {
       // cross-source distribution-shift audit: pairwise two-sample KS
       // distance over document lengths in exact integer ppm — flags a
@@ -637,9 +648,13 @@ object SparkEntry {
       // ≥9e-4 from every decision boundary, so last-ulp libm differences
       // can never flip a pick. Integer output columns only.
       import s.implicits._
+      // extremes (1%, 2%, 97.5%, 99%) gate the planner where the log-space
+      // fit is most fragile: the picks degenerate to (nh,1)/(1,nh) splits,
+      // and every added point sits ≥1.5e-3 in log space from the nearest
+      // split-flip boundary, so libm last-ulp noise cannot flip a pick
       val rows = for {
         nh <- Seq(16, 32, 64)
-        tp <- (1 to 19).map(_ * 50000)
+        tp <- Seq(10000, 20000) ++ (1 to 19).map(_ * 50000) ++ Seq(975000, 990000)
       } yield {
         val p = graft.llm.Dedup.lshPlan(tp / 1e6, nh)
         (tp.toLong, nh.toLong, p.bands.toLong, p.rowsPerBand.toLong)
@@ -933,6 +948,15 @@ object SparkEntry {
         .withColumn("lang_pred", graft.llm.TextStats.langId(col("text")))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    "text_ttr" -> ((s, dir) => {
+      // per-source lexical richness: type-token ratio + hapax share in
+      // exact ppm — the vocabulary-collapse signal (template/boilerplate
+      // corpora) that n-gram repetition only approximates; one corpus
+      // explode+groupBy, then a #vocab-grain fold
+      graft.llm.TextStats.lexicalRichness(
+        t(s, dir, "documents"), "source", "text")
     }),
 
     "langid_kappa" -> ((s, dir) => {
@@ -1312,6 +1336,17 @@ object SparkEntry {
         graft.llm.Similarity.bruteForceTopK(
           q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 3),
         k = 3)
+    }),
+
+    "eval_mrr" -> ((s, dir) => {
+      // retrieval eval, MRR flavor: rank of the FIRST same-label neighbor
+      // in the full cosine ordering per query, reciprocal in exact ppm —
+      // computed by argmax + ahead-count aggregates, never a corpus-scale
+      // ranking window
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.meanReciprocalRank(
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label")
     }),
 
     "ann_ivfpq" -> ((s, dir) => {
@@ -4305,8 +4340,10 @@ object SparkEntry {
         |FROM ue JOIN est ea ON ea.event_type = ue.ga
         |JOIN est eb ON eb.event_type = ue.gb""".stripMargin,
 
-    // exact rational OLS slope replay: int64 per-row products, HUGEINT
-    // sums, truncation-toward-zero via sign × floor-// on |num|
+    // exact rational OLS slope replay: HUGEINT per-row products (exact for
+    // any long pair, matching the Spark side's decimal(38,0) products and
+    // the streaming fold's BigInt), truncation-toward-zero via sign ×
+    // floor-// on |num|
     "events_trend" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 - 1704067200 AS x,
@@ -4314,7 +4351,8 @@ object SparkEntry {
         |  FROM events),
         |a AS (SELECT event_type, count(*)::HUGEINT AS n,
         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |    sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+        |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS sxx
         |  FROM e GROUP BY 1)
         |SELECT event_type, n::BIGINT AS n,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
@@ -4322,6 +4360,29 @@ object SparkEntry {
         |      ((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
         |    )::BIGINT END AS slope_ppm
         |FROM a""".stripMargin,
+
+    // Theil–Sen replay: daily metric-mass grid, all pairwise slopes as
+    // sign-split integer ppm (truncation both engines), lower-middle
+    // median by row_number — groups with <2 grid days are absent
+    "events_theilsen" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (SELECT event_type, d, sum(y)::HUGEINT AS y
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    ((CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(b.y - a.y) * 1000000) // (b.d - a.d)::HUGEINT))::BIGINT
+        |      AS slope_ppm
+        |  FROM g a JOIN g b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, slope_ppm,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_ppm) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM p)
+        |SELECT event_type, cnt::BIGINT AS n_pairs, slope_ppm AS theilsen_ppm
+        |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
 
     // the streaming fold's converged state must equal the batch trend
     // exactly (same power sums, same truncating rational) — replay verbatim
@@ -4332,7 +4393,8 @@ object SparkEntry {
         |  FROM events),
         |a AS (SELECT event_type, count(*)::HUGEINT AS n,
         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |    sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+        |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS sxx
         |  FROM e GROUP BY 1)
         |SELECT event_type, n::BIGINT AS n,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
@@ -4820,6 +4882,23 @@ object SparkEntry {
          |  (coalesce(hits.n_hits, 0) * 1000000 // 3)::BIGINT AS recall_ppm
          |FROM q2 LEFT JOIN hits USING (query_id)""".stripMargin,
 
+    // MRR replay: full cosine ranking (same ORDER BY cos DESC, id total
+    // order as ann_bruteforce), min rank among same-label neighbors,
+    // reciprocal in integer ppm; label-less queries are absent both sides
+    "eval_mrr" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
+        |  WHERE vec_id < 20),
+        |s AS (SELECT query_id, q.label, e.vec_id AS nid,
+        |    e.label AS nlabel, list_cosine_similarity(qv, v) AS cos
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
+        |r AS (SELECT query_id, label, nid, nlabel, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rank FROM s)
+        |SELECT query_id, label, min(rank)::BIGINT AS first_rank,
+        |  (1000000 // min(rank))::BIGINT AS rr_ppm
+        |FROM r WHERE nlabel = label GROUP BY 1, 2""".stripMargin,
+
     "ann_ivfpq" -> annIvfPqSql(),
 
     "ann_ivf_trained" -> annIvfTrainedSql(),
@@ -5229,7 +5308,9 @@ object SparkEntry {
       """WITH params AS (
         |  SELECT nh.nh AS num_hashes, tp.tp AS threshold_ppm
         |  FROM (SELECT unnest([16, 32, 64])::BIGINT AS nh) nh
-        |  CROSS JOIN (SELECT unnest(range(1, 20)) * 50000 AS tp) tp),
+        |  CROSS JOIN (SELECT unnest(range(1, 20)) * 50000 AS tp
+        |    UNION ALL
+        |    SELECT unnest([10000, 20000, 975000, 990000])::BIGINT AS tp) tp),
         |cand AS (
         |  SELECT threshold_ppm, num_hashes,
         |    r.r AS rows_per_band, num_hashes // r.r AS bands,
@@ -5659,6 +5740,25 @@ object SparkEntry {
         |  sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT
         |    AS sum_punct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // lexical-richness replay: same normalize+whitespace tokens as the
+    // dedup/vocab oracles, (source, token) counts, integer-ppm ratios
+    "text_ttr" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+        |      ' ', 'g'), ' +', ' ', 'g')), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tc AS (SELECT source, token, count(*)::BIGINT AS c
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT source, sum(c)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  ((count(*) * 1000000) // sum(c))::BIGINT AS ttr_ppm,
+        |  ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*))::BIGINT AS hapax_ppm
+        |FROM tc GROUP BY source""".stripMargin,
 
     "text_langid" ->
       """WITH scored AS (

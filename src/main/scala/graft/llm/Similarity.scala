@@ -68,6 +68,61 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Mean-reciprocal-rank retrieval eval: per query vector, the rank of
+    * the FIRST relevant (same-label) corpus vector in the full cosine
+    * ordering, and its reciprocal in exact micro-units
+    * (`rr_ppm = 10⁶ div first_rank` — integer both engines). The standard
+    * "did retrieval surface a right answer early" metric next to
+    * recall@k ([[eval_ann_recall]]'s shape): recall asks how many of the
+    * true neighbors landed in the top-k, MRR asks how deep the reader
+    * must scroll for the first one.
+    *
+    * '''Plan shape.''' Never materializes the full ranking: the first
+    * relevant candidate is the relevant argmax of `(cosine, -id)` (one
+    * aggregate), and its rank is `1 + #candidates strictly ahead of it`
+    * (one more aggregate over the same scored frame) — two
+    * map-side-combined passes over broadcast(queries) × corpus, no
+    * corpus-scale window or sort. "Ahead" uses the same
+    * `(cosine DESC, id ASC)` total order as [[bruteForceTopK]], so ranks
+    * agree with it exactly. Queries whose label never appears in the
+    * corpus (minus themselves) have no first relevant and are absent.
+    *
+    * This is an EVAL harness: `queries` is a bounded sampled set (the
+    * broadcast side), corpus-side cost is one scan per eval — the same
+    * contract as the ANN recall eval. */
+  def meanReciprocalRank(
+      queries: DataFrame, qIdCol: String, qVecCol: String, qLabelCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String, cLabelCol: String)
+      : DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qLabelCol).as("label"), col(qVecCol).as("qv"),
+      l2Norm(col(qVecCol)).as("__qn"))
+    val c = corpus.select(col(cIdCol).as("__nid"),
+      col(cLabelCol).as("__nlabel"), col(cVecCol).as("cv"),
+      l2Norm(col(cVecCol)).as("__cn"))
+    val denom = col("__qn") * col("__cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__nid") =!= col("query_id"))
+      .withColumn("__cos",
+        when(denom === 0, 0.0).otherwise(dot(col("qv"), col("cv")) / denom))
+      .select("query_id", "label", "__nid", "__nlabel", "__cos")
+    // scored feeds the argmax AND the rank count: two corpus scans per
+    // eval (deliberately NOT checkpointed — the frame is corpus × queries,
+    // the one thing the house rule says never to materialize)
+    val first = scored.filter(col("__nlabel") === col("label"))
+      .groupBy("query_id")
+      .agg(max(struct(col("__cos").as("c"), (-col("__nid")).as("ni")))
+        .as("__best"))
+      .select(col("query_id").as("__bq"), col("__best.c").as("__bcos"),
+        (-col("__best.ni")).as("__bid"))
+    scored.join(broadcast(first), col("query_id") === col("__bq"))
+      .groupBy(col("query_id"), col("label"))
+      .agg((sum(when(col("__cos") > col("__bcos") ||
+          (col("__cos") === col("__bcos") && col("__nid") < col("__bid")),
+        1L).otherwise(0L)) + 1L).as("first_rank"))
+      .withColumn("rr_ppm", expr("1000000 div first_rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of N
     * independently-ranked retrieval lists — the standard hybrid-search
     * combiner (dense ANN + sparse BM25): each list contributes

@@ -68,6 +68,33 @@ object TextStats {
     * engines, so it doubles as an oracle-checkable exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Per-group lexical richness: token mass, vocabulary size (types),
+    * hapax legomena (types occurring exactly once), and the two classic
+    * ratios in exact ppm — type-token ratio (types/tokens: low = rote,
+    * template-heavy text; the quality signal n-gram repetition only
+    * approximates) and hapax share (hapax/types: the Zipf tail mass —
+    * collapses under boilerplate/dedup-worthy corpora). Tokens are
+    * [[normalizeText]] whitespace tokens, so the contract replays exactly
+    * in SQL.
+    *
+    * '''Plan shape (100 TB).''' One explode + map-side-combined groupBy to
+    * (group, token) counts — the same single corpus exchange a TF table
+    * costs — then a #vocab-grain fold per group. No window, no second
+    * corpus pass. */
+  def lexicalRichness(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol),
+      explode(tokens(normalizeText(col(textCol)))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
+
   /** Web-page chrome removal: strip `<script>`/`<style>` blocks (their
     * CONTENT is not page text), drop all remaining tags, decode the six
     * ubiquitous character entities, and collapse whitespace — the

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * defined, and silently emitting 0 would read as "flat" — a different
   * claim).
   *
-  * '''Overflow envelope.''' Per-row products `x·y`, `x·x` are computed in
-  * int64 (caller keeps `|x| ≤ 2³¹`, `|y| ≤ 2³¹` — a month of seconds and
-  * micro-quantized metrics sit far inside); the sums and the `n·Σ`
-  * cross-terms run in decimal(38,0). With `|x| ≤ 3·10⁶` s and
+  * '''Overflow envelope.''' Per-row products `x·y`, `x·x` run in
+  * decimal(38,0) (exact for ANY pair of longs — int64 products would wrap
+  * silently under non-ANSI Spark while the DuckDB replay errors loudly);
+  * the sums and the `n·Σ` cross-terms run in decimal(38,0) too. With `|x| ≤ 3·10⁶` s and
   * `|y| ≤ 5·10⁸` micro-units, `|num|·10⁶ ≤ n²·1.5·10²¹` stays inside 38
   * digits to n ≈ 10⁸ rows PER GROUP — beyond that, rebase the x anchor
   * (trend windows at 100 TB are per-day/week anyway, which also rebases).
@@ -66,5 +66,60 @@ object Trend {
             when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
               expr("(abs(__num) * 1000000) div __den")))
       .select(groupCols.map(col) :+ col("n") :+ col("slope_ppm"): _*)
+  }
+
+  /** Per-group Theil–Sen trend — the MEDIAN of pairwise slopes, the robust
+    * twin of [[groupedTrend]]: a handful of outlier days cannot move it
+    * (OLS has breakdown point 0; Theil–Sen survives ~29% corruption).
+    *
+    * '''Exactness contract.''' Caller supplies an integer GRID key `x`
+    * (e.g. epoch day — the estimator is O(grid²), so x must be
+    * domain-bounded, never a raw event timestamp) and integer `y`; rows
+    * collapse to per-(group, x) sums first, each pairwise slope is the
+    * exact `sign(Δy)·((|Δy|·10⁶) div Δx)` (truncation toward zero — the
+    * sign-split makes DuckDB's floor `//` replay it bit-for-bit), and the
+    * median is the lower-middle element (`rank = (n_pairs+1) div 2` of the
+    * ascending ordering — an actual measured slope, not an average of
+    * two). Groups with fewer than two grid points have no defined slope
+    * and are absent from the output.
+    *
+    * '''Plan shape (100 TB).''' One map-side-combined corpus pass to the
+    * (group, x) grid; the grid is localCheckpointed (it feeds both sides
+    * of the pair self-join) and everything after — the O(grid²) pair join,
+    * the per-group median window — runs on the #groups × #grid-points
+    * frame, never on raw rows. */
+  def theilSenTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val grid = df.select(
+      groupCols.map(col) ++ Seq(
+        x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__x"): _*)
+      .agg(sum(dec(col("__y"))).as("__y"))
+      .localCheckpoint()
+    val a = groupCols.foldLeft(
+      grid.withColumnRenamed("__x", "__xa").withColumnRenamed("__y", "__ya")) {
+      (d, c) => d.withColumnRenamed(c, s"__g_$c")
+    }
+    val pairs = a.join(grid,
+      groupCols.map(c => col(s"__g_$c") <=> col(c)).reduce(_ && _) &&
+        col("__xa") < col("__x"))
+      .withColumn("__dy", col("__y") - col("__ya"))
+      .withColumn("slope_ppm",
+        (when(col("__dy") < 0, -1L).otherwise(1L) *
+          expr("(abs(__dy) * 1000000) div cast(__x - __xa as decimal(38,0))"))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    pairs
+      .withColumn("__rn", row_number().over(w.orderBy(col("slope_ppm"))))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2")) // integer div: Spark `/` is double
+      .select(groupCols.map(col) ++ Seq(
+        col("__cnt").as("n_pairs"), col("slope_ppm").as("theilsen_ppm")): _*)
   }
 }

@@ -585,6 +585,25 @@ class LlmSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("lexicalRichness: exact type/token/hapax counts and ppm ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      // src a: tokens = [the, cat, the, dog] → 4 tokens, 3 types,
+      // hapax {cat, dog} = 2; ttr = 750000, hapax = 666666
+      (1L, "The cat; the DOG!", "a"),
+      // src b over two docs: [x x x], [y] → 4 tokens, 2 types, hapax {y}
+      (2L, "x x x", "b"), (3L, "y", "b"),
+      // punctuation-only doc contributes no tokens (src b unchanged)
+      (4L, "?!...", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.lexicalRichness(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("a") == ((4L, 3L, 2L, 750000L, 666666L)))
+    assert(got("b") == ((4L, 2L, 1L, 500000L, 500000L)))
+  }
+
   test("tiff decode: REAL JDK TIFF plugin round-trips its own generating formula") {
     import spark.implicits._
     def reference(id: Long): (Long, Long, Long, Long, Long) = {

@@ -148,7 +148,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("dedup_cross_source", 25, 0),
     // (day,user) frame checkpointed; DAU fold + 7-day range join + WAU
     // fold all run on it, never on raw events
-    ("events_stickiness", 6, 0))
+    ("events_stickiness", 6, 0),
+    // daily grid checkpointed (one corpus pass); pair join + median
+    // windows run on the #types × #days frame
+    ("events_theilsen", 2, 2),
+    // two aggregate passes over broadcast(queries) × corpus — no corpus
+    // window/sort; exchanges are the per-query folds + broadcasts
+    ("eval_mrr", 5, 0),
+    // one corpus explode+groupBy to (source, token), one #vocab-grain fold
+    ("text_ttr", 2, 0),
+    // synthesize + decode are narrow mapPartitions — shuffle-free
+    ("multimodal_tiff", 0, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.

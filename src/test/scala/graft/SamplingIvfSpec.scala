@@ -108,6 +108,41 @@ class SamplingIvfSpec extends AnyFunSuite {
     ivf.ensureDatasetEquals(bf)
   }
 
+  test("meanReciprocalRank: hand-built geometry, ranks agree with bruteForceTopK") {
+    import spark.implicits._
+    // axis-aligned unit-ish vectors: for q=(1,0), candidates sorted by
+    // cosine are 10 (same dir), 11 (30°), 12 (60°), 13 (90°). Labels put
+    // the first relevant at rank 1 for q1 (10 shares label 7) and at
+    // rank 3 for q2 (only 12 shares label 8).
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.0f, 1.0f), 8),
+      (10L, Array(0.9f, 0.0f), 7), (11L, Array(0.866f, 0.5f), 9),
+      (12L, Array(0.5f, 0.866f), 8), (13L, Array(0.0f, 0.7f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val q = data.filter(col("vec_id") < 10)
+    val got = Similarity.meanReciprocalRank(
+      q, "vec_id", "embedding", "label",
+      data, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // q1=(1,0): first same-label (7) neighbor is 10 at rank 1 → rr 1e6
+    assert(got(1L) == ((1L, 1000000L)))
+    // q2=(0,1): ordering is 13 (cos 1), 12, 2?  — q2 excluded as self;
+    // candidates by cosine to (0,1): 13 (1.0), 12 (.866), 11 (.5), 1/10 (0)
+    // first label-8 is 12 at rank 2 → rr 500_000
+    assert(got(2L) == ((2L, 500000L)))
+    // cross-check first_rank against the full bruteForceTopK ranking
+    val bf = Similarity.bruteForceTopK(q, "vec_id", "embedding",
+        data, "vec_id", "embedding", k = 10)
+      .join(data.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("label").as("ql")),
+        Seq("query_id"))
+      .filter(col("nl") === col("ql"))
+      .groupBy("query_id").agg(min("rank").as("first_rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == bf)
+  }
+
   test("ivfTopK with fewer probes returns at most k ranked rows per query") {
     val q = emb.filter(col("vec_id") < 5)
     val out = Similarity.ivfTopK(q, "vec_id", "embedding",

@@ -30,6 +30,51 @@ class TrendKsHllSpec extends AnyFunSuite {
     assert(got("g4") == ((2L, None)))
   }
 
+  test("theilSenTrend: exact pairwise-slope median, grid collapse, <2-point groups absent") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: grid (0,0),(1,2),(2,4) → slopes {2,2,2}·1e6, median 2_000_000
+      ("g1", 0L, 0L), ("g1", 1L, 2L), ("g1", 2L, 4L),
+      // g2: (0,0),(1,1),(2,10) → slopes {1e6, 9e6, 5e6}; median = 5_000_000
+      ("g2", 0L, 0L), ("g2", 1L, 1L), ("g2", 2L, 10L),
+      // g3: repeated x rows must SUM on the grid first: x=0 has 1+2=3,
+      // x=1 has 4 → one pair, slope 1_000_000
+      ("g3", 0L, 1L), ("g3", 0L, 2L), ("g3", 1L, 4L),
+      // g4: negative slope, truncation toward zero: (0,1),(3,-1) →
+      // dy=-2, -((2*1e6) div 3) = -666_666 (floor would give -666_667)
+      ("g4", 0L, 1L), ("g4", 3L, -1L),
+      // g5: single grid point → no pairs → absent
+      ("g5", 7L, 3L)
+    ).toDF("g", "x", "y")
+    val got = Trend.theilSenTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("g1") == ((3L, 2000000L)))
+    assert(got("g2") == ((3L, 5000000L)))
+    assert(got("g3") == ((1L, 1000000L)))
+    assert(got("g4") == ((1L, -666666L)))
+    assert(!got.contains("g5"))
+  }
+
+  test("theilSenTrend shrugs off the outlier day that drags OLS") {
+    import spark.implicits._
+    // y = x on days 0..20, except the LAST day reports 10_000 (a bad
+    // backfill at the edge, where OLS leverage is maximal — a center
+    // outlier has x−x̄ = 0 and would not move the OLS slope at all)
+    val rows = (0L to 20L).map(x => ("m", x, if (x == 20) 10000L else x))
+    val df = rows.toDF("g", "x", "y")
+    val ts = Trend.theilSenTrend(df, Seq("g"), col("x"), col("y"))
+      .head().getLong(2)
+    val ols = Trend.groupedTrend(df, Seq("g"), col("x"), col("y"))
+      .head().getLong(2)
+    // the true slope is 1e6; one corrupted day of 21 must not move the
+    // median-of-slopes beyond the truncation granularity…
+    assert(math.abs(ts - 1000000L) <= 1,
+      s"Theil–Sen moved to $ts under one outlier")
+    // …while OLS gets dragged by orders of magnitude
+    assert(math.abs(ols - 1000000L) > 100000L,
+      s"control failed: OLS at $ols barely moved — outlier too weak")
+  }
+
   test("groupedTrend is partitioning-invariant (decimal sums commute)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
