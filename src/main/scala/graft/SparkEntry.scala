@@ -950,6 +950,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    "pareto_density" -> ((s, dir) => {
+      // Pareto frontier (skyline) of (maximize tokens, minimize chars) —
+      // the token-densest documents at every length budget; grid-collapsed
+      // running max, never the O(n²) dominance join
+      val docs = t(s, dir, "documents")
+      graft.operators.Skyline.paretoFrontier2D(
+        docs.select(col("doc_id"), col("n_chars"),
+          graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_toks")),
+        x = col("n_toks"), y = -col("n_chars"))
+        .select("doc_id", "n_toks", "n_chars")
+    }),
+
+    "dedup_apply_unbiased" -> ((s, dir) => {
+      // transitive apply with a HASH-elected representative: each cluster
+      // keeps the member with the smallest md5₄₈(id) — a uniform draw that
+      // kills min-id's systematic bias toward the oldest crawl (ids encode
+      // ingest order in real corpora); same CC backbone, same election
+      // aggregate, different priority
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+      graft.llm.Dedup.dropNearDuplicatesByPriority(
+        docs.withColumn("__hpri",
+          -conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")),
+        "doc_id", "__hpri", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     "text_ttr" -> ((s, dir) => {
       // per-source lexical richness: type-token ratio + hapax share in
       // exact ppm — the vocabulary-collapse signal (template/boilerplate
@@ -5740,6 +5770,52 @@ object SparkEntry {
         |  sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT
         |    AS sum_punct
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // skyline replay straight from the dominance definition: survive iff
+    // no row is ≥ on both axes and > on one — the NOT EXISTS form is the
+    // ground truth the grid-collapsed running max must reproduce
+    "pareto_density" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0))::BIGINT AS n_toks
+        |  FROM documents)
+        |SELECT a.doc_id, a.n_toks, a.n_chars FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE b.n_toks >= a.n_toks AND b.n_chars <= a.n_chars
+        |    AND (b.n_toks > a.n_toks OR b.n_chars < a.n_chars))""".stripMargin,
+
+    // same token-join pair backbone + closure as dedup_apply_cc; the
+    // representative is the md5₄₈-minimal member (ties to smaller id)
+    "dedup_apply_unbiased" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |    FROM documents)),
+        |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+        |p AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        |w AS (SELECT node, row_number() OVER (PARTITION BY component
+        |    ORDER BY ('0x' || substr(md5(node::VARCHAR), 1, 12))::BIGINT,
+        |      node) AS rn FROM comp),
+        |dropped AS (SELECT node AS doc_id FROM w WHERE rn > 1)
+        |SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
 
     // lexical-richness replay: same normalize+whitespace tokens as the
     // dedup/vocab oracles, (source, token) counts, integer-ppm ratios

@@ -158,7 +158,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one corpus explode+groupBy to (source, token), one #vocab-grain fold
     ("text_ttr", 2, 0),
     // synthesize + decode are narrow mapPartitions — shuffle-free
-    ("multimodal_tiff", 0, 0))
+    ("multimodal_tiff", 0, 0),
+    // per-x grid groupBy + grid window + broadcast semi back to corpus
+    ("pareto_density", 3, 1),
+    // CC runs pre-materialized; this pins the election + stitch plan
+    ("dedup_apply_unbiased", 8, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -171,7 +175,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // fair-cap water-filling epilogue: both windows (quota prefix sums)
     // run on the #groups-grain aggregate frame (Sampling.fairCaps) —
     // group count is the domain bound, not corpus rows
-    "sample_fair_cap" -> 2)
+    "sample_fair_cap" -> 2,
+    // skyline running max: ONE partitionless window over the per-x grid —
+    // the frame is the metric's #distinct-x domain, never corpus rows
+    // (Skyline.paretoFrontier2D's whole design point)
+    "pareto_density" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
