@@ -875,6 +875,37 @@ object SparkEntry {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    "dedup_cluster_quality" -> ((s, dir) => {
+      // dedup QA, similarity grain: per cluster size — how many clusters,
+      // how many verified pairs, and the min/avg pair Jaccard in exact ppm
+      // (floor of the same IEEE double both engines compute). Validates the
+      // 0.5 threshold: a size bucket whose min_j_ppm hugs the threshold is
+      // chaining, one far above it is true duplication. The pair frame is
+      // near-dup-sized — localCheckpointed once for its two consumers (CC
+      // edges + the quality rollup), per the bounded-frame checkpoint rule
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .withColumn("j_ppm", floor(col("jaccard") * 1000000).cast("long"))
+        .select("id_a", "id_b", "j_ppm")
+        .localCheckpoint()
+      val comps = graft.operators.ConnectedComponents
+        .connectedComponents(pairs.select("id_a", "id_b"))
+      val sizes = comps.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      val perComp = pairs
+        .join(comps, col("id_a") === col("node"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("__np"), min("j_ppm").as("__minj"),
+          sum("j_ppm").as("__sumj"))
+      sizes.join(perComp, Seq("component"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("__np").as("n_pairs"),
+          min("__minj").as("min_j_ppm"),
+          expr("sum(__sumj) div sum(__np)").as("avg_j_ppm"))
+    }),
+
     "dedup_groups_incremental" -> ((s, dir) => {
       // daily-ingest clustering: 80% of docs are "yesterday's corpus",
       // already clustered into an assignment; the fresh 20% arrive with
@@ -1426,6 +1457,30 @@ object SparkEntry {
         emb, "vec_id", "embedding", k = 3, nProbe = 4,
         centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent click within a 7-day window (the as-of union-window plan —
+      // one shuffle of |purchases|+|clicks|, no range join), rolled up per
+      // purchase day with exact micro-unit value mass
+      val ev = events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event_id"),
+          col("ts_ns").as("c_ts_ns"))
+      graft.operators.AsofJoin.asofJoin(
+        purch, clicks, Seq("user_id"), "ts_ns", "c_ts_ns",
+        tieBreakCol = Some("c_event_id"))
+        .withColumn("__attr", col("c_ts_ns").isNotNull &&
+          col("ts_ns") - col("c_ts_ns") <= 604800000000000L)
+        .groupBy(expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("__attr"), 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("__attr"),
+            expr("cast(floor(value * 1000000.0) as long)")).otherwise(0L))
+            .as("attributed_value_micro"))
     }),
 
     "asof_join" -> ((s, dir) => {
@@ -4937,6 +4992,26 @@ object SparkEntry {
 
     "ann_pq_trained" -> annPqTrainedSql(),
 
+    // last-touch replay: per purchase, max prior click time by the same
+    // user (the window flag depends only on that max, so argmax ties are
+    // moot), 7-day window test, purchase-day rollup in exact micro-units
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ct FROM events
+        |  WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id, p.t, p.v, max(c.ct) AS ct
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ct <= p.t
+        |  GROUP BY 1, 2, 3),
+        |a AS (SELECT t // 86400000000000 AS day, v,
+        |    (ct IS NOT NULL AND t - ct <= 604800000000000) AS attr FROM m)
+        |SELECT day, count(*)::BIGINT AS n_purchases,
+        |  sum(CASE WHEN attr THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+        |  sum(CASE WHEN attr THEN v ELSE 0 END)::BIGINT
+        |    AS attributed_value_micro
+        |FROM a GROUP BY day""".stripMargin,
+
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation (inclusive backward match on exact
     // nanosecond longs; (user_id, ts) pairs are unique in the data).
@@ -5624,6 +5699,45 @@ object SparkEntry {
         |SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node""".stripMargin,
 
     // the same closure, aggregated twice: component → size → histogram
+    // cluster-quality replay: token-join pairs WITH their Jaccard doubles,
+    // closure, per-component pair stats (ppm floors of the same IEEE
+    // division), cluster-size rollup with `//` ↔ `div` integer means
+    "dedup_cluster_quality" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+        |pj AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |    CAST(floor(icnt::DOUBLE / (sza + szb - icnt) * 1000000)
+        |      AS BIGINT) AS j_ppm FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pj
+        |      UNION SELECT id_b, id_a FROM pj),
+        |r AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+        |  WHERE r.lbl < e.dst),
+        |comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp
+        |  GROUP BY 1),
+        |pc AS (SELECT comp.component, pj.j_ppm
+        |  FROM pj JOIN comp ON comp.node = pj.id_a),
+        |agg AS (SELECT component, count(*) AS np, min(j_ppm) AS minj,
+        |    sum(j_ppm)::HUGEINT AS sumj FROM pc GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  sum(np)::BIGINT AS n_pairs, min(minj)::BIGINT AS min_j_ppm,
+        |  (sum(sumj) // sum(np))::BIGINT AS avg_j_ppm
+        |FROM sz JOIN agg USING (component)
+        |GROUP BY cluster_size""".stripMargin,
+
     "dedup_cluster_sizes" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN

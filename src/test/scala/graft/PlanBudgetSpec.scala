@@ -162,7 +162,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-x grid groupBy + grid window + broadcast semi back to corpus
     ("pareto_density", 3, 1),
     // CC runs pre-materialized; this pins the election + stitch plan
-    ("dedup_apply_unbiased", 8, 0))
+    ("dedup_apply_unbiased", 8, 0),
+    // pair frame checkpointed once (CC edges + quality rollup); size and
+    // per-component folds run on the #components frame
+    ("dedup_cluster_quality", 6, 0),
+    // one tagged-union shuffle + running-last window (the as-of plan) +
+    // the day rollup — never a range join
+    ("events_attribution", 2, 1))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
