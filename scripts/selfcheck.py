@@ -54,6 +54,18 @@ fail = [m.group(1) for m in lines if not m.group(2).startswith("MATCH")]
 # Guard against doc drift: the query counts written in README.md and
 # SURVEY.md must equal the gated surface (oracle_sql.json size).
 n_oracle = len(json.load(open(os.path.join(out_dir, "oracle_sql.json"))))
+
+# A crashed/truncated compare run must NEVER yield a green witness: every
+# gated query needs a parsed verdict line, and compare.py's own exit code
+# must be a verdict (0/1), not a crash.
+if cmp.returncode not in (0, 1):
+    print(cmp.stdout[-4000:], cmp.stderr[-4000:])
+    sys.exit(f"compare.py crashed rc={cmp.returncode}")
+if len(lines) != n_oracle:
+    print(cmp.stdout[-4000:], cmp.stderr[-4000:])
+    sys.exit(f"compare.py reported {len(lines)} verdicts for a "
+             f"{n_oracle}-query surface — truncated run, refusing to "
+             "write a witness")
 for doc, pat in [("README.md", r"exposes (\d+) named queries"),
                  ("SURVEY.md", r"(\d+) oracle-gated queries total")]:
     text = open(os.path.join(repo, doc)).read()

@@ -40,7 +40,11 @@ object ScaleProbe {
     import spark.implicits._
 
     val docsPath = s"$work/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    // a bare exists() would silently reuse the partial output of a killed
+    // prior run (a _temporary dir + a fraction of the part files) and
+    // report scale evidence measured on the wrong corpus — require the
+    // committed _SUCCESS marker before trusting the dir
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
       val base = spark.read.parquet(s"$src/documents.parquet")
       val rep = spark.range(replicas).select(col("id").as("__rep"))
       base.crossJoin(broadcast(rep))
@@ -55,23 +59,19 @@ object ScaleProbe {
     val n = spark.read.parquet(docsPath).count()
     println(s"PROBE corpus: $n docs at $work (replicas=$replicas of $src)")
 
-    // LSH bucket-cap pressure at probe scale: rebuild the band rows with the
-    // same public expressions the pipeline uses and histogram bucket sizes
-    // against the default cap (256).
+    // LSH bucket-cap pressure at probe scale: the band rows come from the
+    // PIPELINE'S OWN shingle/sign/band stages (private[graft]) — the
+    // histogram is only evidence if it keys on exactly the buckets the
+    // dedup family builds, and a re-implementation would silently diverge
+    // the day the band-key formula changes.
     val docs = spark.read.parquet(docsPath)
-    val sh = docs.select(col("doc_id").as("id"),
-      graft.functions.CharShingleSet.charShingleSet(
-        graft.llm.TextStats.normalizeText(col("text")), 5).as("sh"))
-    val numHashes = 32; val bands = 16; val rowsPerBand = numHashes / bands
-    val sig = sh.select(col("id"),
-      graft.functions.MinHashSig.minHashSig(col("sh"), numHashes).as("__sig"))
-    val bandCols = (0 until bands).map { b =>
-      val stripe = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("__sig"), i + 1))
-      xxhash64(stripe :+ lit(b): _*)
-    }
-    val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)))
-      .groupBy(col("pos").as("band_idx"), col("col").as("band_key"))
+    val numHashes = 32; val bands = 16
+    val buckets = graft.llm.Dedup.bandRows(
+        graft.llm.Dedup.signedDocs(
+          graft.llm.Dedup.shingleDocs(docs, "doc_id", "text", 5),
+          "sh", numHashes),
+        numHashes, bands)
+      .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("sz"))
     val capStats = buckets.agg(
       count(lit(1)).as("n_buckets"),

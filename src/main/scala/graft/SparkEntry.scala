@@ -1004,8 +1004,8 @@ object SparkEntry {
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
       graft.llm.Dedup.dropNearDuplicatesByPriority(
         docs.withColumn("__hpri",
-          -conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-            .cast("long")),
+          -graft.llm.Dedup.portableTokenHash(
+            col("doc_id").cast("string"), hexChars = 12)),
         "doc_id", "__hpri", pairs)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
@@ -4975,8 +4975,10 @@ object SparkEntry {
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
         |  WHERE vec_id < 20),
-        |s AS (SELECT query_id, q.label, e.vec_id AS nid,
-        |    e.label AS nlabel, list_cosine_similarity(qv, v) AS cos
+        |s AS (SELECT query_id, q.label, e.vec_id AS nid, e.label AS nlabel,
+        |    CASE WHEN list_inner_product(qv, qv) = 0
+        |           OR list_inner_product(v, v) = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(qv, v) END AS cos
         |  FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
         |r AS (SELECT query_id, label, nid, nlabel, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rank FROM s)
@@ -5892,7 +5894,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, n_chars,
         |    len(list_filter(string_split_regex(trim(text), '\s+'),
         |      t -> len(t) > 0))::BIGINT AS n_toks
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL)
         |SELECT a.doc_id, a.n_toks, a.n_chars FROM d a
         |WHERE NOT EXISTS (SELECT 1 FROM d b
         |  WHERE b.n_toks >= a.n_toks AND b.n_chars <= a.n_chars

@@ -75,7 +75,7 @@ object Dedup {
     * keeps normalization evaluated once per doc (the multiple `__norm`
     * references block CollapseProject from inlining it into the per-shingle
     * lambda). */
-  private def shingleDocs(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleDocs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.filter(col(idCol).isNotNull) // align branches for ReusedExchange:
       // downstream verify joins infer isnotnull(id), the signature branch
@@ -122,7 +122,7 @@ object Dedup {
     * per document. Multiple references to the set attribute in one projection
     * block the collapse, so shingling and each min-hash run exactly once.
     */
-  private def signedDocs(docs: DataFrame, setCol: String, numHashes: Int): DataFrame = {
+  private[graft] def signedDocs(docs: DataFrame, setCol: String, numHashes: Int): DataFrame = {
     // ONE codegen'd pass computes every minimum ([[graft.functions
     // .MinHashSig]]): per element the base string hash once, the numHashes
     // derived hashes over primitive longs — bit-identical to the previous
@@ -139,7 +139,7 @@ object Dedup {
       (0 until numHashes).map(h => element_at(col("__sig"), h + 1).as(s"__m$h")): _*)
   }
 
-  private def bandRows(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandRows(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val stripe = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i"))
@@ -525,8 +525,17 @@ object Dedup {
     * BIGINT`), so simhash pipelines built on it are exactly replicable in
     * SQL — the correctness-oracle hash. xxhash64 stays the throughput
     * default. */
-  def portableTokenHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def portableTokenHash(c: Column): Column = portableTokenHash(c, 15)
+
+  /** The same portable hash at a caller-chosen hex-prefix width (width 12 =
+    * 48 bits is the representative-election flavor; DuckDB replay is
+    * `('0x' || substr(md5(x), 1, w))::BIGINT`). One definition so the
+    * engine-portability idiom and its SQL replays stay in sync. */
+  def portableTokenHash(c: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15,
+      s"hexChars must be 1..15 to stay inside a non-negative long, got $hexChars")
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+  }
 
   /** `numBits`-bit SimHash over word tokens, built with a vectorized explode
     * + groupBy (map-side partial aggregation; no per-row nested loops). */
