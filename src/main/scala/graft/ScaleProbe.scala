@@ -46,6 +46,12 @@ object ScaleProbe {
     // committed _SUCCESS marker before trusting the dir
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
       val base = spark.read.parquet(s"$src/documents.parquet")
+      // the replica-id offset below is doc_id + rep * 1e8: a source corpus
+      // with doc_id >= 1e8 would silently collide replica ids and corrupt
+      // the probe corpus — refuse loudly instead
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 100000000L,
+        s"ScaleProbe: source max doc_id $maxId >= 1e8 would collide replica id offsets")
       val rep = spark.range(replicas).select(col("id").as("__rep"))
       base.crossJoin(broadcast(rep))
         .withColumn("doc_id", col("doc_id") + col("__rep") * 100000000L)

@@ -109,12 +109,16 @@ object Similarity {
     // scored feeds the argmax AND the rank count: two corpus scans per
     // eval (deliberately NOT checkpointed — the frame is corpus × queries,
     // the one thing the house rule says never to materialize)
+    // argmin of (-cos, id) = argmax cos with ascending-id tie-break. The id
+    // rides the struct UNNEGATED (mirroring dropNearDuplicatesByPriority's
+    // struct ordering): arithmetic negation would reject string id columns
+    // and overflow on Long.MinValue ids.
     val first = scored.filter(col("__nlabel") === col("label"))
       .groupBy("query_id")
-      .agg(max(struct(col("__cos").as("c"), (-col("__nid")).as("ni")))
+      .agg(min(struct((-col("__cos")).as("nc"), col("__nid").as("ni")))
         .as("__best"))
-      .select(col("query_id").as("__bq"), col("__best.c").as("__bcos"),
-        (-col("__best.ni")).as("__bid"))
+      .select(col("query_id").as("__bq"), (-col("__best.nc")).as("__bcos"),
+        col("__best.ni").as("__bid"))
     scored.join(broadcast(first), col("query_id") === col("__bq"))
       .groupBy(col("query_id"), col("label"))
       .agg((sum(when(col("__cos") > col("__bcos") ||

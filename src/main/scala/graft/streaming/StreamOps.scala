@@ -427,7 +427,16 @@ object StreamOps {
     * `arrivalCol` seen is tracked in state, and a batch that delivers a
     * row below it (a reordering source or repartitioned upstream) fails
     * the task loudly instead of silently converging to wrong counters.
-    * `thresholdsNs` must be ascending. */
+    * `thresholdsNs` must be ascending.
+    *
+    * '''State-schema compatibility.''' Adding that guard widened the
+    * per-group state from an 8-tuple to a 9-tuple (the tracked max
+    * `arrivalCol`); flatMapGroupsWithState state is not schema-evolvable,
+    * so restoring a query from a checkpoint written by the 8-tuple
+    * version fails state deserialization. Restarting this operator across
+    * the upgrade requires a FRESH checkpoint directory (counters restart
+    * from zero — acceptable for a diagnostic census; there is no
+    * old-schema migration path by design). */
   def latenessUpdates(
       stream: DataFrame, groupCol: String,
       arrivalCol: String, tsCol: String,

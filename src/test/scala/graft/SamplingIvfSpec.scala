@@ -143,6 +143,24 @@ class SamplingIvfSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._1).toMap == bf)
   }
 
+  test("meanReciprocalRank: string id columns, exact-cosine tie breaks to smaller id") {
+    import spark.implicits._
+    // corpus docs "b" and "a" are the SAME vector (cosine tie at 1.0 with
+    // the query) and share the query's label: the ascending-id tie-break
+    // must pick "a" as the argmax and rank "b" behind it (first_rank 1,
+    // not 2). String ids pin the no-arithmetic-negation tie-break path.
+    val data = Seq(
+      ("q1", Array(1.0f, 0.0f), 7),
+      ("b", Array(1.0f, 0.0f), 7), ("a", Array(1.0f, 0.0f), 7),
+      ("c", Array(0.0f, 1.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.meanReciprocalRank(
+      data.filter(col("vec_id") === "q1"), "vec_id", "embedding", "label",
+      data, "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("q1" -> 1000000L))
+  }
+
   test("ivfTopK with fewer probes returns at most k ranked rows per query") {
     val q = emb.filter(col("vec_id") < 5)
     val out = Similarity.ivfTopK(q, "vec_id", "embedding",
