@@ -37,6 +37,7 @@ t1 = time.time()
 cmp = subprocess.run(
     [sys.executable, os.path.join(repo, "scripts", "compare.py"),
      sf_dir, out_dir],
+    env={**os.environ, "GRAFT_TIMING": "1"},
     capture_output=True, text=True)
 compare_s = time.time() - t1
 
@@ -66,6 +67,25 @@ if len(lines) != n_oracle:
     sys.exit(f"compare.py reported {len(lines)} verdicts for a "
              f"{n_oracle}-query surface — truncated run, refusing to "
              "write a witness")
+# Oracle-cost budget (VERDICT r13 task 5): r12 proved a 890 s compare leg
+# kills the driver's correctness channel (rounds 10-12 zeroed); the r13
+# rewrite brought it to ~30 s. Permanently gate the budget so a future
+# expensive oracle fails THIS witness before it can zero the driver's:
+# whole compare leg <= 120 s, any single oracle <= 5 s (timing table is
+# slowest-first top-40, so the worst offender is always visible to it).
+COMPARE_BUDGET_S, ORACLE_BUDGET_S = 120.0, 5.0
+slow = [(n, float(t)) for t, n in
+        re.findall(r"^--\s+([0-9.]+)s\s+(\S+)$", cmp.stdout, re.M)
+        if float(t) > ORACLE_BUDGET_S]
+if compare_s > COMPARE_BUDGET_S:
+    sys.exit(f"oracle-cost budget blown: compare leg {compare_s:.1f}s > "
+             f"{COMPARE_BUDGET_S:.0f}s — cheapen the worst oracles "
+             "(GRAFT_TIMING table above) before the driver channel zeroes")
+if slow:
+    sys.exit("oracle-cost budget blown: single-oracle cap "
+             f"{ORACLE_BUDGET_S:.0f}s exceeded by " +
+             ", ".join(f"{n} ({t:.1f}s)" for n, t in slow))
+
 for doc, pat in [("README.md", r"exposes (\d+) named queries"),
                  ("SURVEY.md", r"(\d+) oracle-gated queries total")]:
     text = open(os.path.join(repo, doc)).read()

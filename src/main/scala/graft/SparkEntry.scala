@@ -465,6 +465,17 @@ object SparkEntry {
         y = expr("cast(floor(value * 1000000.0) as long)"))
     }),
 
+    "theilsen_even_median" -> ((s, dir) => {
+      // gates the documented even-pair-count convention (Trend.scala):
+      // 5 nations per region → C(5,2) = 10 pairwise slopes (EVEN) — the
+      // lower-middle pick (rn 5 of 10) must replay in the oracle; an
+      // average-of-the-two-middles "median" would hash-mismatch here
+      graft.operators.Trend.theilSenTrend(
+        t(s, dir, "nation"), Seq("n_regionkey"),
+        x = col("n_nationkey"),
+        y = length(col("n_name")))
+    }),
+
     "length_ks" -> ((s, dir) => {
       // cross-source distribution-shift audit: pairwise two-sample KS
       // distance over document lengths in exact integer ppm — flags a
@@ -4467,6 +4478,25 @@ object SparkEntry {
         |      ORDER BY slope_ppm) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM p)
         |SELECT event_type, cnt::BIGINT AS n_pairs, slope_ppm AS theilsen_ppm
+        |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    // even-pair-count convention gate: every region has exactly 10 pairwise
+    // slopes; (cnt+1)//2 = 5 is the LOWER middle — the replay diverges if
+    // either engine averaged the two middles
+    "theilsen_even_median" ->
+      """WITH g AS (SELECT n_regionkey, n_nationkey::BIGINT AS x,
+        |    length(n_name)::HUGEINT AS y FROM nation),
+        |p AS (SELECT a.n_regionkey,
+        |    ((CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(b.y - a.y) * 1000000) // (b.x - a.x)::HUGEINT))::BIGINT
+        |      AS slope_ppm
+        |  FROM g a JOIN g b
+        |    ON a.n_regionkey = b.n_regionkey AND a.x < b.x),
+        |r AS (SELECT n_regionkey, slope_ppm,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY slope_ppm) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS cnt FROM p)
+        |SELECT n_regionkey, cnt::BIGINT AS n_pairs, slope_ppm AS theilsen_ppm
         |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
 
     // the streaming fold's converged state must equal the batch trend

@@ -55,6 +55,21 @@ class TrendKsHllSpec extends AnyFunSuite {
     assert(!got.contains("g5"))
   }
 
+  test("theilSenTrend even pair count: LOWER middle, not the average of the two middles") {
+    import spark.implicits._
+    // 4 grid points → C(4,2) = 6 pairs (even). Slopes ·1e6 sorted:
+    // (0,0)-(1,1):1, (0,0)-(2,8):4, (0,0)-(3,9):3, (1,1)-(2,8):7,
+    // (1,1)-(3,9):4, (2,8)-(3,9):1 → {1,1,3,4,4,7}; the two middles are
+    // 3 and 4. The documented convention ((cnt+1) div 2 = rn 3) picks the
+    // LOWER middle 3_000_000 — "median of slopes" as the average of the
+    // middles (3_500_000) would be a different operator.
+    val df = Seq(("e", 0L, 0L), ("e", 1L, 1L), ("e", 2L, 8L), ("e", 3L, 9L))
+      .toDF("g", "x", "y")
+    val got = Trend.theilSenTrend(df, Seq("g"), col("x"), col("y")).head()
+    assert(got.getLong(1) == 6L)
+    assert(got.getLong(2) == 3000000L)
+  }
+
   test("theilSenTrend shrugs off the outlier day that drags OLS") {
     import spark.implicits._
     // y = x on days 0..20, except the LAST day reports 10_000 (a bad
