@@ -45,6 +45,21 @@ object KMeans {
 
   private val Q = 16777216.0 // 2^24: power-of-two quantization scale
 
+  /** Unlike the CC/PageRank loops, k-means keeps no per-iteration frame —
+    * every pass re-scans the projected corpus with fresh centroid literals,
+    * so lineage never grows and the default needs NO checkpoint at all.
+    * `checkpointDir` instead reliably materializes the projected corpus
+    * ONCE: a fit over an EXPENSIVE derived corpus (a dedup+filter pipeline
+    * output) otherwise recomputes that lineage `iters + 1` times, and a
+    * lost executor mid-fit replays it from the source. */
+  private def ckptCorpus(v: DataFrame, dir: Option[String]): DataFrame =
+    dir match {
+      case Some(d) =>
+        v.sparkSession.sparkContext.setCheckpointDir(d)
+        v.checkpoint()
+      case None => v
+    }
+
   /** Train `nCells` centroids with `iters` Lloyd's iterations; returns
     * them in the `(centroidId, vector)` shape [[Similarity.ivfTopK]]'s
     * `centroids` parameter expects. Runs `iters + 1` Spark jobs (one
@@ -59,10 +74,11 @@ object KMeans {
   def fit(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, dim: Int,
-      metric: String = "cosine"): Seq[(Long, Seq[Double])] = {
+      metric: String = "cosine",
+      checkpointDir: Option[String] = None): Seq[(Long, Seq[Double])] = {
     require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
-    val v = corpus.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val v = ckptCorpus(corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")), checkpointDir)
     var cents: Seq[(Long, Seq[Double])] =
       v.orderBy("id").limit(nCells).collect().toSeq.zipWithIndex.map {
         case (r, i) => i.toLong -> r.getSeq[Double](1).toSeq
@@ -110,12 +126,13 @@ object KMeans {
     * O(codebookSize) collect, sliced driver-side. */
   def fitCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      numSubspaces: Int, codebookSize: Int, iters: Int, dim: Int)
+      numSubspaces: Int, codebookSize: Int, iters: Int, dim: Int,
+      checkpointDir: Option[String] = None)
       : Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
     val subDim = dim / numSubspaces
-    val v = corpus.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val v = ckptCorpus(corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")), checkpointDir)
     val seedRows = v.orderBy("id").limit(codebookSize).collect()
     require(seedRows.length == codebookSize,
       s"corpus has only ${seedRows.length} vectors, need codebookSize=$codebookSize seeds")

@@ -29,26 +29,33 @@ import org.apache.spark.sql.functions._
   * handles it, same policy as the substring census. */
 object PageRank {
 
+  /** `checkpointDir`: when set, per-iteration score frames persist via
+    * RELIABLE `checkpoint` to the cluster store (survives executor loss —
+    * what a long ranking job on a real cluster needs) instead of the
+    * default executor-local `localCheckpoint`. Identical results; only the
+    * persistence contract (and a re-run write pass per iteration) differ. */
   def pageRankInt(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int = 4,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(scale > 0, "scale must be positive")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col(srcCol).as("__graft_src"), col(dstCol).as("__graft_dst"))
-    val nodes = e.select(col("__graft_src").as("node"))
+    val nodes = ckpt(e.select(col("__graft_src").as("node"))
       .unionAll(e.select(col("__graft_dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val nTbl = nodes.agg(count(lit(1)).as("__graft_nn"))
     val outdeg = e.groupBy(col("__graft_src").as("node"))
       .agg(count(lit(1)).as("__graft_deg"))
-    var scores = nodes.crossJoin(broadcast(nTbl))
+    var scores = ckpt(nodes.crossJoin(broadcast(nTbl))
       .select(col("node"),
-        expr(s"${scale}L div __graft_nn").as("rank_scaled"))
-      .localCheckpoint()
+        expr(s"${scale}L div __graft_nn").as("rank_scaled")))
     (1 to iters).foreach { _ =>
       val contrib = e
         .join(scores.join(outdeg, Seq("node"))
@@ -57,12 +64,11 @@ object PageRank {
           Seq("__graft_src"))
         .groupBy(col("__graft_dst").as("node"))
         .agg(sum("__graft_c").as("__graft_in"))
-      scores = nodes.crossJoin(broadcast(nTbl))
+      scores = ckpt(nodes.crossJoin(broadcast(nTbl))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (expr(s"(15 * ${scale}L) div (100 * __graft_nn)") +
-            expr("(85 * coalesce(__graft_in, 0L)) div 100")).as("rank_scaled"))
-        .localCheckpoint()
+            expr("(85 * coalesce(__graft_in, 0L)) div 100")).as("rank_scaled")))
     }
     scores
   }

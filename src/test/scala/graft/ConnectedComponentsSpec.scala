@@ -69,6 +69,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("job-count budget: one Spark job per star round (r14 driver-tax fix)") {
+    // The 40-node chain ran 75 Spark jobs before r14 (AQE splitting each
+    // round into ~6 exchange/broadcast-stage jobs, plus a separate
+    // signature scan and isEmpty probe per round); the observe-folded
+    // signature + AQE/broadcast-off rounds run it in 9 (initial adaptive
+    // materialization 2-3 jobs + ONE job per star round). Pin a small
+    // cushion, not the exact figure — the invariant is jobs ≈ rounds, and
+    // any 2-jobs-per-round regression (a reintroduced per-round action)
+    // blows straight past 16.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val tag = "cc-job-budget"
+    sc.setJobGroup(tag, tag)
+    try connectedComponents((1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    finally sc.clearJobGroup()
+    // statusTracker is fed by the async listener bus — poll until stable
+    var n = -1
+    var tries = 0
+    while (tries < 50) {
+      val m = sc.statusTracker.getJobIdsForGroup(tag).length
+      if (m == n) tries = 50 else { n = m; tries += 1; Thread.sleep(100) }
+    }
+    assert(n <= 16, s"connectedComponents ran $n jobs for the 40-chain " +
+      "(9 expected, 75 pre-r14) — a per-round action or AQE-in-rounds crept back in")
+  }
+
   test("incremental fold merges across old components and leaves the rest untouched") {
     import graft.operators.ConnectedComponents.incrementalComponents
     // old world: {1,2}, {5,6}, {8,9}; new pair 2-5 merges the first two,
