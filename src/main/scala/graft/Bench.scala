@@ -76,17 +76,50 @@ object Bench {
     // entire query family can throw instantly while the bench prints
     // plausible sub-0.1 s timings — this channel closes that trap.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val timings = (1 to iters).map { _ =>
+    // Per-query Spark job/stage counts (VERDICT r13 task 3): wall time on
+    // the driver host is noisy (documented 3-4× family drift with zero code
+    // change), but job and stage counts are DETERMINISTIC plan properties —
+    // a driver-vs-solo bench delta with unchanged counts is environment, a
+    // moved count is a plan change. Counted via a listener keyed on a
+    // per-(query, iteration) job group (survives any spark.ui.retained*
+    // eviction, unlike statusTracker); the sweep between queries runs
+    // OUTSIDE the group so its unpersist jobs don't pollute the counts.
+    val planCounts = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("graftbench:"))
+          planCounts.merge(g, (1, js.stageInfos.size),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    })
+    val timings = (1 to iters).map { it =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(s"graftbench:$name#$it", name)
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").trim
           errors.getOrElseUpdate(name, (e.getClass.getSimpleName + ": " + msg).take(160))
-        }
+        } finally spark.sparkContext.clearJobGroup()
         val dt = (System.nanoTime() - t0) / 1e9
         try sweepLeakedState() catch { case _: Throwable => () }
         name -> dt
       }.toMap
+    }
+    // listener events are async — wait for the counter map to go quiet
+    // before reading it (bounded: the bus drains in well under a second)
+    locally {
+      var prev = -1
+      var spins = 0
+      while (spins < 20) {
+        val now = planCounts.values.stream.mapToInt(v => v._1).sum
+        if (now == prev) spins = 20 else { prev = now; spins += 1; Thread.sleep(250) }
+      }
+    }
+    // deterministic-by-design: report the LAST iteration's counts (steady
+    // state; iteration 1 can differ only through error paths)
+    val plans = queries.map { case (name, _) =>
+      name -> planCounts.getOrDefault(s"graftbench:$name#$iters", (0, 0))
     }
     val results = queries.map { case (name, _) =>
       val sorted = timings.map(_(name)).sorted
@@ -109,10 +142,15 @@ object Bench {
       errors.map { case (k, v) => jq(k) + ":" + jq(v.take(maxMsg)) }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // machine-attributable plan fingerprint: name -> [jobs, stages] for the
+    // final timed pass. Full line / BENCH_LAST.json only — the compact
+    // tail-capture line keeps its byte budget for timings.
+    val plansJson = plans.map { case (k, (j, st)) => "\"" + k + "\":[" + j + "," + st + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(160)},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(160)},"queries":$qs,"plan_jobs_stages":$plansJson,"sf":"$sfDir"}"""
     // a bounded stdout tail capture can still clip the line's head under
     // heavy shutdown noise (r5-r7 all lost queries to it) — the file copy is
     // the canonical, unclippable record

@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
   * NOT redistributed — ranks are comparable within a run, which is what a
   * ranking signal needs; they just don't sum exactly to `scale`.
   *
-  * '''Plan shape (the 100-TB design).''' N rides as a broadcast scalar,
-  * never a driver-side value. Per iteration: scores and out-degrees join
-  * at node grain, contributions shuffle once keyed by destination with a
-  * map-side-combined integer sum, and the score frame localCheckpoints so
-  * lineage stays flat across iterations (the CC / k-means motif — like
-  * those, this is an eager iterative operator, not a lazy plan). A hub
-  * node's fan-out skews the src-side join — AQE's runtime skew split
-  * handles it, same policy as the substring census. */
+  * '''Plan shape (the 100-TB design).''' N is the ONE driver-side value —
+  * a single Long, read for free from the node materialization's `observe`
+  * metrics (bounded driver state is fine for a scalar; the no-collect rule
+  * guards against unbounded result sets). Per iteration: scores and
+  * out-degrees join at node grain, contributions shuffle once keyed by
+  * destination with a map-side-combined integer sum, and the score frame
+  * checkpoints so lineage stays flat across iterations (the CC / k-means
+  * motif — like those, this is an eager iterative operator, not a lazy
+  * plan).
+  *
+  * Like the CC star rounds (same r14 rationale), iterations run with AQE
+  * and auto-broadcast OFF: each iteration is a fixed-shape contraction
+  * over materialized frames, and AQE only fragments it into
+  * one-job-per-stage against a fixed per-job driver latency (measured 57
+  * jobs for a 4-iteration bipartite rank; ~8 after). Partition counts are
+  * sized from the observed node count instead of AQE coalescing. A hub
+  * node's fan-in skews the dst-side aggregation — that is a map-side
+  * partial-combined `sum`, which absorbs hot keys before the shuffle. */
 object PageRank {
 
   /** `checkpointDir`: when set, per-iteration score frames persist via
@@ -44,32 +54,67 @@ object PageRank {
     require(iters >= 1, "iters must be at least 1")
     require(scale > 0, "scale must be positive")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).as("__graft_src"), col(dstCol).as("__graft_dst"))
-    val nodes = ckpt(e.select(col("__graft_src").as("node"))
-      .unionAll(e.select(col("__graft_dst").as("node")))
-      .distinct())
-    val nTbl = nodes.agg(count(lit(1)).as("__graft_nn"))
-    val outdeg = e.groupBy(col("__graft_src").as("node"))
-      .agg(count(lit(1)).as("__graft_deg"))
-    var scores = ckpt(nodes.crossJoin(broadcast(nTbl))
-      .select(col("node"),
-        expr(s"${scale}L div __graft_nn").as("rank_scaled")))
-    (1 to iters).foreach { _ =>
-      val contrib = e
-        .join(scores.join(outdeg, Seq("node"))
-          .select(col("node").as("__graft_src"),
-            expr("rank_scaled div __graft_deg").as("__graft_c")),
-          Seq("__graft_src"))
-        .groupBy(col("__graft_dst").as("node"))
-        .agg(sum("__graft_c").as("__graft_in"))
-      scores = ckpt(nodes.crossJoin(broadcast(nTbl))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (expr(s"(15 * ${scale}L) div (100 * __graft_nn)") +
-            expr("(85 * coalesce(__graft_in, 0L)) div 100")).as("rank_scaled")))
+    // Materialize a frame and return it with its row count. Local mode
+    // reads the count for free off the checkpoint action's own job via
+    // observe; reliable mode counts with a separate scan of the
+    // just-written checkpoint files (Spark re-runs a reliably-checkpointed
+    // plan to write it, which would drive an observed accumulator twice —
+    // same rationale as ConnectedComponents.materialize).
+    def matCount(df: DataFrame): (DataFrame, Long) =
+      if (checkpointDir.isDefined) { val out = df.checkpoint(); (out, out.count()) }
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        (out, obs.get("n").asInstanceOf[Long])
+      }
+    // The edge projection materializes ONCE under the caller's conf (its
+    // lineage is arbitrary and may want AQE); every iteration then re-reads
+    // the materialized frame instead of recomputing the upstream plan.
+    val (e, nEdges) = matCount(
+      edges.select(col(srcCol).as("__graft_src"), col(dstCol).as("__graft_dst")))
+    val conf = edges.sparkSession.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled")
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    val savedBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions",
+        math.min(savedParts.toLong, nEdges / 250000L + 1L).toString)
+      val (nodes, n) = matCount(
+        e.select(col("__graft_src").as("node"))
+          .unionAll(e.select(col("__graft_dst").as("node")))
+          .distinct())
+      val outdeg = e.groupBy(col("__graft_src").as("node"))
+        .agg(count(lit(1)).as("__graft_deg"))
+      // n == 0 ⇒ every frame below is empty; the guards only keep the
+      // driver-side integer divisions from throwing
+      val initRank = if (n == 0) 0L else scale / n
+      val teleport = if (n == 0) 0L else (15L * scale) / (100L * n)
+      var scores = if (checkpointDir.isDefined)
+        nodes.select(col("node"), lit(initRank).as("rank_scaled")).checkpoint()
+      else
+        nodes.select(col("node"), lit(initRank).as("rank_scaled")).localCheckpoint()
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(scores.join(outdeg, Seq("node"))
+            .select(col("node").as("__graft_src"),
+              expr("rank_scaled div __graft_deg").as("__graft_c")),
+            Seq("__graft_src"))
+          .groupBy(col("__graft_dst").as("node"))
+          .agg(sum("__graft_c").as("__graft_in"))
+        val next = nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr("(85 * coalesce(__graft_in, 0L)) div 100")).as("rank_scaled"))
+        scores = if (checkpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
+      }
+      scores
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.shuffle.partitions", savedParts)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
-    scores
   }
 }
