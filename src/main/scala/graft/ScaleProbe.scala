@@ -93,15 +93,54 @@ object ScaleProbe {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
     }
-    val heads = Seq("dedup_minhash", "dedup_apply_priority", "winnow_neardup",
-      "dedup_edit", "image_neardup")
+    val heads = args.lift(3).map(_.split(",").map(_.trim).toSeq).getOrElse(
+      Seq("dedup_minhash", "dedup_apply_priority", "winnow_neardup",
+        "dedup_edit", "image_neardup"))
+    val nSrcDocs = n / replicas
     heads.foreach { name =>
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(name)(spark, work).count()
+      // pair-shaped heads materialize so the recall audit below reads the
+      // SAME found pairs the timed pass produced (the checkpoint write is
+      // inside the timed region — a probe-honesty tradeoff, documented)
+      val out = SparkEntry.queries(name)(spark, work)
+      val isPairs = out.columns.contains("id_a") && out.columns.contains("id_b")
+      val mat = if (isPairs) out.localCheckpoint() else out
+      val cnt = mat.count()
       val dt = (System.nanoTime() - t0) / 1e9
       val (mem, disk) = checkpointBytes()
       println(f"PROBE $name%-22s $dt%8.1f s  rows=$cnt%-9d " +
         f"ckpt_mem=${mem / 1048576}%d MiB ckpt_disk=${disk / 1048576}%d MiB")
+      if (isPairs && replicas > 1) {
+        // Clique recall under cap pressure (VERDICT r14 task 6): every
+        // source doc's `replicas` replicas are true near-dups of each
+        // other by construction, so the APPLY-level question is whether
+        // the found pairs keep each replica family in ONE connected
+        // component (transitive closure tolerates individually dropped
+        // pairs — the metric a kept/dropped policy actually depends on).
+        val cc = graft.operators.ConnectedComponents
+          .connectedComponents(mat.select("id_a", "id_b"))
+        val per = cc.withColumn("src", col("node") % 100000000L)
+          .groupBy("src")
+          .agg(countDistinct(col("component")).as("ncl"),
+            count(lit(1)).as("nodes"))
+        val a = per.agg(
+          count(lit(1)).as("src_seen"),
+          sum(when(col("ncl") === 1 && col("nodes") === replicas, 1L)
+            .otherwise(0L)).as("src_full"),
+          sum(when(col("ncl") === 1, 1L).otherwise(0L)).as("src_onecluster"),
+          sum(col("nodes")).as("nodes_covered")).head()
+        val srcSeen = a.getLong(0); val srcFull = a.getLong(1)
+        val srcOne = a.getLong(2); val covered = a.getLong(3)
+        // strict = all `replicas` replicas in one component; onecluster
+        // tolerates replicas legitimately out of the metric's range (the
+        // edit head: replica 0 lacks the salt token, so it sits ~9 edits
+        // from the others by CONSTRUCTION — corpus shape, not a miss)
+        println(f"PROBE $name%-22s recall: full_clique=$srcFull/$nSrcDocs " +
+          f"(${100.0 * srcFull / nSrcDocs}%.2f%%) onecluster=$srcOne/$srcSeen " +
+          f"seen src_seen=$srcSeen/$nSrcDocs " +
+          f"replica_coverage=$covered/${nSrcDocs * replicas} " +
+          f"(${100.0 * covered / (nSrcDocs * replicas)}%.2f%%)")
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
