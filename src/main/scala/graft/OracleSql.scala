@@ -154,7 +154,9 @@ private[graft] object OracleSql {
     * label under the same (count desc, label asc) total tie order the
     * Spark operator uses, over the same co-purchase graph as
     * `triangle_count`. */
-  private def lpaSql(iters: Int = 3): String = {
+  /** The co-purchase graph + unrolled-LPA CTE chain shared by `lpaSql` and
+    * `modularitySql` — one specification of the rounds, two consumers. */
+  private def lpaCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""l$i AS (SELECT src AS id, lbl FROM (
          |  SELECT a.src, l.lbl, count(*) AS c,
@@ -163,7 +165,7 @@ private[graft] object OracleSql {
          |  FROM adj a JOIN l${i - 1} l ON a.dst = l.id
          |  GROUP BY a.src, l.lbl) q WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem
        |  WHERE l_partkey % 3 = 0),
        |E AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
        |    greatest(x.l_partkey, y.l_partkey) AS b
@@ -172,9 +174,37 @@ private[graft] object OracleSql {
        |adj AS (SELECT a AS src, b AS dst FROM E
        |  UNION ALL SELECT b, a FROM E),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
-       |$iterCtes
-       |SELECT id, lbl AS community FROM l$iters""".stripMargin
+       |$iterCtes""".stripMargin
   }
+
+  private def lpaSql(iters: Int = 3): String =
+    s"""WITH ${lpaCtes(iters)}
+       |SELECT id, lbl AS community FROM l$iters""".stripMargin
+
+  /** Generated oracle for `graph_modularity`: the [[lpaCtes]] partition,
+    * then Newman Q per community as the exact common-denominator integer
+    * form (4m·e_c − D_c²)·10⁶ sign-split-div 4m² — HUGEINT throughout, so
+    * the replay is bit-identical to Spark's decimal(38,0) arithmetic. */
+  private def modularitySql(iters: Int = 3): String =
+    s"""WITH ${lpaCtes(iters)},
+       |comm AS (SELECT id, lbl AS community FROM l$iters),
+       |mt AS (SELECT count(*)::HUGEINT AS m FROM E),
+       |deg AS (SELECT src AS id, count(*)::HUGEINT AS d FROM adj GROUP BY 1),
+       |dc AS (SELECT c.community, sum(d.d) AS deg_sum, count(*) AS n_nodes
+       |  FROM deg d JOIN comm c ON c.id = d.id GROUP BY 1),
+       |ein AS (SELECT ca.community, count(*)::HUGEINT AS e_in
+       |  FROM E JOIN comm ca ON ca.id = E.a JOIN comm cb ON cb.id = E.b
+       |  WHERE ca.community = cb.community GROUP BY 1),
+       |q AS (SELECT dc.community, dc.n_nodes, dc.deg_sum,
+       |    coalesce(e.e_in, 0) AS e_in,
+       |    4 * mt.m * coalesce(e.e_in, 0) - dc.deg_sum * dc.deg_sum AS num,
+       |    4 * mt.m * mt.m AS den
+       |  FROM dc LEFT JOIN ein e USING (community) CROSS JOIN mt)
+       |SELECT community, n_nodes::BIGINT AS n_nodes,
+       |  deg_sum::BIGINT AS deg_sum, e_in::BIGINT AS e_in,
+       |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+       |    ((abs(num) * 1000000) // den))::BIGINT AS q_ppm
+       |FROM q""".stripMargin
 
   /** Generated oracle for `graph_kcore`: the same co-purchase edge CTEs as
     * [[lpaSql]], then `rounds` unrolled synchronous peels (degree census →
@@ -1661,6 +1691,44 @@ private[graft] object OracleSql {
     // even-pair-count convention gate: every region has exactly 10 pairwise
     // slopes; (cnt+1)//2 = 5 is the LOWER middle — the replay diverges if
     // either engine averaged the two middles
+    // EWMA replay: the per-step sign-split truncation does NOT telescope
+    // into a closed-form weight sum — the recursive CTE reruns the exact
+    // recurrence (s₀ = y₀; sₜ = ±(|yₜ + 3·sₜ₋₁| // 4)), depth = grid days
+    "events_ewma" ->
+      """WITH RECURSIVE g AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS x,
+        |    sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, x, y, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY x) AS rn FROM g),
+        |r AS (
+        |  SELECT event_type, rn, x, y, y AS ewma FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.x, n.y,
+        |    (CASE WHEN n.y + 3 * r.ewma < 0 THEN -1 ELSE 1 END) *
+        |      (abs(n.y + 3 * r.ewma) // 4)
+        |  FROM n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+        |SELECT event_type, x, y, ewma::BIGINT AS ewma FROM r""".stripMargin,
+
+    // greedy cooldown throttle replay: kept-anchored recurrence (state =
+    // last KEPT ts), recursive CTE at (user, type) grain, ties by event_id
+    "events_throttle" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |n AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id) AS rn FROM e),
+        |r AS (
+        |  SELECT user_id, event_type, event_id, ts_us, rn,
+        |    TRUE AS kept, ts_us AS last FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_type, n.event_id, n.ts_us, n.rn,
+        |    n.ts_us - r.last >= 600000000,
+        |    CASE WHEN n.ts_us - r.last >= 600000000
+        |      THEN n.ts_us ELSE r.last END
+        |  FROM n JOIN r ON n.user_id = r.user_id
+        |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
+        |SELECT user_id, event_type, event_id, ts_us FROM r WHERE kept""".stripMargin,
+
     "theilsen_even_median" ->
       """WITH g AS (SELECT n_regionkey, n_nationkey::BIGINT AS x,
         |    length(n_name)::HUGEINT AS y FROM nation),
@@ -3849,6 +3917,7 @@ private[graft] object OracleSql {
         |FROM p ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     "graph_communities" -> lpaSql(),
+    "graph_modularity" -> modularitySql(),
     "graph_kcore" -> kCoreSql(),
 
     "pipeline_curate" -> pipelineCurateSql,

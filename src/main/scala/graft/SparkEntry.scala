@@ -465,6 +465,30 @@ object SparkEntry {
         y = expr("cast(floor(value * 1000000.0) as long)"))
     }),
 
+    "events_ewma" -> ((s, dir) => {
+      // the level tracker beside events_trend/theilsen's slopes: integer
+      // EWMA (α = 1/4) over the daily metric-mass grid — per-step
+      // truncation doesn't telescope, so the oracle replays the exact
+      // recurrence as a recursive CTE; the Spark side folds it per group
+      // with one codegen'd higher-order aggregate (no window, no UDF)
+      graft.operators.Trend.ewmaIntSeries(
+        events(s, dir), Seq("event_type"),
+        x = expr("ts_ns div 86400000000000"),
+        y = expr("cast(floor(value * 1000000.0) as long)"))
+    }),
+
+    "events_throttle" -> ((s, dir) => {
+      // greedy cooldown dedup: per (user, type) keep an event iff ≥ 10
+      // minutes since the last KEPT one — the retry-burst / notification
+      // policy. NOT sessionization: the anchor is the last kept row, so a
+      // steady sub-cooldown drizzle still yields one kept row per window
+      graft.operators.Sessionize.throttle(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          col("event_id"), expr("ts_ns DIV 1000").as("ts_us")),
+        Seq("user_id", "event_type"), "ts_us", "event_id",
+        cooldown = 10L * 60 * 1000 * 1000)
+    }),
+
     "theilsen_even_median" -> ((s, dir) => {
       // gates the documented even-pair-count convention (Trend.scala):
       // 5 nations per region → C(5,2) = 10 pairwise slopes (EVEN) — the
@@ -2477,6 +2501,21 @@ object SparkEntry {
         .join(li.withColumnRenamed("pk", "pb"), "ok")
         .filter(col("pa") < col("pb"))
       graft.operators.Communities.labelPropagation(co, "pa", "pb", iters = 3)
+    }),
+
+    "graph_modularity" -> ((s, dir) => {
+      // the global audit LPA itself can't give: per-community Newman Q
+      // contributions over the same co-purchase graph, exact sign-split
+      // ppm — says whether label propagation found real structure (Q > 0)
+      // or shredded/over-merged it, community by community
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val co = li.withColumnRenamed("pk", "pa")
+        .join(li.withColumnRenamed("pk", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+      val comm = graft.operators.Communities.labelPropagation(co, "pa", "pb", iters = 3)
+      graft.operators.Communities.modularity(co, "pa", "pb", comm)
     }),
 
     "graph_kcore" -> ((s, dir) => {

@@ -328,16 +328,31 @@ object Dedup {
 
   /** Distinct candidate id pairs from bucketed rows (`id` + bucket key cols).
     *
-    * Two scale guards that a naive bucket self-join lacks:
-    *  - buckets larger than `maxBucketSize` are dropped *before* pairing — a
-    *    bucket shared by thousands of docs is not discriminative (it would
-    *    contribute O(m²) pairs of mostly-unrelated docs) and any real
-    *    near-dup pair inside it still collides in its other, rarer buckets;
+    * Scale guards that a naive bucket self-join lacks:
+    *  - buckets larger than `maxBucketSize` DON'T self-join (that would be
+    *    O(m²) pairs of mostly-unrelated docs — a bucket shared by thousands
+    *    is not discriminative). They are NOT dropped either (the pre-r14
+    *    behavior): the r14 100×-density probe measured full-clique recall
+    *    falling to 46% when 88% of band rows sat in over-cap buckets.
+    *    Instead each over-cap bucket contributes LINEAR connectivity-rescue
+    *    candidates — a star from the bucket's min id to every member plus
+    *    the id-adjacent chain — so a true duplicate cluster trapped in a
+    *    mega-bucket still reaches the verifier through O(m) candidates,
+    *    and downstream exact verification (every caller verifies) prunes
+    *    the false ones. Cost is bounded by 2 rows per over-cap row,
+    *    NOT bucket², and exactness is untouched: candidates are a superset
+    *    question, verification is the answer.
+    *  - buckets beyond `rescueLimit` (a true degeneracy — one fingerprint
+    *    shared by a significant corpus fraction) are dropped outright: even
+    *    linear candidates would flood the verifier, and the chain's
+    *    per-bucket sort would single-task-straggle. Real pairs inside such
+    *    a bucket still collide in their other, rarer buckets.
     *  - pairs are deduped *before* any expensive verification, so a pair
     *    colliding in k buckets is verified once, not k times.
     */
   private[graft] def candidatePairs(
-      bucketed: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+      bucketed: DataFrame, bucketCols: Seq[String], maxBucketSize: Int,
+      rescueLimit: Int = 1 << 20): DataFrame = {
     val keys = bucketCols.map(col)
     // bucket sizing via aggregate + broadcast anti-join, NOT a window: a
     // count-window partitioned by bucket key must co-locate every bucket's
@@ -348,23 +363,39 @@ object Dedup {
     // rows), and the broadcast anti-join drops their rows without ever
     // co-locating them.
     // repartition on (keys, id): materializes the possibly-expensive
-    // bucketed lineage in ONE exchange reused by all three consumers below,
+    // bucketed lineage in ONE exchange reused by all consumers below,
     // and spreads even a degenerate bucket uniformly across tasks — nothing
     // downstream co-locates it (the count aggregate map-side-combines, the
-    // anti-join probes a broadcast, and the pair join shuffles only rows of
-    // surviving ≤-cap buckets). Keys-only partitioning was measured slower
-    // here: common fingerprints skew the exchange itself.
+    // anti-join probes a broadcast, the pair join shuffles only rows of
+    // surviving ≤-cap buckets, and the rescue window only ever co-locates
+    // ≤ rescueLimit rows per bucket). Keys-only partitioning was measured
+    // slower here: common fingerprints skew the exchange itself.
     val buck = bucketed.repartition(keys :+ col("id"): _*)
-    val hot = buck.groupBy(keys: _*).agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > maxBucketSize)
-      .select(keys: _*)
+    val sizes = buck.groupBy(keys: _*).agg(count(lit(1)).as("__bucket_n"))
+    val hot = sizes.filter(col("__bucket_n") > maxBucketSize).select(keys: _*)
     val kept = buck.join(broadcast(hot), bucketCols, "left_anti")
     val a = kept.select(keys :+ col("id").as("id_a"): _*)
     val b = kept.select(keys :+ col("id").as("id_b"): _*)
-    a.join(b, bucketCols)
+    val full = a.join(b, bucketCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    // connectivity rescue for (cap, rescueLimit] buckets: star + chain
+    val rescueKeys = sizes
+      .filter(col("__bucket_n") > maxBucketSize && col("__bucket_n") <= rescueLimit)
+      .select(keys: _*)
+    val resc = buck.join(broadcast(rescueKeys), bucketCols, "left_semi")
+      .select(keys :+ col("id"): _*)
+    val star = resc.groupBy(keys: _*).agg(min(col("id")).as("__min_id"))
+      .join(resc, bucketCols)
+      .filter(col("__min_id") < col("id"))
+      .select(col("__min_id").as("id_a"), col("id").as("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("id"))
+    val chain = resc
+      .withColumn("__next", lead(col("id"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col("id").as("id_a"), col("__next").as("id_b"))
+    full.unionByName(star).unionByName(chain).distinct()
   }
 
   /** Embedding-cosine near-dup pairs (idA < idB) with cosine ≥ `threshold`.

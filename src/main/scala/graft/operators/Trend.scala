@@ -122,4 +122,64 @@ object Trend {
       .select(groupCols.map(col) ++ Seq(
         col("__cnt").as("n_pairs"), col("slope_ppm").as("theilsen_ppm")): _*)
   }
+
+  /** Per-group exponentially-weighted moving average over the (x, y) grid
+    * in EXACT integer arithmetic — the smoothing face of this module:
+    * [[groupedTrend]] answers "what's the slope", EWMA answers "what's the
+    * level right now", the pair every drift monitor wants.
+    *
+    * Recurrence with α = `aNum`/`aDen`:
+    * `s₀ = y₀`; `sₜ = sign(v)·(|v| div aDen)` for
+    * `v = aNum·yₜ + (aDen−aNum)·sₜ₋₁` — truncation toward zero at every
+    * step (sign-split so DuckDB's floor `//` replays it on the
+    * non-negative operand), which makes the whole series a pure integer
+    * function of the grid, bit-identical in any engine: the float
+    * formulation drifts in the last ulp immediately, and per-step
+    * truncation does NOT telescope, so replaying it demands the same
+    * step-by-step recurrence (a recursive CTE in SQL).
+    *
+    * Emits one row per grid point: (groupCols*, x, y, ewma).
+    *
+    * '''Plan shape (100 TB).''' One map-side-combined corpus pass to the
+    * (group, x) grid, then — because each step depends on the previous
+    * SMOOTHED value, not the previous row — the per-group fold runs as a
+    * single codegen'd higher-order `aggregate` over the group's collected,
+    * sorted grid: no window, no UDF, no driver loop. Bounded per-GROUP
+    * state is the contract (a daily grid is ≤ a few thousand points per
+    * group at any horizon); corpus-scale parallelism is across groups. */
+  def ewmaIntSeries(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column,
+      aNum: Long = 1L,
+      aDen: Long = 4L): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"alpha must satisfy 0 < aNum/aDen <= 1, got $aNum/$aDen")
+    val grid = df.select(
+      groupCols.map(col) ++ Seq(
+        x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__x"): _*)
+      .agg(sum(col("__y")).as("__y"))
+    val folded = grid
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col("__x").as("x"), col("__y").as("y")))).as("__grid"))
+      .withColumn("__series", expr(
+        s"""aggregate(__grid,
+           |  cast(array() as array<struct<x: long, y: long, ewma: long>>),
+           |  (acc, p) -> array_append(acc, named_struct('x', p.x, 'y', p.y,
+           |    'ewma', CASE WHEN size(acc) = 0 THEN p.y
+           |      ELSE (CASE WHEN ${aNum}L * p.y +
+           |          ${aDen - aNum}L * element_at(acc, -1).ewma < 0
+           |        THEN -1L ELSE 1L END) *
+           |        (abs(${aNum}L * p.y +
+           |          ${aDen - aNum}L * element_at(acc, -1).ewma) div ${aDen}L)
+           |      END)))""".stripMargin))
+    folded.select(groupCols.map(col) :+ explode(col("__series")).as("__p"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__p.x").as("x"), col("__p.y").as("y"),
+        col("__p.ewma").as("ewma")): _*)
+  }
 }
