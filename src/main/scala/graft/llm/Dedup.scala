@@ -379,23 +379,28 @@ object Dedup {
     val full = a.join(b, bucketCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    // connectivity rescue for (cap, rescueLimit] buckets: star + chain
+    // connectivity rescue for (cap, rescueLimit] buckets: star + chain from
+    // ONE window pass (running-first-over-sorted = the bucket min; lead =
+    // the id-adjacent neighbor), exploded into both pair kinds in a single
+    // projection so the rescue lineage appears exactly once in the plan
     val rescueKeys = sizes
       .filter(col("__bucket_n") > maxBucketSize && col("__bucket_n") <= rescueLimit)
       .select(keys: _*)
-    val resc = buck.join(broadcast(rescueKeys), bucketCols, "left_semi")
-      .select(keys :+ col("id"): _*)
-    val star = resc.groupBy(keys: _*).agg(min(col("id")).as("__min_id"))
-      .join(resc, bucketCols)
-      .filter(col("__min_id") < col("id"))
-      .select(col("__min_id").as("id_a"), col("id").as("id_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(col("id"))
-    val chain = resc
+    val rescue = buck.join(broadcast(rescueKeys), bucketCols, "left_semi")
+      .select(keys :+ col("id"): _*)
+      .withColumn("__min_id", first(col("id")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
       .withColumn("__next", lead(col("id"), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .select(col("id").as("id_a"), col("__next").as("id_b"))
-    full.unionByName(star).unionByName(chain).distinct()
+      .select(explode(array(
+        struct(col("__min_id").as("id_a"), col("id").as("id_b")),
+        struct(col("id").as("id_a"), col("__next").as("id_b")))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("id_a") < col("id_b"))
+    full.unionByName(rescue).distinct()
   }
 
   /** Embedding-cosine near-dup pairs (idA < idB) with cosine ≥ `threshold`.

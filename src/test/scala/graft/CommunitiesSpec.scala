@@ -54,4 +54,33 @@ class CommunitiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("modularity: hand-computed Q of two triangles joined by a bridge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4: m = 7 edges; with the
+    // perfect partition each community has e_in = 3, deg_sum = 7, so its
+    // contribution is (4·7·3 − 49)·10⁶ div (4·49) = 35e6 div 196 = 178571
+    // (Q = 5/14 ≈ 0.357143 total — lower-middle truncation, not rounding)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val got = Communities.modularity(edges, "a", "b", comm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((3L, 7L, 3L, 178571L)),
+      4L -> ((3L, 7L, 3L, 178571L))))
+  }
+
+  test("modularity: the everything-in-one-community partition scores zero") {
+    import spark.implicits._
+    // one community holding the whole graph: e_in = m and deg_sum = 2m,
+    // so 4m·m − (2m)² = 0 exactly — the classic Q identity, sign-split
+    // div included (num = 0 must not emit -0-style artifacts)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val comm = (1L to 4L).map(i => (i, 1L)).toDF("id", "community")
+    val got = Communities.modularity(edges, "a", "b", comm).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      == ((4L, 8L, 4L, 0L)))
+  }
 }

@@ -64,9 +64,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     // costs minutes at 100× (r11 VERDICT task 5). Queries whose lineage
     // localCheckpoints during construction (CC loops) pin only the final
     // stitch plan — the loop's per-round budget is GroupedRank/CC's specs.
-    ("dedup_minhash", 22, 0),
+    // r14: +7 planned exchanges and 1 partitioned window from the
+    // over-cap connectivity rescue (star+chain) — the rescue lineage is
+    // EMPTY whenever no bucket exceeds the cap (all sf scales) and its
+    // bucket repartition/size-agg subtrees reuse at runtime; the recall
+    // payoff at 100×-density is full_clique 46% → (see BENCH_NOTES r14)
+    ("dedup_minhash", 29, 1),
     ("dedup_groups", 1, 0),
-    ("winnow_neardup", 18, 0),
+    ("winnow_neardup", 25, 1), // r14 rescue, same rationale as dedup_minhash
     ("dedup_index_probe", 8, 0),
     ("split_leakage_safe", 3, 0),
     ("dedup_groups_incremental", 6, 0),
@@ -145,7 +150,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-source fold on the materialized ids
     ("dup_rate_by_source", 5, 0),
     // single pairs lineage + two source lookups + source-pair fold
-    ("dedup_cross_source", 25, 0),
+    ("dedup_cross_source", 32, 1), // r14 rescue, same rationale as dedup_minhash
     // (day,user) frame checkpointed; DAU fold + 7-day range join + WAU
     // fold all run on it, never on raw events
     ("events_stickiness", 6, 0),
@@ -168,7 +173,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("dedup_cluster_quality", 6, 0),
     // one tagged-union shuffle + running-last window (the as-of plan) +
     // the day rollup — never a range join
-    ("events_attribution", 2, 1))
+    ("events_attribution", 2, 1),
+    // nation grid + the same pair/median plan as events_theilsen
+    ("theilsen_even_median", 2, 2),
+    // daily grid groupBy + per-type fold grain — the sequential recurrence
+    // is ONE codegen'd higher-order aggregate, never a window or UDF
+    ("events_ewma", 2, 0),
+    // one (user, type)-grain shuffle for the fold — the kept-anchored
+    // recurrence never windows or re-shuffles
+    ("events_throttle", 1, 0),
+    // LPA rounds run pre-materialized (checkpoint loop); this pins the
+    // modularity stitch: edge distinct + degree fold + two assignment
+    // probes + community epilogue, 1-row m frame broadcast
+    ("graph_modularity", 10, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.

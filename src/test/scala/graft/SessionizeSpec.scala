@@ -58,4 +58,36 @@ class SessionizeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
   }
+
+  test("throttle keeps rows anchored to the last KEPT row, not the last seen") {
+    import spark.implicits._
+    // ts 0,5,9,14,20 cooldown 10: greedy keeps 0 (anchor 0), drops 5 and 9,
+    // keeps 14 (14-0 ≥ 10, anchor 14), drops 20 (20-14 < 10). Gap-10
+    // SESSIONIZATION of the same rows is one session (all gaps ≤ 10) —
+    // its head-keeping would keep only ts 0; the extra kept row at 14 is
+    // exactly the kept-anchored/seen-anchored semantic difference.
+    val df = Seq((7L, 1L, 0L), (7L, 2L, 5L), (7L, 3L, 9L), (7L, 4L, 14L),
+      (7L, 5L, 20L)).toDF("k", "id", "ts")
+    val kept = graft.operators.Sessionize
+      .throttle(df, Seq("k"), "ts", "id", cooldown = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 0L), (4L, 14L)))
+    val sessions = graft.operators.Sessionize
+      .sessionize(df, Seq("k"), "ts", "id", gap = 10L)
+      .select("session_id").distinct().count()
+    assert(sessions == 1L)
+  }
+
+  test("throttle: exact-cooldown boundary keeps, ties break by the tie column") {
+    import spark.implicits._
+    // two rows at ts 0 (ids 9 and 2): the fold sorts (ts, id) so id 2 is
+    // first and is kept, id 9 lands inside its cooldown; ts 10 keeps
+    // (boundary is >=), ts 19 drops
+    val df = Seq((1L, 9L, 0L), (1L, 2L, 0L), (1L, 3L, 10L), (1L, 4L, 19L))
+      .toDF("k", "id", "ts")
+    val kept = graft.operators.Sessionize
+      .throttle(df, Seq("k"), "ts", "id", cooldown = 10L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept == Set(2L, 3L))
+  }
 }

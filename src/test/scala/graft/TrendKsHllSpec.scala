@@ -70,6 +70,23 @@ class TrendKsHllSpec extends AnyFunSuite {
     assert(got.getLong(2) == 3000000L)
   }
 
+  test("ewmaIntSeries: hand-traced integer recurrence with sign-split truncation") {
+    import spark.implicits._
+    // α = 1/4: s₀ = 4; s₁ = ±(|−20 + 3·4| div 4) = −(8 div 4) = −2;
+    // s₂ = (8 + 3·(−2)) div 4 = 2 div 4 = 0 (truncation toward zero —
+    // floor would be identical here, but s₁ pins the negative branch where
+    // they differ: floor(−8/4) = −2 = trunc, use −9: trunc −2 vs floor −3)
+    val df = Seq(("g", 0L, 4L), ("g", 1L, -20L), ("g", 2L, 8L),
+      // h: repeated x must grid-sum first (3+1=4), then s₁ = (−9+12) div 4 = 0
+      ("h", 0L, 3L), ("h", 0L, 1L), ("h", 1L, -9L))
+      .toDF("g", "x", "y")
+    val got = graft.operators.Trend
+      .ewmaIntSeries(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("g", 0L) -> 4L, ("g", 1L) -> -2L, ("g", 2L) -> 0L,
+      ("h", 0L) -> 4L, ("h", 1L) -> 0L))
+  }
+
   test("theilSenTrend shrugs off the outlier day that drags OLS") {
     import spark.implicits._
     // y = x on days 0..20, except the LAST day reports 10_000 (a bad
