@@ -177,6 +177,32 @@ private[graft] object OracleSql {
        |$iterCtes""".stripMargin
   }
 
+  /** Generated oracle for `events_ewma` / `stream_ewma` — ONE recurrence
+    * specification, two consumers (the batch series and the streaming
+    * fold's converged final row per group). */
+  private def ewmaSql(lastOnly: Boolean): String = {
+    val tail =
+      if (lastOnly)
+        """SELECT event_type, x, y, ewma::BIGINT AS ewma FROM r
+          |QUALIFY row_number() OVER (PARTITION BY event_type
+          |  ORDER BY rn DESC) = 1""".stripMargin
+      else "SELECT event_type, x, y, ewma::BIGINT AS ewma FROM r"
+    s"""WITH RECURSIVE g AS (SELECT event_type,
+       |    epoch_ns(ts) // 86400000000000 AS x,
+       |    sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS y
+       |  FROM events GROUP BY 1, 2),
+       |n AS (SELECT event_type, x, y, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY x) AS rn FROM g),
+       |r AS (
+       |  SELECT event_type, rn, x, y, y AS ewma FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.event_type, n.rn, n.x, n.y,
+       |    (CASE WHEN n.y + 3 * r.ewma < 0 THEN -1 ELSE 1 END) *
+       |      (abs(n.y + 3 * r.ewma) // 4)
+       |  FROM n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+       |$tail""".stripMargin
+  }
+
   private def lpaSql(iters: Int = 3): String =
     s"""WITH ${lpaCtes(iters)}
        |SELECT id, lbl AS community FROM l$iters""".stripMargin
@@ -1694,21 +1720,11 @@ private[graft] object OracleSql {
     // EWMA replay: the per-step sign-split truncation does NOT telescope
     // into a closed-form weight sum — the recursive CTE reruns the exact
     // recurrence (s₀ = y₀; sₜ = ±(|yₜ + 3·sₜ₋₁| // 4)), depth = grid days
-    "events_ewma" ->
-      """WITH RECURSIVE g AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS x,
-        |    sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS y
-        |  FROM events GROUP BY 1, 2),
-        |n AS (SELECT event_type, x, y, row_number() OVER (
-        |    PARTITION BY event_type ORDER BY x) AS rn FROM g),
-        |r AS (
-        |  SELECT event_type, rn, x, y, y AS ewma FROM n WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.event_type, n.rn, n.x, n.y,
-        |    (CASE WHEN n.y + 3 * r.ewma < 0 THEN -1 ELSE 1 END) *
-        |      (abs(n.y + 3 * r.ewma) // 4)
-        |  FROM n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
-        |SELECT event_type, x, y, ewma::BIGINT AS ewma FROM r""".stripMargin,
+    "events_ewma" -> ewmaSql(lastOnly = false),
+
+    // the streaming fold's converged state must equal the batch series'
+    // FINAL row per group exactly (grid-buffered state, any arrival order)
+    "stream_ewma" -> ewmaSql(lastOnly = true),
 
     // greedy cooldown throttle replay: kept-anchored recurrence (state =
     // last KEPT ts), recursive CTE at (user, type) grain, ties by event_id

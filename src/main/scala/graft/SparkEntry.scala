@@ -489,6 +489,26 @@ object SparkEntry {
         cooldown = 10L * 60 * 1000 * 1000)
     }),
 
+    "stream_ewma" -> ((s, dir) => {
+      // the live face of events_ewma: state is the (bounded) day grid
+      // itself, re-smoothed per update — exact batch equality under ANY
+      // arrival order; converged (max update_seq) row per type must equal
+      // the batch series' final row bit-for-bit
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.ewmaUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type",
+          x = expr("ts_ns div 86400000000000"),
+          y = expr("cast(floor(value * 1000000.0) as long)")),
+        "graft_stream_ewma", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("x"), col("y"), col("ewma")))
+          .as("__f"))
+        .select(col("event_type"), col("__f.x").as("x"),
+          col("__f.y").as("y"), col("__f.ewma").as("ewma"))
+    }),
+
     "theilsen_even_median" -> ((s, dir) => {
       // gates the documented even-pair-count convention (Trend.scala):
       // 5 nations per region → C(5,2) = 10 pairwise slopes (EVEN) — the

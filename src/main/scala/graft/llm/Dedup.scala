@@ -145,9 +145,18 @@ object Dedup {
       val stripe = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i"))
       xxhash64(stripe :+ lit(b): _*)
     }
-    signed.select(col("id"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+    // __chain = the NEXT band's key, riding each band row (+8 bytes): the
+    // over-cap rescue in [[candidatePairs]] sorts its chain by it, so docs
+    // that also agree on a second band — overwhelmingly true near-dups —
+    // sit contiguously inside a mega-bucket and chain to each other, while
+    // an id-ordered chain interleaves unrelated docs between them. Costs
+    // nothing when no bucket is over cap.
+    val rows = array((0 until bands).map { b =>
+      struct(bandCols(b).as("k"), bandCols((b + 1) % bands).as("c"))
+    }: _*)
+    signed.select(col("id"), posexplode(rows))
+      .select(col("id"), col("pos").as("band_idx"),
+        col("col.k").as("band_key"), col("col.c").as("__chain"))
   }
 
   /** Shared LSH pipeline: band → candidate pairs → signature-agreement
@@ -386,17 +395,26 @@ object Dedup {
     val rescueKeys = sizes
       .filter(col("__bucket_n") > maxBucketSize && col("__bucket_n") <= rescueLimit)
       .select(keys: _*)
+    // chain order: a caller-provided __chain locality column when present
+    // (minhash band rows carry the next band's key — same-chain docs are
+    // near-certain true dups and sort contiguous), id otherwise
+    val chainCols =
+      (if (bucketed.columns.contains("__chain")) Seq(col("__chain")) else Nil) :+ col("id")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("id"))
+      .partitionBy(keys: _*).orderBy(chainCols: _*)
+    // __anchor is the FIRST row in chain order (not necessarily the min
+    // id), so both pair kinds normalize via least/greatest
     val rescue = buck.join(broadcast(rescueKeys), bucketCols, "left_semi")
-      .select(keys :+ col("id"): _*)
-      .withColumn("__min_id", first(col("id")).over(w.rowsBetween(
+      .select(keys ++ chainCols: _*)
+      .withColumn("__anchor", first(col("id")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
       .withColumn("__next", lead(col("id"), 1).over(w))
       .select(explode(array(
-        struct(col("__min_id").as("id_a"), col("id").as("id_b")),
-        struct(col("id").as("id_a"), col("__next").as("id_b")))).as("__p"))
+        struct(least(col("__anchor"), col("id")).as("id_a"),
+          greatest(col("__anchor"), col("id")).as("id_b")),
+        struct(least(col("id"), col("__next")).as("id_a"),
+          greatest(col("id"), col("__next")).as("id_b")))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
         col("id_a") < col("id_b"))

@@ -598,6 +598,60 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "n", "slope_ppm")
   }
 
+  /** Streaming integer EWMA (α = aNum/aDen) over the per-group (x, y)
+    * grid — the live face of [[graft.operators.Trend.ewmaIntSeries]].
+    *
+    * EWMA is ORDER-dependent (each step anchors on the previous smoothed
+    * value), and a raw event stream delivers days out of order, so unlike
+    * the power-sum folds this state is the (bounded) GRID itself: per
+    * group a `x → Σy` map, re-smoothed in x order on every update. That
+    * buys exact batch equality under ANY arrival order — the converged
+    * (last-update) row per group equals the final row of the batch series
+    * bit-for-bit, which is how the oracle gates it. State is bounded by
+    * the grid cardinality (days × groups — the same boundedness the batch
+    * operator's per-group fold already assumes), NOT by event count.
+    *
+    * Emits per update: (group, update_seq, x, y, ewma) for the LAST grid
+    * point seen so far. */
+  def ewmaUpdates(
+      stream: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      aNum: Long = 1L, aDen: Long = 4L): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"alpha must satisfy 0 < aNum/aDen <= 1, got $aNum/$aDen")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val pts = stream
+      .select(col(groupCol).cast("string").as("g"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Map[Long, Long]),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Map[Long, Long])]) =>
+          val (seq, grid0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val grid = rows.foldLeft(grid0) { case (g, (_, xv, yv)) =>
+            g.updated(xv, g.getOrElse(xv, 0L) + yv)
+          }
+          state.update((seq + 1, grid))
+          // re-smooth the bounded grid in x order: s₀ = y₀, then the
+          // sign-split truncating recurrence — identical to the batch fold
+          val pts = grid.toSeq.sorted
+          val ewma = pts.tail.foldLeft(pts.head._2) { case (s, (_, yv)) =>
+            val v = aNum * yv + (aDen - aNum) * s
+            v.signum * (v.abs / aDen)
+          }
+          val (lastX, lastY) = pts.last
+          Iterator((grp, seq + 1, lastX, lastY, ewma))
+      }
+      .toDF(groupCol, "update_seq", "x", "y", "ewma")
+  }
+
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */

@@ -430,6 +430,42 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batch)
   }
 
+  test("streaming EWMA converges to the batch series' final row under SHUFFLED arrival order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(7)
+    // days delivered SHUFFLED across micro-batches: the grid-buffered state
+    // must still converge to the in-x-order batch smoothing — this is the
+    // property the power-sum folds get for free and EWMA must buy with grid
+    // state (negative y values exercise the sign-split branch)
+    val data = rnd.shuffle((1L to 120L).map(i =>
+      (s"g${i % 3}", i % 20, rnd.nextInt(2000000).toLong - 1000000L)).toVector)
+    data.grouped(40).foreach { chunk =>
+      chunk.toDF("g", "x", "y").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, x BIGINT, y BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.ewmaUpdates(stream, "g", col("x"), col("y")),
+      "t_stream_ewma", outputMode = "update")
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("x"), col("y"), col("ewma"))).as("__f"))
+      .select(col("g"), col("__f.x").as("x"), col("__f.y").as("y"),
+        col("__f.ewma").as("ewma"))
+    val batchLast = graft.operators.Trend
+      .ewmaIntSeries(spark.read.parquet(dir.toString), Seq("g"), col("x"), col("y"))
+      .groupBy("g")
+      .agg(max(struct(col("x"), col("y"), col("ewma"))).as("__f"))
+      .select(col("g"), col("__f.x").as("x"), col("__f.y").as("y"),
+        col("__f.ewma").as("ewma"))
+    fin.ensureDatasetEquals(batchLast)
+  }
+
   test("streaming trend: zero x-variance group reports NULL, not 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_trendnull_")
