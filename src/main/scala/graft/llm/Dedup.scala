@@ -182,8 +182,12 @@ object Dedup {
     val signed0 = signedDocs(docs, setCol, numHashes)
     val signed =
       if (minAgree > rowsPerBand) signed0.repartition(col("id")) else signed0
+    // full rescue only when the signature-agreement prefilter below gates
+    // the rescued candidates (32 cheap longs per pair before any set
+    // verify); without it, bound the rescue at 8× cap — the winnow lesson
     val cand = candidatePairs(bandRows(signed, numHashes, bands),
-      Seq("band_idx", "band_key"), maxBucketSize)
+      Seq("band_idx", "band_key"), maxBucketSize,
+      rescueLimit = if (minAgree > rowsPerBand) 1 << 20 else 8 * maxBucketSize)
     // candidates agree on ≥ rowsPerBand positions by construction; only join
     // the signature arrays in when the cutoff actually discriminates
     val prefiltered = if (minAgree <= rowsPerBand) cand else {
@@ -564,7 +568,15 @@ object Dedup {
     val fpRows = base
       .select(col("id"), explode(graft.functions.WinnowFingerprints
         .winnowFingerprints(col("__norm"), k, window)).as("fp_val"))
-    val cand = candidatePairs(fpRows, Seq("fp_val"), maxBucketSize)
+    // rescueLimit at 8× cap, NOT the default: this path has no cheap
+    // prefilter — every candidate goes straight to the shingle-set
+    // Jaccard join, and an unbounded rescue at 100×-duplicate-density
+    // measured a 79-GB verify-sort spill (nearly every fingerprint bucket
+    // is over cap there, so star+chain over all of them ≈ 2 candidates
+    // per fingerprint ROW). 8× rescues the realistic over-cap range and
+    // keeps the verifier fed at ≤ 2×(rows in ≤8×-cap buckets).
+    val cand = candidatePairs(fpRows, Seq("fp_val"), maxBucketSize,
+      rescueLimit = 8 * maxBucketSize)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("set_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("set_b")), Seq("id_b"))
