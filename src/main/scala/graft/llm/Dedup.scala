@@ -565,9 +565,18 @@ object Dedup {
     // .WinnowFingerprints]]) — the posexplode → per-doc window-min →
     // distinct formulation this replaces shuffled and sorted every gram
     // row (~n per doc) to keep ~2n/window fingerprints
+    // __chain = the doc's MIN fingerprint, riding each fp row (+8 bytes):
+    // near-identical docs share it with high probability, so the over-cap
+    // rescue chain sorts them contiguous inside a mega-bucket (the minhash
+    // next-band-key trick, winnow edition — it took the 100×-density
+    // probe's full-clique recall from 61.8% to 100% on the minhash head).
+    // __fps materializes as a column first so the generator and the min
+    // read ONE winnowing pass.
     val fpRows = base
-      .select(col("id"), explode(graft.functions.WinnowFingerprints
-        .winnowFingerprints(col("__norm"), k, window)).as("fp_val"))
+      .select(col("id"), graft.functions.WinnowFingerprints
+        .winnowFingerprints(col("__norm"), k, window).as("__fps"))
+      .select(col("id"), array_min(col("__fps")).as("__chain"),
+        explode(col("__fps")).as("fp_val"))
     // rescueLimit at 8× cap, NOT the default: this path has no cheap
     // prefilter — every candidate goes straight to the shingle-set
     // Jaccard join, and an unbounded rescue at 100×-duplicate-density

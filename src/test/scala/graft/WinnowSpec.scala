@@ -74,12 +74,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(viaEval == viaPlan)
   }
 
-  test("plan: fingerprint branch has no window and no gram-row exchange") {
+  test("plan: fingerprint branch windows ONLY in the bounded rescue, never per gram row") {
     import spark.implicits._
     val df = Seq((1L, "some document text body"), (2L, "other document text"))
       .toDF("doc_id", "text")
-    val p = graft.llm.Dedup.winnowDedupPairs(df, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), s"winnow plan must not window:\n$p")
+    val plan = graft.llm.Dedup.winnowDedupPairs(df, "doc_id", "text")
+      .queryExecution.executedPlan
+    // pre-r14 this plan had ZERO windows (the one-pass codegen'd
+    // winnowing replaced the posexplode → per-doc window-min form). The
+    // r14 over-cap rescue adds exactly ONE window — partitioned by the
+    // fingerprint bucket and fed only rows of (cap, 8×cap] buckets, so
+    // its per-partition row count is rescueLimit-bounded by construction.
+    // A second window, or a partitionless one, is a regression.
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    }.flatten
+    val ws = windows(plan)
+    assert(ws.size == 1, s"expected exactly the rescue window, got ${ws.size}:\n$plan")
+    assert(ws.head.partitionSpec.nonEmpty, "rescue window must be bucket-partitioned")
   }
 }
