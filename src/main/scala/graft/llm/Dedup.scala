@@ -171,7 +171,8 @@ object Dedup {
     * (binomial tail at 0.3·threshold·numHashes agreements).
     */
   private def lshVerifiedPairs(docs: DataFrame, setCol: String,
-      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int,
+      rescue: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val minAgree = math.max(rowsPerBand, (numHashes * threshold * 0.3).floor.toInt)
@@ -185,9 +186,15 @@ object Dedup {
     // full rescue only when the signature-agreement prefilter below gates
     // the rescued candidates (32 cheap longs per pair before any set
     // verify); without it, bound the rescue at 8× cap — the winnow lesson
+    // rescue = false restores the pre-r14 drop-over-cap contract — what
+    // a [[writeMinHashIndex]] index (which drops over-cap rows at build)
+    // can reproduce; MinHashIndexPropertySpec gates against exactly that
     val cand = candidatePairs(bandRows(signed, numHashes, bands),
       Seq("band_idx", "band_key"), maxBucketSize,
-      rescueLimit = if (minAgree > rowsPerBand) 1 << 20 else 8 * maxBucketSize)
+      rescueLimit =
+        if (!rescue) maxBucketSize
+        else if (minAgree > rowsPerBand) 1 << 20
+        else 8 * maxBucketSize)
     // candidates agree on ≥ rowsPerBand positions by construction; only join
     // the signature arrays in when the cutoff actually discriminates
     val prefiltered = if (minAgree <= rowsPerBand) cand else {
@@ -227,9 +234,18 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 5,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 256): DataFrame = {
+      maxBucketSize: Int = 256,
+      // over-cap connectivity rescue (r14): star+chain candidates from
+      // (cap, rescueLimit] buckets. false restores the drop-over-cap
+      // behavior — the contract an LSH INDEX built by
+      // [[writeMinHashIndex]] can mirror (it drops over-cap rows at
+      // build, so [[probeMinHashIndex]] can never reproduce rescued
+      // pairs; a known, documented recall gap of the incremental path
+      // at extreme duplicate density)
+      rescue: Boolean = true): DataFrame = {
     val docs = shingleDocs(df, idCol, textCol, shingleSize)
-    lshVerifiedPairs(docs, "sh", numHashes, bands, threshold, maxBucketSize)
+    lshVerifiedPairs(docs, "sh", numHashes, bands, threshold, maxBucketSize,
+      rescue)
   }
 
   /** Near-deduplicated corpus: drops every document that has a near-dup
@@ -745,7 +761,20 @@ object Dedup {
     * come from the bipartite band join fresh × index, and every candidate
     * pair is verified with the exact shingle Jaccard (fresh side computed,
     * historical side read from the index — no re-shingling of the corpus).
-    * Returns (fresh_id, hist_id, jaccard) with jaccard ≥ `threshold`. */
+    * Returns (fresh_id, hist_id, jaccard) with jaccard ≥ `threshold`.
+    *
+    * '''Contract vs the batch pipeline.''' The probe reproduces every
+    * fresh×hist pair of [[minHashDedupPairs]] run with `rescue = false`
+    * (MinHashIndexPropertySpec gates exactly that). It can NOT reproduce
+    * the r14 over-cap rescue's extra pairs: the index dropped over-cap
+    * bucket rows at build time, so the rows the rescue would chain no
+    * longer exist on the historical side. At extreme duplicate density
+    * (the 100× probe regime) the incremental path therefore lags the
+    * batch pipeline's recall; re-cluster the corpus with the batch
+    * operator periodically, or rebuild the index, when the over-cap drop
+    * rate grows — extending the index layout to persist (cap,
+    * rescueLimit] rows and replay the star/chain at probe time is the
+    * known upgrade path. */
   def probeMinHashIndex(
       fresh: DataFrame,
       idCol: String,

@@ -65,8 +65,13 @@ class MinHashIndexPropertySpec extends AnyFunSuite {
               numHashes, bands, shingleSize, threshold, cap)
             .select("fresh_id", "hist_id")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          // rescue = false: the index drops over-cap bucket rows at BUILD
+          // time, so the probe's contract is the drop-policy pipeline —
+          // the r14 over-cap rescue finds extra pairs a build-time-dropped
+          // index cannot reproduce by construction (documented at
+          // minHashDedupPairs/probeMinHashIndex)
           val full = Dedup.minHashDedupPairs(df, "doc_id", "text",
-              numHashes, bands, shingleSize, threshold, cap)
+              numHashes, bands, shingleSize, threshold, cap, rescue = false)
             .select("id_a", "id_b")
             .collect().map(r => (r.getLong(0), r.getLong(1)))
           val fullBipartite = full.flatMap { case (a, b) =>
