@@ -4043,5 +4043,143 @@ private[graft] object OracleSql {
         |t AS (SELECT * FROM p ORDER BY n_ab DESC, item_a, item_b LIMIT 25)
         |SELECT t.item_a, t.item_b, t.n_ab, ca.n AS n_a, cb.n AS n_b
         |FROM t JOIN ct ca ON ca.i = t.item_a JOIN ct cb ON cb.i = t.item_b""".stripMargin,
+
+    // change-point replay: daily grid, prefix sums over unique grid days
+    // (RANGE default frame ≡ ROWS when the order key is unique), the exact
+    // cross-multiplied mean difference t·Sn − n·St in HUGEINT, sign-split
+    // truncated ppm, argmax of |ppm| with ties to the earliest day
+    "events_changepoint" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (SELECT event_type, d, sum(y)::HUGEINT AS y
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT event_type, d,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY d) AS t,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY d) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(y) OVER (PARTITION BY event_type) AS sn
+        |  FROM g),
+        |s AS (SELECT event_type, d, n,
+        |    ((CASE WHEN t * sn - n * st < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(t * sn - n * st) * 1000000) //
+        |        (t::HUGEINT * (n - t))))::BIGINT AS shift_ppm
+        |  FROM p WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(shift_ppm) DESC, d) AS rn FROM s)
+        |SELECT event_type, n::BIGINT AS n_grid, d AS split_x, shift_ppm
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // path census replay: the per-(user, day) journey is a total-order
+    // fold (ORDER BY ts, event_id inside string_agg — event_id unique),
+    // so both engines build identical path strings; top-20 edge is
+    // deterministic (count desc, path asc — path unique after the census)
+    "events_paths" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS d,
+        |    event_type, epoch_ns(ts) AS tsn, event_id
+        |  FROM events),
+        |w AS (SELECT user_id, d,
+        |    string_agg(event_type, '>' ORDER BY tsn, event_id) AS path
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT path, count(*)::BIGINT AS n_windows,
+        |    count(DISTINCT user_id)::BIGINT AS n_entities
+        |  FROM w GROUP BY 1)
+        |SELECT path, n_windows, n_entities FROM c
+        |ORDER BY n_windows DESC, path LIMIT 20""".stripMargin,
+
+    // U-shaped attribution replay: clicks in (pts − 7d, pts], positions
+    // by (cts, cid), the exact value-conserving credit convention —
+    // k=1 whole, k=2 split by div 2, k≥3 first/middle/last with the last
+    // touch absorbing every truncation remainder. All `//` on
+    // non-negative operands = Spark's div
+    "events_attribution_position" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pts,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, epoch_ns(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.pid, p.v, c.cid,
+        |    row_number() OVER (PARTITION BY p.pid
+        |      ORDER BY c.cts, c.cid) AS pos,
+        |    count(*) OVER (PARTITION BY p.pid) AS k
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts > p.pts - 604800000000000 AND c.cts <= p.pts),
+        |cr AS (SELECT pid, cid, k,
+        |    CASE WHEN k = 1 THEN 'only'
+        |         WHEN pos = 1 THEN 'first'
+        |         WHEN pos = k THEN 'last'
+        |         ELSE 'middle' END AS "position",
+        |    CASE WHEN k = 1 THEN v
+        |         WHEN k = 2 THEN
+        |           (CASE WHEN pos = 1 THEN v // 2 ELSE v - v // 2 END)
+        |         ELSE (CASE WHEN pos = 1 THEN (v * 4000) // 10000
+        |           WHEN pos < k THEN
+        |             (v - (v * 4000) // 10000 - (v * 4000) // 10000) // (k - 2)
+        |           ELSE v - (v * 4000) // 10000 -
+        |             ((v - (v * 4000) // 10000 - (v * 4000) // 10000)
+        |               // (k - 2)) * (k - 2)
+        |           END) END AS credit_micro
+        |  FROM j)
+        |SELECT "position", count(*)::BIGINT AS n_touches,
+        |  count(DISTINCT pid)::BIGINT AS n_purchases,
+        |  sum(credit_micro)::BIGINT AS credit_micro
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // FD replay: the same four candidates stacked over one orders scan,
+    // values compared as VARCHAR (BIGINT::VARCHAR matches Spark's long→
+    // string cast; no double/timestamp columns in the candidate set)
+    "fd_discovery" ->
+      """WITH t AS (
+        |  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    o_orderkey::VARCHAR AS lv, o_custkey::VARCHAR AS rv FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'o_orderstatus',
+        |    o_custkey::VARCHAR, o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus',
+        |    o_orderpriority, o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'o_orderpriority',
+        |    o_orderstatus, o_orderpriority FROM orders),
+        |k AS (SELECT lhs, rhs, lv, count(DISTINCT rv) AS nrv
+        |  FROM t WHERE lv IS NOT NULL AND rv IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT lhs, rhs, count(*)::BIGINT AS n_keys,
+        |  sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_violating_keys,
+        |  max(nrv)::BIGINT AS max_rhs_per_key,
+        |  (sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END) = 0) AS holds
+        |FROM k GROUP BY 1, 2""".stripMargin,
+
+    // pruning-audit replay: the same Morton interleave as zorder_key (8
+    // bits per dim), file = 6-bit key prefix for both layouts, and the
+    // parquet row-group skip rule over the per-file min/max stats
+    "zorder_pruning" -> {
+      val zterms = (0 until 8).flatMap { b =>
+        Seq(s"(((d0 >> $b) & 1) << ${2 * b})",
+          s"(((d1 >> $b) & 1) << ${2 * b + 1})")
+      }
+      def hit0 = "min0 <= 47 AND max0 >= 32"
+      def hit1 = "min1 <= 111 AND max1 >= 96"
+      s"""WITH d AS (SELECT l_partkey % 256 AS d0, l_suppkey % 256 AS d1
+         |  FROM lineitem),
+         |z AS (SELECT d0, d1, (${zterms.mkString(" | ")}) AS zv,
+         |    ((d0 << 8) | d1) AS lv FROM d),
+         |a AS (SELECT d0, d1, 'zorder' AS layout, zv >> 10 AS file FROM z
+         |  UNION ALL SELECT d0, d1, 'linear', lv >> 10 FROM z),
+         |st AS (SELECT layout, file, count(*)::BIGINT AS n_rows,
+         |    min(d0) AS min0, max(d0) AS max0,
+         |    min(d1) AS min1, max(d1) AS max1
+         |  FROM a GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_files,
+         |  sum(n_rows)::BIGINT AS n_rows,
+         |  sum(CASE WHEN $hit0 THEN 1 ELSE 0 END)::BIGINT AS files_read_d0,
+         |  sum(CASE WHEN $hit0 THEN n_rows ELSE 0 END)::BIGINT AS rows_read_d0,
+         |  sum(CASE WHEN $hit1 THEN 1 ELSE 0 END)::BIGINT AS files_read_d1,
+         |  sum(CASE WHEN $hit1 THEN n_rows ELSE 0 END)::BIGINT AS rows_read_d1,
+         |  sum(CASE WHEN $hit0 AND $hit1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS files_read_box,
+         |  sum(CASE WHEN $hit0 AND $hit1 THEN n_rows ELSE 0 END)::BIGINT
+         |    AS rows_read_box
+         |FROM st GROUP BY 1""".stripMargin
+    },
   )
 }

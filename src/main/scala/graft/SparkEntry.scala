@@ -2889,6 +2889,85 @@ object SparkEntry {
           pctAt(0).as("p0"), pctAt(25).as("p25"), pctAt(50).as("p50"),
           pctAt(75).as("p75"), pctAt(100).as("p100"))
     }),
+
+    "events_changepoint" -> ((s, dir) => {
+      // WHEN did the metric jump: best single mean-shift split of the
+      // daily metric-mass grid per event type — the locating sibling of
+      // events_cusum's "has it drifted" alarm; prefix sums + argmax run
+      // on the #types × #days grid frame, never on raw events, and the
+      // truncated-ppm argmax (ties to the earliest day) is the documented
+      // cross-engine convention
+      graft.operators.ChangePoint.meanShiftChangePoint(
+        events(s, dir), Seq("event_type"),
+        x = expr("ts_ns div 86400000000000"),
+        y = expr("cast(floor(value * 1000000.0) as long)"))
+    }),
+
+    "events_paths" -> ((s, dir) => {
+      // top journeys: complete per-(user, day) event-type sequences
+      // counted corpus-wide — the full-path face beside
+      // events_transitions' one-hop matrix; top-20 by (windows desc,
+      // path) is a deterministic total order, and the per-window fold is
+      // the bounded collect_list every per-user window here assumes
+      graft.operators.Paths.pathCensus(
+        events(s, dir), "user_id",
+        windowCol = expr("ts_ns div 86400000000000"),
+        stateCol = "event_type", tsCol = "ts_ns", tieCol = "event_id")
+        .orderBy(col("n_windows").desc, col("path")).limit(20)
+    }),
+
+    "events_attribution_position" -> ((s, dir) => {
+      // U-shaped multi-touch beside events_attribution's last-touch:
+      // every click in the purchase's 7-day window earns 40/20/40
+      // position credit in exact micro-units — Σcredit = value per
+      // purchase (the conservation invariant the integer convention
+      // buys); rolled up per position bucket
+      val ev = events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase").select(
+        col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts_ns").as("p_ts_ns"),
+        expr("cast(floor(value * 1000000.0) as long)").as("value_micro"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        col("ts_ns").as("c_ts_ns"))
+      graft.operators.Attribution.uShapedCredits(
+        purch, "p_event_id", "p_user_id", "p_ts_ns", "value_micro",
+        clicks, "c_event_id", "c_user_id", "c_ts_ns",
+        windowNs = 604800000000000L)
+        .groupBy("position")
+        .agg(count(lit(1)).as("n_touches"),
+          count_distinct(col("p_event_id")).as("n_purchases"),
+          sum("credit_micro").as("credit_micro"))
+    }),
+
+    "fd_discovery" -> ((s, dir) => {
+      // functional-dependency audit: four candidate A→B dependencies over
+      // ONE orders scan (explode to (fd, lhs, rhs) triples — never a scan
+      // per candidate); o_orderkey→o_custkey must hold (orderkey is the
+      // key), the status/priority candidates grade how broken a
+      // non-dependency is via max_rhs_per_key
+      graft.operators.FunctionalDeps.fdProfile(
+        t(s, dir, "orders"), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority"))
+    }),
+
+    "zorder_pruning" -> ((s, dir) => {
+      // "should we z-order this table" answered with the table's own
+      // numbers: simulated per-file min/max stats for the z layout vs the
+      // d0-major linear layout over (l_partkey mod 256, l_suppkey mod 256)
+      // in 64 files, probed with the parquet row-group skip rule — the
+      // measurement beside zorder_key's mechanism. Both layouts ride one
+      // scan (tagged-union explode), stats are 128 rows
+      graft.operators.ZOrder.pruningAudit(
+        t(s, dir, "lineitem"),
+        d0 = pmod(col("l_partkey"), lit(256)),
+        d1 = pmod(col("l_suppkey"), lit(256)),
+        bits = 8, filesLog2 = 6,
+        box0 = (32L, 47L), box1 = (96L, 111L))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -185,7 +185,25 @@ class PlanBudgetSpec extends AnyFunSuite {
     // LPA rounds run pre-materialized (checkpoint loop); this pins the
     // modularity stitch: edge distinct + degree fold + two assignment
     // probes + community epilogue, 1-row m frame broadcast
-    ("graph_modularity", 10, 0))
+    ("graph_modularity", 10, 0),
+    // daily grid groupBy + one re-exchange to event_type grain; all three
+    // window passes (prefix sums, totals, argmax rank) run on the
+    // #types × #days grid frame — the 4th counted node is the
+    // WindowGroupLimit the rn=1 filter pushes down (1 row/group survives
+    // the argmax sort, a reduction, not a cost)
+    ("events_changepoint", 2, 4),
+    // (user, day) journey fold + the path census (distinct-entity agg);
+    // top-20 is TakeOrdered, never a global sort
+    ("events_paths", 3, 0),
+    // binned range join (two shuffles) + per-conversion position window +
+    // the position rollup (distinct-purchase agg)
+    ("events_attribution_position", 3, 2),
+    // one orders scan exploded to candidate triples; distinct-rhs agg at
+    // (fd, key) grain + the per-candidate rollup
+    ("fd_discovery", 3, 0),
+    // one lineitem scan, tagged-union explode to both layouts; stats agg
+    // at (layout, file) grain + the two-row probe rollup
+    ("zorder_pruning", 2, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.

@@ -93,6 +93,46 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("pruningAudit matches a brute-force stats simulation and ranks layouts correctly") {
+    import spark.implicits._
+    import graft.operators.ZOrder.pruningAudit
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 4000).map(_ => (rng.nextInt(64).toLong, rng.nextInt(64).toLong))
+    val bits = 6
+    val filesLog2 = 4
+    val shift = 2 * bits - filesLog2
+    val box0 = (8L, 15L)
+    val box1 = (40L, 47L)
+    val got = pruningAudit(rows.toDF("a", "b"),
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"),
+      bits, filesLog2, box0, box1)
+      .collect().map(r => r.getString(0) -> (1 until 9).map(r.getLong).toSeq).toMap
+
+    // brute force both layouts
+    def audit(fileOf: (Long, Long) => Long): Seq[Long] = {
+      val files = rows.groupBy { case (a, b) => fileOf(a, b) }.values.toSeq
+      def stats(f: Seq[(Long, Long)]) =
+        (f.size.toLong, f.map(_._1).min, f.map(_._1).max, f.map(_._2).min, f.map(_._2).max)
+      val st = files.map(stats)
+      def hit0(s: (Long, Long, Long, Long, Long)) = s._2 <= box0._2 && s._3 >= box0._1
+      def hit1(s: (Long, Long, Long, Long, Long)) = s._4 <= box1._2 && s._5 >= box1._1
+      Seq(st.size.toLong, st.map(_._1).sum,
+        st.count(hit0).toLong, st.filter(hit0).map(_._1).sum,
+        st.count(hit1).toLong, st.filter(hit1).map(_._1).sum,
+        st.count(s => hit0(s) && hit1(s)).toLong,
+        st.filter(s => hit0(s) && hit1(s)).map(_._1).sum)
+    }
+    def zOf(a: Long, b: Long) = reference(Seq(a, b), bits) >> shift
+    def linOf(a: Long, b: Long) = ((a << bits) | b) >> shift
+    assert(got("zorder") == audit(zOf))
+    assert(got("linear") == audit(linOf))
+    // the structural story: linear cannot prune d1-only probes at all,
+    // z-order prunes both dimensions
+    assert(got("linear")(4) == got("linear")(0), "linear must read every file for d1")
+    assert(got("zorder")(4) < got("zorder")(0), "zorder must prune d1 probes")
+  }
+
   test("layoutByZOrder yields disjoint, file-prunable z-ranges per partition") {
     import spark.implicits._
     val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
