@@ -10,6 +10,35 @@ package graft
   * string the driver (and scripts/compare.py) runs in DuckDB against the
   * same parquet tables. */
 private[graft] object OracleSql {
+  /** Shared by `events_changepoint` (batch) and `stream_changepoint`
+    * (converged streaming fold): daily grid, prefix sums over unique grid
+    * days (RANGE default frame ≡ ROWS when the order key is unique), the
+    * exact cross-multiplied mean difference t·Sn − n·St in HUGEINT,
+    * sign-split truncated ppm, argmax of |ppm| with ties to the earliest
+    * day. One specification, two faces. */
+  private val changePointSql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS d,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
+      |  FROM events),
+      |g AS (SELECT event_type, d, sum(y)::HUGEINT AS y
+      |  FROM e GROUP BY 1, 2),
+      |p AS (SELECT event_type, d,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY d) AS t,
+      |    sum(y) OVER (PARTITION BY event_type ORDER BY d) AS st,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(y) OVER (PARTITION BY event_type) AS sn
+      |  FROM g),
+      |s AS (SELECT event_type, d, n,
+      |    ((CASE WHEN t * sn - n * st < 0 THEN -1 ELSE 1 END) *
+      |      ((abs(t * sn - n * st) * 1000000) //
+      |        (t::HUGEINT * (n - t))))::BIGINT AS shift_ppm
+      |  FROM p WHERE t < n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(shift_ppm) DESC, d) AS rn FROM s)
+      |SELECT event_type, n::BIGINT AS n_grid, d AS split_x, shift_ppm
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** DuckDB SELECT items replaying Spark's `HashPartitioning` partition id
     * for one BIGINT key: `pmod(Murmur3_x86_32.hashLong(key, seed=42), n)`
     * (`repartition(n, key)`'s id expression — Spark
@@ -4048,28 +4077,12 @@ private[graft] object OracleSql {
     // (RANGE default frame ≡ ROWS when the order key is unique), the exact
     // cross-multiplied mean difference t·Sn − n·St in HUGEINT, sign-split
     // truncated ppm, argmax of |ppm| with ties to the earliest day
-    "events_changepoint" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS d,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
-        |  FROM events),
-        |g AS (SELECT event_type, d, sum(y)::HUGEINT AS y
-        |  FROM e GROUP BY 1, 2),
-        |p AS (SELECT event_type, d,
-        |    count(*) OVER (PARTITION BY event_type ORDER BY d) AS t,
-        |    sum(y) OVER (PARTITION BY event_type ORDER BY d) AS st,
-        |    count(*) OVER (PARTITION BY event_type) AS n,
-        |    sum(y) OVER (PARTITION BY event_type) AS sn
-        |  FROM g),
-        |s AS (SELECT event_type, d, n,
-        |    ((CASE WHEN t * sn - n * st < 0 THEN -1 ELSE 1 END) *
-        |      ((abs(t * sn - n * st) * 1000000) //
-        |        (t::HUGEINT * (n - t))))::BIGINT AS shift_ppm
-        |  FROM p WHERE t < n),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |    ORDER BY abs(shift_ppm) DESC, d) AS rn FROM s)
-        |SELECT event_type, n::BIGINT AS n_grid, d AS split_x, shift_ppm
-        |FROM r WHERE rn = 1""".stripMargin,
+    "events_changepoint" -> changePointSql,
+
+    // the streaming fold's converged state must equal the batch operator
+    // per group exactly (grid-buffered state, any arrival order) — one
+    // specification, one replay
+    "stream_changepoint" -> changePointSql,
 
     // path census replay: the per-(user, day) journey is a total-order
     // fold (ORDER BY ts, event_id inside string_agg — event_id unique),
@@ -4181,5 +4194,100 @@ private[graft] object OracleSql {
          |    AS rows_read_box
          |FROM st GROUP BY 1""".stripMargin
     },
+
+    // Kaplan–Meier risk-table replay: first signup, first purchase at or
+    // after it, censoring at the corpus horizon, day-floor durations; the
+    // reverse cumulative (ORDER BY t DESC, unique t) is n_risk
+    "events_survival" ->
+      """WITH su AS (SELECT user_id, min(epoch_ns(ts)) AS s_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS p_ts
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.s_ts
+        |  GROUP BY 1),
+        |mx AS (SELECT max(epoch_ns(ts)) AS m FROM events),
+        |d AS (SELECT
+        |    CASE WHEN pu.p_ts IS NULL
+        |      THEN (mx.m // 86400000000000) - (su.s_ts // 86400000000000)
+        |      ELSE (pu.p_ts // 86400000000000) - (su.s_ts // 86400000000000)
+        |      END AS t,
+        |    CASE WHEN pu.p_ts IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id CROSS JOIN mx),
+        |g AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+        |  FROM d GROUP BY 1)
+        |SELECT t, sum(d + c) OVER (ORDER BY t DESC)::BIGINT AS n_risk, d, c
+        |FROM g""".stripMargin,
+
+    // Gini dependency-strength replay: same stacked candidates as
+    // fd_discovery; per-key truncated conditional terms summed (the
+    // documented convention), marginal Gini over the rhs counts, all //
+    // on non-negative HUGEINTs = Spark's decimal div
+    "fd_strength" ->
+      """WITH t AS (
+        |  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    o_orderkey::VARCHAR AS lv, o_custkey::VARCHAR AS rv FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'o_orderstatus',
+        |    o_custkey::VARCHAR, o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus',
+        |    o_orderpriority, o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'o_orderpriority',
+        |    o_orderstatus, o_orderpriority FROM orders),
+        |cnt AS (SELECT lhs, rhs, lv, rv, count(*)::HUGEINT AS n_ab
+        |  FROM t WHERE lv IS NOT NULL AND rv IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT lhs, rhs, lv, sum(n_ab) AS n_a,
+        |    sum(n_ab * n_ab) AS ssqa FROM cnt GROUP BY 1, 2, 3),
+        |tot AS (SELECT lhs, rhs, sum(n_a) AS n FROM a GROUP BY 1, 2),
+        |cond AS (SELECT a.lhs, a.rhs,
+        |    sum(((a.n_a * a.n_a - a.ssqa) * 1000000) //
+        |      (tot.n * a.n_a))::BIGINT AS cond_gini_ppm
+        |  FROM a JOIN tot ON a.lhs = tot.lhs AND a.rhs = tot.rhs
+        |  GROUP BY 1, 2),
+        |b AS (SELECT lhs, rhs, rv, sum(n_ab) AS n_b FROM cnt GROUP BY 1, 2, 3),
+        |gin AS (SELECT b.lhs, b.rhs, min(tot.n)::BIGINT AS n,
+        |    (((min(tot.n) * min(tot.n) - sum(b.n_b * b.n_b)) * 1000000) //
+        |      (min(tot.n) * min(tot.n)))::BIGINT AS gini_ppm
+        |  FROM b JOIN tot ON b.lhs = tot.lhs AND b.rhs = tot.rhs
+        |  GROUP BY 1, 2)
+        |SELECT g.lhs, g.rhs, g.n, g.gini_ppm, c.cond_gini_ppm,
+        |  (g.gini_ppm - c.cond_gini_ppm) AS gini_drop_ppm
+        |FROM gin g JOIN cond c ON g.lhs = c.lhs AND g.rhs = c.rhs""".stripMargin,
+
+    // inter-arrival burstiness replay: per-(user, type) lag gaps in whole
+    // seconds, log2 bucket via length(bin(x)) — the shared no-float-log2
+    // idiom — censused per type with exact extremes
+    "events_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+        |  FROM events),
+        |d AS (SELECT event_type,
+        |    (tsn - lag(tsn) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tsn, event_id)) // 1000000000 AS delta_s
+        |  FROM e),
+        |f AS (SELECT event_type, delta_s,
+        |    length(bin(greatest(delta_s, 1)))::BIGINT AS bucket
+        |  FROM d WHERE delta_s IS NOT NULL)
+        |SELECT event_type, bucket, count(*)::BIGINT AS n,
+        |  sum(delta_s)::BIGINT AS sum_delta_s,
+        |  min(delta_s) AS min_delta_s, max(delta_s) AS max_delta_s
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // readability replay: the shared whitespace tokenizer, [.!?]+ sentence
+    // runs, [aeiou]+ vowel groups over the lowercased text; ppm ratios of
+    // the GROUP sums with NULL (not 0) for undefined ratios
+    "text_readability" ->
+      """WITH c AS (SELECT source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0))::BIGINT AS w,
+        |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS v
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+        |  sum(s)::BIGINT AS n_sentences, sum(v)::BIGINT AS n_vowel_groups,
+        |  CASE WHEN sum(s) = 0 THEN NULL
+        |    ELSE (sum(w)::HUGEINT * 1000000) // sum(s) END::BIGINT
+        |    AS words_per_sentence_ppm,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE (sum(v)::HUGEINT * 1000000) // sum(w) END::BIGINT
+        |    AS syllables_per_word_ppm
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

@@ -2954,6 +2954,91 @@ object SparkEntry {
           "o_orderstatus" -> "o_orderpriority"))
     }),
 
+    "events_survival" -> ((s, dir) => {
+      // Kaplan–Meier risk table for time-to-first-purchase after signup,
+      // right-censored at the corpus horizon — censored users COUNT
+      // (dropping them biases every duration metric toward fast
+      // converters); exact integer (t, n_risk, d, c) with n_risk via one
+      // reverse cumulative over the day grid, never a per-user window
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_ns").as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_ns")
+        .join(su, "user_id").filter(col("ts_ns") >= col("s_ts"))
+        .groupBy("user_id").agg(min("ts_ns").as("p_ts"))
+      val mx = ev.agg(max("ts_ns").as("m"))
+      val dur = su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("p_ts").isNull,
+            expr("m div 86400000000000") - expr("s_ts div 86400000000000"))
+            .otherwise(expr("p_ts div 86400000000000") -
+              expr("s_ts div 86400000000000")).as("t"),
+          when(col("p_ts").isNull, 0L).otherwise(1L).as("ev"))
+      graft.operators.Survival.kmRiskTable(dur, "t", "ev")
+    }),
+
+    "fd_strength" -> ((s, dir) => {
+      // graded dependency strength beside fd_discovery's boolean verdict:
+      // Gini impurity of rhs removed by knowing lhs, exact rational ppm
+      // (no entropy/log — libm would drift the last ulp across engines);
+      // same four candidates, same single-scan triple stack
+      graft.operators.FunctionalDeps.giniStrength(
+        t(s, dir, "orders"), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority"))
+    }),
+
+    "events_interarrival" -> ((s, dir) => {
+      // traffic burstiness profile: per-(user, type) consecutive gaps,
+      // log2-bucketed by length(bin(s)) — the repo's no-float log2 — and
+      // censused per type; the lag window is the standard bounded
+      // per-user residency assumption, the histogram is domain-grain
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_ns", "event_id")
+      events(s, dir).select("user_id", "event_type", "ts_ns", "event_id")
+        .withColumn("__prev", lag("ts_ns", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("delta_s", expr("(ts_ns - __prev) div 1000000000"))
+        .withColumn("bucket",
+          length(bin(greatest(col("delta_s"), lit(1L)))).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), sum("delta_s").as("sum_delta_s"),
+          min("delta_s").as("min_delta_s"), max("delta_s").as("max_delta_s"))
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      // per-source Flesch-style complexity in exact integer ppm: ratios
+      // of group sums (words/sentence, vowel-group syllables/word) —
+      // three codegen'd regex counters, one groupBy, no explode
+      graft.llm.TextStats.readabilityStats(
+        t(s, dir, "documents").select("source", "text"), "source", "text")
+    }),
+
+    "stream_changepoint" -> ((s, dir) => {
+      // the live face of events_changepoint: state is the bounded day
+      // grid itself, the split re-located per update with the identical
+      // BigInt convention — converged (max update_seq) row per type must
+      // equal the batch operator bit-for-bit under any arrival order
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.changePointUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          "event_type",
+          x = expr("ts_ns div 86400000000000"),
+          y = expr("cast(floor(value * 1000000.0) as long)")),
+        "graft_stream_changepoint", outputMode = "update")
+      out.groupBy("event_type")
+        .agg(max(struct(col("update_seq"), col("n_grid"), col("split_x"),
+          col("shift_ppm"))).as("__f"))
+        .select(col("event_type"), col("__f.n_grid").as("n_grid"),
+          col("__f.split_x").as("split_x"),
+          col("__f.shift_ppm").as("shift_ppm"))
+    }),
+
     "zorder_pruning" -> ((s, dir) => {
       // "should we z-order this table" answered with the table's own
       // numbers: simulated per-file min/max stats for the z layout vs the

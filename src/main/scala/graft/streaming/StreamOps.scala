@@ -652,6 +652,69 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "x", "y", "ewma")
   }
 
+  /** Streaming mean-shift change-point fold — the live face of
+    * [[graft.operators.ChangePoint.meanShiftChangePoint]]: state is the
+    * bounded per-group (x → Σy) grid itself (the same state contract as
+    * [[ewmaUpdates]]), and every update re-locates the best split over the
+    * re-sorted grid with the IDENTICAL integer convention (exact
+    * cross-multiplied mean difference `t·Sn − n·St` in BigInt — the
+    * batch operator's decimal(38,0) — truncated ppm, argmax of |ppm| with
+    * ties to the earliest grid x). Arrival order therefore cannot change
+    * the converged answer: the fold is a pure function of the accumulated
+    * grid, and the converged (max update_seq) row per group equals the
+    * batch operator's row bit-for-bit.
+    *
+    * Emits one row per (group, update) once the grid has ≥ 2 points:
+    * `(group, update_seq, n_grid, split_x, shift_ppm)`. Bounded per-group
+    * state is the contract (a daily grid, ≤ a few thousand entries per
+    * group at any horizon). */
+  def changePointUpdates(
+      stream: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val pts = stream
+      .select(col(groupCol).cast("string").as("g"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Map[Long, Long]),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Map[Long, Long])]) =>
+          val (seq, grid0) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val grid = rows.foldLeft(grid0) { case (g, (_, xv, yv)) =>
+            g.updated(xv, g.getOrElse(xv, 0L) + yv)
+          }
+          state.update((seq + 1, grid))
+          val pts = grid.toSeq.sorted
+          val n = pts.size
+          if (n < 2) Iterator.empty
+          else {
+            val sn = pts.map(p => BigInt(p._2)).sum
+            var st = BigInt(0)
+            var bestX = 0L
+            var bestPpm = 0L
+            var first = true
+            for (t <- 1 until n) {
+              st += pts(t - 1)._2
+              val num = BigInt(t) * sn - BigInt(n) * st
+              val ppm = ((if (num < 0) BigInt(-1) else BigInt(1)) *
+                ((num.abs * 1000000) / (BigInt(t) * BigInt(n - t)))).toLong
+              if (first || math.abs(ppm) > math.abs(bestPpm)) {
+                bestX = pts(t - 1)._1; bestPpm = ppm; first = false
+              } // strict > keeps the earliest x on ties, same as the batch sort
+            }
+            Iterator((grp, seq + 1, n.toLong, bestX, bestPpm))
+          }
+      }
+      .toDF(groupCol, "update_seq", "n_grid", "split_x", "shift_ppm")
+  }
+
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */

@@ -203,7 +203,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("fd_discovery", 3, 0),
     // one lineitem scan, tagged-union explode to both layouts; stats agg
     // at (layout, file) grain + the two-row probe rollup
-    ("zorder_pruning", 2, 0))
+    ("zorder_pruning", 2, 0),
+    // signup/purchase folds + duration join + the t-grid reverse
+    // cumulative (the one partitionless window, #days-bounded)
+    ("events_survival", 9, 1),
+    // the (fd, lv, rv) count subtree canonicalizes EQUAL across the
+    // conditional/marginal branches and their tot joins — static plan
+    // shows 15 exchanges but runtime exchange reuse collapses them
+    // (measured 3 ReusedExchange; orders scanned for the count build
+    // only). Value-pair-grain frame is potentially corpus-scale for
+    // key-like lhs, so no localCheckpoint (the eval-harness rule)
+    ("fd_strength", 15, 0),
+    // one per-(user, type) lag window + the domain-grain histogram fold
+    ("events_interarrival", 2, 1),
+    // three codegen'd regex counters, ONE map-side-combined groupBy
+    ("text_readability", 1, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -220,7 +234,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // skyline running max: ONE partitionless window over the per-x grid —
     // the frame is the metric's #distinct-x domain, never corpus rows
     // (Skyline.paretoFrontier2D's whole design point)
-    "pareto_density" -> 1)
+    "pareto_density" -> 1,
+    // Kaplan–Meier reverse cumulative: ONE partitionless window over the
+    // duration t-grid — #distinct-durations rows (days of horizon), never
+    // subjects (Survival.kmRiskTable's design point)
+    "events_survival" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {

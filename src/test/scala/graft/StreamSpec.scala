@@ -466,6 +466,43 @@ class StreamSpec extends AnyFunSuite {
     fin.ensureDatasetEquals(batchLast)
   }
 
+  test("streaming change-point converges to the batch locator under SHUFFLED arrival order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(19)
+    // shuffled micro-batch delivery incl. a clean level shift in g0 and
+    // noisy groups; the grid-buffered fold must re-locate the batch
+    // operator's split exactly once all days have arrived
+    val data = rnd.shuffle(((1L to 90L).map { i =>
+      val g = s"g${i % 3}"
+      val x = i % 15
+      val y = if (g == "g0" && x >= 8) 5000L + rnd.nextInt(100)
+        else rnd.nextInt(2000).toLong - 700L
+      (g, x, y)
+    }).toVector)
+    data.grouped(30).foreach { chunk =>
+      chunk.toDF("g", "x", "y").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, x BIGINT, y BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.changePointUpdates(stream, "g", col("x"), col("y")),
+      "t_stream_cpt", outputMode = "update")
+    assert(updates.groupBy("g").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("g")
+      .agg(max(struct(col("update_seq"), col("n_grid"), col("split_x"),
+        col("shift_ppm"))).as("__f"))
+      .select(col("g"), col("__f.n_grid").as("n_grid"),
+        col("__f.split_x").as("split_x"), col("__f.shift_ppm").as("shift_ppm"))
+    val batch = graft.operators.ChangePoint.meanShiftChangePoint(
+      spark.read.parquet(dir.toString), Seq("g"), col("x"), col("y"))
+    fin.ensureDatasetEquals(batch)
+  }
+
   test("streaming trend: zero x-variance group reports NULL, not 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_trendnull_")
