@@ -4270,6 +4270,90 @@ private[graft] object OracleSql {
         |  min(delta_s) AS min_delta_s, max(delta_s) AS max_delta_s
         |FROM f GROUP BY 1, 2""".stripMargin,
 
+    // BFS replay over the exact-Jaccard pair ground truth: recursive CTE
+    // from the mod-97 seed set, both edge orientations, dist capped at 3;
+    // min(dist) per node is the hop distance (UNION-distinct terminates)
+    "graph_seed_distance" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+        |p AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |bfs(node, dist) AS (
+        |  SELECT doc_id, 0::BIGINT FROM documents WHERE doc_id % 15 = 0
+        |  UNION
+        |  SELECT e.b, bfs.dist + 1 FROM bfs JOIN e ON e.a = bfs.node
+        |  WHERE bfs.dist < 3)
+        |SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY 1""".stripMargin,
+
+    // replays Multimodal.synthesizeBmp's generating formula (width
+    // 8+id%5, height 8+id%9, channel base id·41 + x·13 + y·19, offsets
+    // 0/89/181) — BMP is uncompressed RGB, so the REAL JDK decode must
+    // reproduce these exact integer channel sums
+    "multimodal_bmp" ->
+      """SELECT d.doc_id AS media_id,
+        |  (8 + d.doc_id % 5)::BIGINT AS width,
+        |  (8 + d.doc_id % 9)::BIGINT AS height,
+        |  sum((d.doc_id * 41 + xs.x * 13 + ys.y * 19) % 256)::BIGINT AS r_sum,
+        |  sum((d.doc_id * 41 + xs.x * 13 + ys.y * 19 + 89) % 256)::BIGINT AS g_sum,
+        |  sum((d.doc_id * 41 + xs.x * 13 + ys.y * 19 + 181) % 256)::BIGINT AS b_sum
+        |FROM documents d
+        |CROSS JOIN range(0, 12) AS xs(x)
+        |CROSS JOIN range(0, 16) AS ys(y)
+        |WHERE xs.x < 8 + d.doc_id % 5 AND ys.y < 8 + d.doc_id % 9
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // seasonality replay: daily grid, weekday baseline as truncated mean
+    // (sum // days — the documented convention), sign-split excess ppm
+    "events_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT *, day % 7 AS dow FROM daily),
+        |b AS (SELECT event_type, dow,
+        |    (sum(n) // count(*))::BIGINT AS baseline
+        |  FROM g GROUP BY 1, 2)
+        |SELECT g.event_type, g.day, g.dow, g.n, b.baseline,
+        |  (CASE WHEN g.n >= b.baseline
+        |    THEN ((g.n - b.baseline) * 1000000) // b.baseline
+        |    ELSE -(((b.baseline - g.n) * 1000000) // b.baseline)
+        |    END)::BIGINT AS excess_ppm
+        |FROM g JOIN b ON g.event_type = b.event_type AND g.dow = b.dow""".stripMargin,
+
+    // RFM replay: per purchase user recency/frequency/monetary, three
+    // independent ascending ntile(5) windows with user_id ties (equal to
+    // the chained GroupedRank passes — each quintile is a pure function
+    // of the per-user frame), censused per cell
+    "events_rfm" ->
+      """WITH mx AS (SELECT max(epoch_ns(ts)) // 86400000000000 AS mxd
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    (SELECT mxd FROM mx) -
+        |      (max(epoch_ns(ts)) // 86400000000000) AS recency_days,
+        |    count(*)::BIGINT AS freq,
+        |    sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT
+        |      AS monetary_micro
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT monetary_micro,
+        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_bucket,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_bucket,
+        |    ntile(5) OVER (ORDER BY monetary_micro, user_id) AS m_bucket
+        |  FROM u)
+        |SELECT r_bucket::BIGINT AS r_bucket, f_bucket::BIGINT AS f_bucket,
+        |  m_bucket::BIGINT AS m_bucket, count(*)::BIGINT AS n_users,
+        |  sum(monetary_micro)::BIGINT AS sum_monetary_micro
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
     // readability replay: the shared whitespace tokenizer, [.!?]+ sentence
     // runs, [aeiou]+ vowel groups over the lowercased text; ppm ratios of
     // the GROUP sums with NULL (not 0) for undefined ratios

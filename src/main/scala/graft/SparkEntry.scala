@@ -2954,6 +2954,92 @@ object SparkEntry {
           "o_orderstatus" -> "o_orderpriority"))
     }),
 
+    "graph_seed_distance" -> ((s, dir) => {
+      // contamination blast radius: BFS hop distance (≤3) from flagged
+      // docs (doc_id % 15 — the deterministic stand-in for a canary hit)
+      // through the near-dup pair graph — hop 1 = the flagged docs'
+      // paraphrases, hop 2 = theirs; the primitive between CC ("same
+      // cluster at any distance") and a plain join ("direct neighbor")
+      val docs = t(s, dir, "documents")
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.operators.SeedDistance.seedDistances(
+        pairs, "id_a", "id_b",
+        docs.filter(col("doc_id") % 15 === 0), "doc_id", maxHops = 3)
+    }),
+
+    "multimodal_bmp" -> ((s, dir) => {
+      // REAL uncompressed-BMP decode (JDK DIB reader): per-doc synthesized
+      // 24-bit BMP with its own generating formula, decoded back through
+      // the same format-agnostic ImageIO path — the third lossless codec
+      // beside PNG and TIFF, shrinking the opaque stand-in surface further
+      graft.llm.Multimodal.documentBmpStats(s, t(s, dir, "documents"))
+    }),
+
+    "events_seasonality" -> ((s, dir) => {
+      // day-of-week-adjusted volume residuals: each (type, day) scored
+      // against ITS weekday's mean (truncated div — the documented
+      // convention), the seasonal sibling of events_anomaly's trailing
+      // window — a Monday spike that is merely "every Monday" stops
+      // alarming; grid grain end to end
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+      val base = daily.groupBy("event_type", "dow")
+        .agg(sum("n").as("__sn"), count(lit(1)).as("__nd"))
+        .withColumn("baseline", expr("__sn div __nd"))
+        .select("event_type", "dow", "baseline")
+      daily.join(base, Seq("event_type", "dow"))
+        .withColumn("excess_ppm",
+          when(col("n") >= col("baseline"),
+            expr("((n - baseline) * 1000000) div baseline"))
+            .otherwise(-expr("((baseline - n) * 1000000) div baseline")))
+        .select("event_type", "day", "dow", "n", "baseline", "excess_ppm")
+    }),
+
+    "events_rfm" -> ((s, dir) => {
+      // RFM customer segmentation in exact integers: per purchase user,
+      // recency (days since last purchase at the corpus horizon),
+      // frequency, monetary micro-units — each quintiled by the SAME
+      // GroupedRank machinery as events_ntile (never a single-task global
+      // sort). All three quintiles order ASCENDING with user_id ties, so
+      // r_bucket 1 = most recent, f/m bucket 1 = least frequent / lowest
+      // spend (the documented convention); censused per (r, f, m) cell
+      val ev = events(s, dir)
+      val mx = ev.agg(expr("max(ts_ns) div 86400000000000").as("__mxd"))
+      val u = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(expr("max(ts_ns) div 86400000000000").as("__last"),
+          count(lit(1)).as("freq"),
+          sum(expr("cast(floor(value * 1000000.0) as long)"))
+            .as("monetary_micro"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days", col("__mxd") - col("__last"))
+        .select("user_id", "recency_days", "freq", "monetary_micro")
+        // materialize between ntile passes: GroupedRank consumes its input
+        // from three pruned subtrees (ranked + totals + offsets), so three
+        // CHAINED passes otherwise re-plan the base lineage 3³ ≈ 27 times
+        // (measured 166 exchanges); the frame is per-purchase-user
+        // aggregate grain — the events_stickiness precedent
+        .localCheckpoint()
+      val withR = graft.operators.GroupedRank.withGroupNtile(
+        u, Seq.empty, Seq(col("recency_days"), col("user_id")),
+        k = 5, ntileCol = "r_bucket").localCheckpoint()
+      val withF = graft.operators.GroupedRank.withGroupNtile(
+        withR, Seq.empty, Seq(col("freq"), col("user_id")),
+        k = 5, ntileCol = "f_bucket").localCheckpoint()
+      graft.operators.GroupedRank.withGroupNtile(
+        withF, Seq.empty, Seq(col("monetary_micro"), col("user_id")),
+        k = 5, ntileCol = "m_bucket")
+        .groupBy(col("r_bucket").cast("long").as("r_bucket"),
+          col("f_bucket").cast("long").as("f_bucket"),
+          col("m_bucket").cast("long").as("m_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("monetary_micro").as("sum_monetary_micro"))
+    }),
+
     "events_survival" -> ((s, dir) => {
       // Kaplan–Meier risk table for time-to-first-purchase after signup,
       // right-censored at the corpus horizon — censored users COUNT

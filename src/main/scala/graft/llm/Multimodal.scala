@@ -186,6 +186,48 @@ object Multimodal {
     * channel base `id·37 + x·11 + y·17`, offsets 0/97/193) so the TIFF
     * query is its own oracle surface, not an alias of the PNG one.
     * Baseline RGB TIFF is lossless, so decode returns exact values. */
+  /** Deterministic 24-bit BMP: width 8+id%5, height 8+id%9, channel base
+    * id·41 + x·13 + y·19 with offsets 0/89/181 — its own generating
+    * formula so a cross-wired decode path can't pass by accident. BMP is
+    * uncompressed RGB, so the REAL JDK decode must reproduce the exact
+    * integer channel sums (same contract as [[synthesizeTiff]]). */
+  def synthesizeBmp(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizeBmp needs a non-negative id, got $id")
+    val w = 8 + (id % 5).toInt
+    val h = 8 + (id % 9).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 41 + x * 13 + y * 19
+        val r = (base % 256).toInt
+        val g = ((base + 89) % 256).toInt
+        val b = ((base + 181) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, "bmp", baos)
+    require(ok, "JDK BMP ImageWriter unavailable")
+    baos.toByteArray
+  }
+
+  /** End-to-end real-BMP pipeline over the documents table — the
+    * uncompressed-DIB sibling of [[documentTiffStats]], decoded through
+    * the same format-agnostic [[decodeImageStats]] path (ImageIO
+    * dispatches on magic bytes). Narrow `mapPartitions`, shuffle-free. */
+  def documentBmpStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val records = ids.mapPartitions { it =>
+      it.map(id => ImageRecord(id, synthesizeBmp(id)))
+    }
+    decodeImageStats(records).toDF()
+  }
+
   def synthesizeTiff(id: Long): Array[Byte] = {
     require(id >= 0, s"synthesizeTiff needs a non-negative id, got $id")
     val w = 8 + (id % 7).toInt

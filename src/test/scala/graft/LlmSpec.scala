@@ -604,6 +604,30 @@ class LlmSpec extends AnyFunSuite {
     assert(got("b") == ((4L, 2L, 1L, 500000L, 500000L)))
   }
 
+  test("bmp decode: REAL JDK DIB reader round-trips its own generating formula") {
+    import spark.implicits._
+    def reference(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = 8 + (id % 5); val h = 8 + (id % 9)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        val base = id * 41 + x * 13 + y * 19
+        rs += base % 256; gs += (base + 89) % 256; bs += (base + 181) % 256
+      }
+      (w, h, rs, gs, bs)
+    }
+    val ids = spark.range(0, 60).as[Long]
+    val records = ids.map(id => Multimodal.ImageRecord(id, Multimodal.synthesizeBmp(id)))
+    // genuine BMP container: "BM" magic
+    val magic = records.head().content.take(2).toSeq
+    assert(magic == Seq[Byte]('B', 'M'), s"not a BMP header: $magic")
+    val got = Multimodal.decodeImageStats(records).collect()
+      .map(s => s.media_id -> ((s.width, s.height, s.r_sum, s.g_sum, s.b_sum))).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      assert(got(id) == reference(id), s"decoded BMP stats diverge for id=$id")
+    }
+  }
+
   test("tiff decode: REAL JDK TIFF plugin round-trips its own generating formula") {
     import spark.implicits._
     def reference(id: Long): (Long, Long, Long, Long, Long) = {

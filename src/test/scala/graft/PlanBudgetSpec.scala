@@ -217,7 +217,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     // one per-(user, type) lag window + the domain-grain histogram fold
     ("events_interarrival", 2, 1),
     // three codegen'd regex counters, ONE map-side-combined groupBy
-    ("text_readability", 1, 0))
+    ("text_readability", 1, 0),
+    // daily-grid groupBy + weekday-baseline fold + the grid join back
+    ("events_seasonality", 4, 0),
+    // per-user frame + each ntile pass localCheckpointed (unmaterialized,
+    // the three chained GroupedRank passes re-plan the base lineage 3³
+    // times — measured 166 exchanges; now 9); both windows are
+    // GroupedRank-internal (partition-bounded local rank + the
+    // #partitions-grain offsets)
+    ("events_rfm", 9, 2),
+    // synthesize + decode are narrow mapPartitions — shuffle-free
+    ("multimodal_bmp", 0, 0),
+    // the BFS loop materializes per round during construction (same
+    // contract as the CC family); this pins the settled-set union stitch
+    ("graph_seed_distance", 0, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -238,7 +251,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // Kaplan–Meier reverse cumulative: ONE partitionless window over the
     // duration t-grid — #distinct-durations rows (days of horizon), never
     // subjects (Survival.kmRiskTable's design point)
-    "events_survival" -> 1)
+    "events_survival" -> 1,
+    // GroupedRank's cross-partition offset window on the LAST (un-
+    // checkpointed) ntile pass: #shuffle-partitions-grain counts frame,
+    // same bound as model_auc
+    "events_rfm" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
