@@ -232,6 +232,36 @@ private[graft] object OracleSql {
        |$tail""".stripMargin
   }
 
+  /** Generated oracle for `events_holt`: the ewmaSql grid + a recursive
+    * CTE carrying BOTH smoothed terms; the new level feeds the trend
+    * update through a lateral column alias (the mm3PidSql idiom), exactly
+    * the twice-spelled expression the Spark fold runs. */
+  private def holtSql: String =
+    s"""WITH RECURSIVE g AS (SELECT event_type,
+       |    epoch_ns(ts) // 86400000000000 AS x,
+       |    sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT AS y
+       |  FROM events GROUP BY 1, 2),
+       |n AS (SELECT event_type, x, y, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY x) AS rn FROM g),
+       |r AS (
+       |  SELECT event_type, rn, x, y, y AS level, 0::BIGINT AS trend
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.event_type, n.rn, n.x, n.y,
+       |    -- alias must NOT be named "level": an unqualified "level" in
+       |    -- the trend expression would bind to r.level (join columns
+       |    -- shadow lateral aliases), silently collapsing Holt to EWMA;
+       |    -- positional binding maps new_level onto the CTE's level slot
+       |    (CASE WHEN n.y + 3 * (r.level + r.trend) < 0
+       |      THEN -1 ELSE 1 END) *
+       |      (abs(n.y + 3 * (r.level + r.trend)) // 4) AS new_level,
+       |    (CASE WHEN (new_level - r.level) + r.trend < 0
+       |      THEN -1 ELSE 1 END) *
+       |      (abs((new_level - r.level) + r.trend) // 2)
+       |  FROM n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+       |SELECT event_type, x, y, level::BIGINT AS level,
+       |  trend::BIGINT AS trend FROM r""".stripMargin
+
   private def lpaSql(iters: Int = 3): String =
     s"""WITH ${lpaCtes(iters)}
        |SELECT id, lbl AS community FROM l$iters""".stripMargin
@@ -4269,6 +4299,52 @@ private[graft] object OracleSql {
         |  sum(delta_s)::BIGINT AS sum_delta_s,
         |  min(delta_s) AS min_delta_s, max(delta_s) AS max_delta_s
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // Holt replay: the shared recursive-recurrence discipline (per-step
+    // truncation does not telescope); trend reads the new level via a
+    // lateral alias — one specification, both engines
+    "events_holt" -> holtSql,
+
+    // half-over-half movers: day horizon split at (mn+mx+1)//2, exact
+    // counts, deterministic top-25 edge (delta desc, user, type)
+    "events_heavy_changers" ->
+      """WITH b AS (SELECT min(epoch_ns(ts)) // 86400000000000 AS mn,
+        |    max(epoch_ns(ts)) // 86400000000000 AS mx FROM events),
+        |c AS (SELECT user_id, event_type,
+        |    sum(CASE WHEN epoch_ns(ts) // 86400000000000 <
+        |      (SELECT (mn + mx + 1) // 2 FROM b) THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN epoch_ns(ts) // 86400000000000 >=
+        |      (SELECT (mn + mx + 1) // 2 FROM b) THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type, n_a, n_b, abs(n_b - n_a) AS delta
+        |FROM c ORDER BY delta DESC, user_id, event_type LIMIT 25""".stripMargin,
+
+    // threshold-sweep replay: the dedup_jaccard_exact gram pipeline at
+    // the 2/5 boundary, integer twentieth-bands, reverse cumulative over
+    // the band grid
+    "dedup_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g'))), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS gr
+        |  FROM toks WHERE len(tk) > 0),
+        |tok AS (SELECT doc_id, len(gr) AS sz, unnest(gr) AS g FROM d),
+        |p AS (SELECT icnt, sza + szb - icnt AS un FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt * 5 >= (sza + szb - icnt) * 2),
+        |h AS (SELECT (icnt * 20) // un AS band, count(*)::BIGINT AS n_pairs
+        |  FROM p GROUP BY 1)
+        |SELECT band, n_pairs,
+        |  sum(n_pairs) OVER (ORDER BY band DESC)::BIGINT AS n_at_or_above
+        |FROM h""".stripMargin,
 
     // BFS replay over the exact-Jaccard pair ground truth: recursive CTE
     // from the mod-97 seed set, both edge orientations, dist capped at 3;

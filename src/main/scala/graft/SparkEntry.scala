@@ -2954,6 +2954,56 @@ object SparkEntry {
           "o_orderstatus" -> "o_orderpriority"))
     }),
 
+    "events_holt" -> ((s, dir) => {
+      // trend-aware smoothing beside events_ewma: Holt's level+trend
+      // recurrence (α=1/4, β=1/2) over the daily metric-mass grid in
+      // exact integers — simple EWMA lags a trending series, the second
+      // smoothed term fixes it; one grid pass + one codegen'd fold
+      graft.operators.Trend.holtIntSeries(
+        events(s, dir), Seq("event_type"),
+        x = expr("ts_ns div 86400000000000"),
+        y = expr("cast(floor(value * 1000000.0) as long)"))
+    }),
+
+    "events_heavy_changers" -> ((s, dir) => {
+      // window-over-window movers: per (user, type) activity in the first
+      // vs second half of the corpus horizon, top-25 by |Δ| (ties by
+      // user then type — deterministic edge); the "what changed" triage
+      // view beside events_anomaly's per-day spikes. One groupBy +
+      // TakeOrdered, never a global sort
+      val ev = events(s, dir)
+      val bounds = ev.agg(
+        expr("min(ts_ns) div 86400000000000").as("__mn"),
+        expr("max(ts_ns) div 86400000000000").as("__mx"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("__inA",
+          expr("ts_ns div 86400000000000") < expr("(__mn + __mx + 1) div 2"))
+        .groupBy("user_id", "event_type")
+        .agg(sum(when(col("__inA"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__inA"), 1L).otherwise(0L)).as("n_b"))
+        .withColumn("delta", abs(col("n_b") - col("n_a")))
+        .orderBy(col("delta").desc, col("user_id"), col("event_type"))
+        .limit(25)
+    }),
+
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      // threshold-choice evidence: the EXACT pair mass by similarity band
+      // (jaccard-twentieths, integer band = (20·|A∩B|) div |A∪B|) from one
+      // prefix-filtered AllPairs run at 0.4 — how many pairs a 0.5 vs 0.6
+      // vs 0.8 threshold would keep, with the cumulative at-or-above
+      // count via one reverse cumsum over the ≤13-row band grid
+      import org.apache.spark.sql.expressions.Window
+      val pairs = graft.llm.Dedup.exactJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        tNum = 2, tDen = 5, ngram = 3)
+      val hist = pairs
+        .withColumn("band", expr("(n_intersect * 20L) div n_union"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn("n_at_or_above", sum("n_pairs").over(w))
+    }),
+
     "graph_seed_distance" -> ((s, dir) => {
       // contamination blast radius: BFS hop distance (≤3) from flagged
       // docs (doc_id % 15 — the deterministic stand-in for a canary hit)

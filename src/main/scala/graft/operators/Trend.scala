@@ -147,6 +147,69 @@ object Trend {
     * sorted grid: no window, no UDF, no driver loop. Bounded per-GROUP
     * state is the contract (a daily grid is ≤ a few thousand points per
     * group at any horizon); corpus-scale parallelism is across groups. */
+  /** Per-group Holt (double-exponential) smoothing in EXACT integer
+    * arithmetic — the trend-AWARE sibling of [[ewmaIntSeries]]: simple
+    * EWMA systematically lags a trending series (it averages toward old
+    * levels); Holt carries a second smoothed TREND term and projects it
+    * into each level update, the standard fix.
+    *
+    * Recurrence with α = 1/4, β = 1/2 (sign-split truncation at every
+    * step, the [[ewmaIntSeries]] exactness discipline):
+    * `l₀ = y₀, b₀ = 0`;
+    * `lₜ = ±(|yₜ + 3·(lₜ₋₁ + bₜ₋₁)| div 4)`;
+    * `bₜ = ±(|(lₜ − lₜ₋₁) + bₜ₋₁| div 2)`.
+    * Pure integer function of the grid → bit-identical in any engine (the
+    * replay is the same recursive recurrence; per-step truncation does
+    * not telescope).
+    *
+    * Emits one row per grid point: (groupCols*, x, y, level, trend).
+    *
+    * '''Plan shape (100 TB).''' Identical to [[ewmaIntSeries]]: one
+    * map-side-combined corpus pass to the (group, x) grid, then the
+    * per-group sequential fold as a single codegen'd higher-order
+    * `aggregate` over the sorted bounded grid — no window, no UDF. */
+  def holtIntSeries(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column): DataFrame = {
+    val grid = df.select(
+      groupCols.map(col) ++ Seq(
+        x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__x"): _*)
+      .agg(sum(col("__y")).as("__y"))
+    // the level update is needed twice (for itself and inside the trend
+    // update); SQL lambdas bind no intermediates, so it is spelled out —
+    // verbose, but still ONE codegen'd expression
+    val lvl = """((CASE WHEN p.y + 3L * (element_at(acc, -1).level +
+               |    element_at(acc, -1).trend) < 0 THEN -1L ELSE 1L END) *
+               |  (abs(p.y + 3L * (element_at(acc, -1).level +
+               |    element_at(acc, -1).trend)) div 4L))""".stripMargin
+    val folded = grid
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col("__x").as("x"), col("__y").as("y")))).as("__grid"))
+      .withColumn("__series", expr(
+        s"""aggregate(__grid,
+           |  cast(array() as array<struct<x: long, y: long,
+           |    level: long, trend: long>>),
+           |  (acc, p) -> array_append(acc, CASE WHEN size(acc) = 0
+           |    THEN named_struct('x', p.x, 'y', p.y,
+           |      'level', p.y, 'trend', 0L)
+           |    ELSE named_struct('x', p.x, 'y', p.y,
+           |      'level', $lvl,
+           |      'trend', (CASE WHEN ($lvl - element_at(acc, -1).level) +
+           |          element_at(acc, -1).trend < 0 THEN -1L ELSE 1L END) *
+           |        (abs(($lvl - element_at(acc, -1).level) +
+           |          element_at(acc, -1).trend) div 2L))
+           |    END))""".stripMargin))
+    folded.select(groupCols.map(col) :+ explode(col("__series")).as("__p"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__p.x").as("x"), col("__p.y").as("y"),
+        col("__p.level").as("level"), col("__p.trend").as("trend")): _*)
+  }
+
   def ewmaIntSeries(
       df: DataFrame,
       groupCols: Seq[String],

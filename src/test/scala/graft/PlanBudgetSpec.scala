@@ -230,7 +230,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("multimodal_bmp", 0, 0),
     // the BFS loop materializes per round during construction (same
     // contract as the CC family); this pins the settled-set union stitch
-    ("graph_seed_distance", 0, 0))
+    ("graph_seed_distance", 0, 0),
+    // daily grid groupBy + per-type fold grain — the level+trend
+    // recurrence is ONE codegen'd higher-order aggregate (ewma's shape)
+    ("events_holt", 2, 0),
+    // horizon bounds broadcast + one (user, type) groupBy + TakeOrdered
+    ("events_heavy_changers", 3, 0),
+    // the prefix-filtered AllPairs pipeline (same family as
+    // dedup_jaccard_exact) + band histogram; the one partitionless
+    // window is the reverse cumsum on the ≤13-row band grid
+    ("dedup_threshold_sweep", 14, 1))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -255,7 +264,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // GroupedRank's cross-partition offset window on the LAST (un-
     // checkpointed) ntile pass: #shuffle-partitions-grain counts frame,
     // same bound as model_auc
-    "events_rfm" -> 1)
+    "events_rfm" -> 1,
+    // threshold-sweep reverse cumulative: the band grid is ≤ 13 rows by
+    // construction (jaccard twentieths in [8, 20])
+    "dedup_threshold_sweep" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {

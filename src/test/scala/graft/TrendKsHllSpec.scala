@@ -87,6 +87,45 @@ class TrendKsHllSpec extends AnyFunSuite {
       ("h", 0L) -> 4L, ("h", 1L) -> 0L))
   }
 
+  test("holtIntSeries: random series match the Scala recurrence; EWMA lags a ramp, Holt doesn't") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = for (g <- Seq("a", "b"); x <- 0L until 25L)
+      yield (g, x, rng.nextInt(4000000).toLong - 1500000L)
+    val got = graft.operators.Trend
+      .holtIntSeries(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    def tdiv(v: Long, d: Long): Long = (if (v < 0) -1L else 1L) * (math.abs(v) / d)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      var l = 0L; var b = 0L; var first = true
+      rs.sortBy(_._2).foreach { case (_, x, y) =>
+        if (first) { l = y; b = 0L; first = false }
+        else {
+          val l2 = tdiv(y + 3 * (l + b), 4)
+          b = tdiv((l2 - l) + b, 2)
+          l = l2
+        }
+        assert(got((g, x)) == ((l, b)), s"($g, $x)")
+      }
+    }
+    // the design point: on a clean ramp y = 100·x, EWMA's level lags far
+    // behind while Holt's level + trend tracks the ramp closely
+    val ramp = (0L until 40L).map(x => ("r", x, 100L * x))
+    val holtLast = graft.operators.Trend
+      .holtIntSeries(ramp.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .filter(col("x") === 39L).head()
+    val ewmaLast = graft.operators.Trend
+      .ewmaIntSeries(ramp.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .filter(col("x") === 39L).head()
+    val target = 3900L
+    assert(math.abs(holtLast.getLong(3) - target) * 3 <
+      math.abs(ewmaLast.getLong(3) - target),
+      s"Holt ${holtLast.getLong(3)} should track $target far better than " +
+        s"EWMA ${ewmaLast.getLong(3)}")
+  }
+
   test("theilSenTrend shrugs off the outlier day that drags OLS") {
     import spark.implicits._
     // y = x on days 0..20, except the LAST day reports 10_000 (a bad
