@@ -4449,5 +4449,146 @@ private[graft] object OracleSql {
         |    ELSE (sum(v)::HUGEINT * 1000000) // sum(w) END::BIGINT
         |    AS syllables_per_word_ppm
         |FROM c GROUP BY 1""".stripMargin,
+
+    // PMI-lift replay: same tokenizer, unigram counts + adjacent pairs via
+    // a 1-based list comprehension over each doc's own token list; lift is
+    // the exact HUGEINT rational (PMI = log of it — same ranking, no libm)
+    "text_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0) AS tl
+        |  FROM documents),
+        |uc AS (SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(tl) AS w FROM toks) GROUP BY 1),
+        |n AS (SELECT sum(c)::BIGINT AS nt FROM uc),
+        |pc AS (SELECT p.w1, p.w2, count(*)::BIGINT AS n_pair
+        |  FROM (SELECT unnest([struct_pack(w1 := tl[i], w2 := tl[i+1])
+        |      FOR i IN range(1, len(tl))]) AS p FROM toks)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pc.w1, pc.w2, pc.n_pair, u1.c AS c1, u2.c AS c2,
+        |  ((pc.n_pair::HUGEINT * (SELECT nt FROM n) * 1000000) //
+        |    (u1.c::HUGEINT * u2.c))::BIGINT AS lift_ppm
+        |FROM pc JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2
+        |ORDER BY lift_ppm DESC, pc.w1, pc.w2 LIMIT 25""".stripMargin,
+
+    // Zipf spectrum replay: token counts → shared length(bin(c))-1
+    // floor-log2 bucket census
+    "vocab_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), '\s+'), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |uc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1)
+        |SELECT (length(bin(c)) - 1)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS n_occurrences,
+        |  min(c) AS min_count, max(c) AS max_count
+        |FROM uc GROUP BY 1""".stripMargin,
+
+    // degree-distribution replay: the exact-Jaccard pair ground truth
+    // (same 5-char shingles / 0.5 threshold the LSH path provably finds),
+    // both directions unioned, floor-log2 degree census
+    "graph_degree_dist" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p)
+        |  GROUP BY 1)
+        |SELECT (length(bin(deg)) - 1)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS sum_degree,
+        |  min(deg) AS min_degree, max(deg) AS max_degree
+        |FROM deg GROUP BY 1""".stripMargin,
+
+    // A/B replay: md5 cohort draw, distinct-(user, metric) conversions,
+    // the cleared-denominator z² decision 625·D²·n > 2401·n₁n₂x(n−x) in
+    // HUGEINT (= the Spark side's decimal(38,0)); 1.96² = 2401/625 exactly
+    "events_ab_test" ->
+      """WITH c AS (SELECT user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 15))::BIGINT
+        |      % 1000000 < 500000 AS a
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |t AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b FROM c),
+        |x AS (SELECT event_type AS metric,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS x_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS x_b
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events) e
+        |  JOIN c USING (user_id) GROUP BY 1),
+        |d AS (SELECT *, x_a::HUGEINT * n_b - x_b::HUGEINT * n_a AS dd
+        |  FROM x, t)
+        |SELECT metric, n_a, x_a, n_b, x_b,
+        |  (CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    WHEN dd >= 0 THEN (dd * 1000000) // (n_a::HUGEINT * n_b)
+        |    ELSE -((-dd * 1000000) // (n_a::HUGEINT * n_b))
+        |    END)::BIGINT AS delta_ppm,
+        |  (n_a > 0 AND n_b > 0 AND
+        |    625 * dd * dd * (n_a::HUGEINT + n_b) >
+        |    2401 * n_a::HUGEINT * n_b * (x_a::HUGEINT + x_b)
+        |      * (n_a::HUGEINT + n_b - x_a - x_b)) AS significant
+        |FROM d""".stripMargin,
+
+    // timed-funnel replay: same chained earliest-completion CTEs as
+    // events_funnel plus the fixed first-signup anchor upper bound
+    "events_funnel_timed" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_ns(ts)) AS t,
+        |    min(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t,
+        |    min(s0.t0) AS t0 FROM events e
+        |  JOIN s0 ON e.user_id IS NOT DISTINCT FROM s0.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s0.t
+        |    AND epoch_ns(e.ts) <= s0.t0 + 259200000000000
+        |  GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id IS NOT DISTINCT FROM s1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s1.t
+        |    AND epoch_ns(e.ts) <= s1.t0 + 259200000000000
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (VALUES
+        |  (0::BIGINT, 'signup', (SELECT count(*) FROM s0)),
+        |  (1::BIGINT, 'click', (SELECT count(*) FROM s1)),
+        |  (2::BIGINT, 'purchase', (SELECT count(*) FROM s2)))
+        |  t(step, step_name, n_users)""".stripMargin,
+
+    // time-decay replay: window join, weight 1<<(7−age), per-conversion
+    // floor credits with the most-recent touch absorbing the remainder
+    // (Σ = value exactly), rolled up per age
+    "events_attribution_decay" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) AS p_ts,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, p.v, c.c_id, c.c_ts, p.p_ts,
+        |    (p.p_ts - c.c_ts) // 86400000000000 AS age
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts > p.p_ts - 604800000000000 AND c.c_ts <= p.p_ts),
+        |w AS (SELECT *, (1::BIGINT << CAST(7 - age AS INT)) AS weight FROM j),
+        |f AS (SELECT *,
+        |    ((v::HUGEINT * weight) //
+        |      sum(weight) OVER (PARTITION BY p_id))::BIGINT AS fl,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY c_ts DESC, c_id DESC) AS rk
+        |  FROM w),
+        |cr AS (SELECT age, weight,
+        |    CASE WHEN rk = 1
+        |      THEN fl + v - (sum(fl) OVER (PARTITION BY p_id))::BIGINT
+        |      ELSE fl END AS credit
+        |  FROM f)
+        |SELECT age AS age_halflives, weight,
+        |  count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_micro_sum
+        |FROM cr GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -3189,6 +3189,89 @@ object SparkEntry {
         bits = 8, filesLog2 = 6,
         box0 = (32L, 47L), box1 = (96L, 111L))
     }),
+
+    "text_pmi" -> ((s, dir) => {
+      // collocation mining: top-25 adjacent word pairs by exact integer
+      // lift (the PMI rational without the log — same ranking, no libm);
+      // strong collocations are single-token candidates for the
+      // vocabulary. minCount=5 noise-floors hapax-pair artifacts
+      graft.llm.Vocab.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 25)
+    }),
+
+    "vocab_zipf" -> ((s, dir) => {
+      // frequency-spectrum census: distinct tokens and token mass per
+      // floor-log2 occurrence bucket — the log-log Zipf evidence plus the
+      // hapax count (bucket 0) that sizes the vocabulary; shared
+      // length(bin(c))-1 no-float idiom
+      graft.llm.Vocab.zipfHistogram(t(s, dir, "documents"), "text")
+    }),
+
+    "graph_degree_dist" -> ((s, dir) => {
+      // near-dup graph health: node degree census in floor-log2 buckets —
+      // a mega-hub bucket flags template spam (one boilerplate doc
+      // near-dup to thousands) before the CC closure pays for it; the
+      // graph-shaped sibling of dedup_cluster_sizes. One pair pass,
+      // degree frame is node-grain, census is ≤64 rows
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      pairs.select(col("id_a").as("node"))
+        .unionAll(pairs.select(col("id_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .withColumn("bucket", expr("cast(length(bin(deg)) - 1 as bigint)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_degree"),
+          min("deg").as("min_degree"), max("deg").as("max_degree"))
+    }),
+
+    "events_ab_test" -> ((s, dir) => {
+      // experimentation read-out: users hash-split 50/50 (md5 bucket —
+      // the house reproducible cohort draw), per event_type the exact
+      // integer two-proportion z² verdict at 95% (2401/625 rational) and
+      // the sign-split conversion delta in ppm; no libm anywhere
+      val ev = events(s, dir)
+      val units = ev.select("user_id").distinct()
+        .withColumn("is_a",
+          graft.llm.Sampling.sampleBucket(col("user_id"), "ab") < 500000L)
+      graft.operators.AbTest.twoProportionTest(
+        units, "user_id", "is_a",
+        ev.select("user_id", "event_type"), "user_id", "event_type")
+    }),
+
+    "events_funnel_timed" -> ((s, dir) => {
+      // conversion-window funnel: signup → click → purchase where every
+      // later step must land within 3 days of the user's FIRST signup —
+      // the first-touch-anchored convention under which earliest-greedy
+      // IS exact chain existence (fixed upper bound); compare
+      // events_funnel's unbounded counts
+      graft.operators.Funnel.timedFunnel(
+        events(s, dir), "user_id", "event_type", "ts_ns",
+        Seq("signup", "click", "purchase"), windowNs = 259200000000000L)
+    }),
+
+    "events_attribution_decay" -> ((s, dir) => {
+      // time-decay multi-touch: each purchase's value split across its
+      // 7-day click window at half-life 1 day — weight 2^(7−age_days),
+      // pure integers, most-recent click absorbs the remainder so
+      // Σcredit = value exactly; rolled up per age to show where credit
+      // mass sits by recency (the model's own decay curve)
+      val ev = events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_ns").as("p_ts"),
+          expr("cast(floor(value * 1000000.0) as long)").as("value_micro"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts_ns").as("c_ts"))
+      graft.operators.Attribution.timeDecayCredits(
+        purch, "p_id", "p_user", "p_ts", "value_micro",
+        clicks, "c_id", "c_user", "c_ts",
+        windowNs = 604800000000000L, halfLifeNs = 86400000000000L)
+        .groupBy("age_halflives", "weight")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit_micro").as("credit_micro_sum"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

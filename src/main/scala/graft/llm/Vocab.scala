@@ -299,4 +299,75 @@ object Vocab {
         sum(when(col("__graft_in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
+
+  /** PMI-style collocation mining: the adjacent word pairs whose observed
+    * co-occurrence most exceeds the independence expectation — the standard
+    * multiword-expression detector ("new york", "machine learning") run
+    * before vocabulary construction so strong collocations can become
+    * single tokens. Scored as the exact integer LIFT in ppm,
+    * `lift_ppm = (c_xy · N · 10⁶) div (c_x · c_y)` (PMI is `log` of the
+    * same rational, so the ranking is identical and no libm call exists in
+    * either engine); `c_x`/`c_y` are unigram occurrence counts, `N` the
+    * corpus token total, `c_xy` the adjacent-pair count. The numerator
+    * reaches ~10¹⁹ at corpus scale, so the arithmetic runs in
+    * decimal(38,0) (HUGEINT in the oracle). Pairs below `minCount` are
+    * noise-floored out BEFORE scoring (a 2-occurrence pair of two hapaxes
+    * would otherwise top any lift ranking); ties rank by (w1, w2).
+    *
+    * '''Plan shape (the 100-TB design).''' One tokenize pass feeds both
+    * frames: unigram counts (map-side combined, vocab-grain) and adjacent
+    * pairs via an index-zip `transform` over each doc's own token array
+    * (never a positions self-join). The two unigram lookups are joins of
+    * the pair frame (vocab²-grain, minCount-pruned) against the vocab-grain
+    * count frame; the final top-k is `TakeOrderedAndProject` — no global
+    * sort. */
+  def pmiCollocations(
+      df: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 25): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k > 0, "k must be positive")
+    val toks = df.select(
+      TextStats.tokens(TextStats.normalizeText(col(textCol))).as("__graft_toks"))
+    val uni = toks.select(explode(col("__graft_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("__graft_n"))
+    val pairs = toks
+      .filter(size(col("__graft_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__graft_toks) - 2)," +
+          " i -> struct(__graft_toks[i] as w1, __graft_toks[i + 1] as w2))"))
+        .as("__graft_p"))
+      .select(col("__graft_p.w1").as("w1"), col("__graft_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_ppm", expr(
+        "cast((cast(n_pair as decimal(38,0)) * __graft_n * 1000000) div" +
+          " (cast(c1 as decimal(38,0)) * c2) as bigint)"))
+      .select("w1", "w2", "n_pair", "c1", "c2", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Zipf-law frequency-spectrum histogram: the vocabulary censused by
+    * floor-log2 occurrence-count bucket — how many distinct tokens occur
+    * 1×, 2–3×, 4–7×, …, and what share of all token mass each bucket
+    * carries. The log-log shape IS the Zipf evidence (a natural corpus
+    * walks down roughly linearly; template spam shows as a mass bulge in
+    * one high bucket), and the bucket-1 row is the hapax count that drives
+    * vocabulary-size planning. Bucket = `length(bin(c)) − 1` — the shared
+    * no-float floor-log2 idiom (no `log2` libm call to drift between
+    * engines). One explode + two map-side-combined aggregates; the second
+    * runs on the vocab-grain frame, never the corpus. */
+  def zipfHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        TextStats.tokens(TextStats.normalizeText(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("bucket", expr("cast(length(bin(c)) - 1 as bigint)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum("c").as("n_occurrences"),
+        min("c").as("min_count"), max("c").as("max_count"))
 }

@@ -110,4 +110,80 @@ object Attribution {
       .select(col(convIdCol), col(touchIdCol), col("__k").as("k_touches"),
         col("position"), col("credit_micro").cast("long").as("credit_micro"))
   }
+
+  /** Time-decay multi-touch attribution: every touch in the lookback
+    * window earns a share of the conversion value weighted by
+    * `2^(maxAge − age)` where `age = (convTs − touchTs) div halfLifeNs`
+    * and `maxAge = windowNs div halfLifeNs` — a touch one half-life older
+    * earns exactly half the weight. Power-of-two weights keep the model
+    * in pure integers (weights 1 … 2^maxAge; no `exp`/`pow` libm call),
+    * and `maxAge` is bounded by the window/half-life ratio, so weights
+    * can't overflow for any sane configuration (capped at 2⁶² loudly).
+    *
+    * '''Credit convention (exact, value-conserving).''' Each touch takes
+    * `(v · w) div W` with `W = Σw` over the conversion's touches; the
+    * MOST RECENT touch (largest ts, ties by largest touch id) then
+    * absorbs the truncation remainder `v − Σfloor`, so Σcredit = v
+    * exactly — same conservation invariant as [[uShapedCredits]], same
+    * reason: closing credit owns the rounding.
+    *
+    * Same binned-range-join + one bounded window plan as
+    * [[uShapedCredits]]. Returns
+    * `(convIdCol, touchIdCol, k_touches, age_halflives, weight,
+    * credit_micro)`. */
+  def timeDecayCredits(
+      conversions: DataFrame,
+      convIdCol: String,
+      convUserCol: String,
+      convTsCol: String,
+      valueMicroCol: String,
+      touches: DataFrame,
+      touchIdCol: String,
+      touchUserCol: String,
+      touchTsCol: String,
+      windowNs: Long,
+      halfLifeNs: Long): DataFrame = {
+    require(windowNs > 0, "windowNs must be positive")
+    require(halfLifeNs > 0, "halfLifeNs must be positive")
+    val maxAge = windowNs / halfLifeNs
+    require(maxAge <= 62, s"windowNs/halfLifeNs = $maxAge half-lives " +
+      "would overflow 2^62 integer weights; coarsen halfLifeNs")
+    val v = when(col(valueMicroCol) < 0,
+      raise_error(concat(lit("timeDecayCredits: negative value_micro: "),
+        col(valueMicroCol).cast("string"))))
+      .otherwise(col(valueMicroCol)).cast("long")
+    val intervals = conversions.select(
+      col(convIdCol), col(convUserCol), v.as("__v"),
+      col(convTsCol).cast("long").as("__cts"),
+      (col(convTsCol).cast("long") - windowNs + 1L).as("__w_start"),
+      (col(convTsCol).cast("long") + 1L).as("__w_end"))
+    val joined = RangeJoin.rangeJoin(
+      touches.select(col(touchIdCol), col(touchUserCol),
+        col(touchTsCol).cast("long").as(touchTsCol)),
+      touchTsCol, intervals, "__w_start", "__w_end",
+      binWidth = windowNs, equiKeys = Seq(touchUserCol -> convUserCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convIdCol))
+    joined
+      .withColumn("age_halflives",
+        expr(s"(__cts - $touchTsCol) div $halfLifeNs"))
+      .withColumn("weight",
+        expr(s"shiftleft(1L, cast($maxAge - age_halflives as int))"))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__sw", sum(col("weight")).over(w))
+      // decimal(38,0) product: v·w reaches 10¹² · 2^62 for aggressive
+      // half-life configs — past a long, never past 38 digits
+      .withColumn("__floor", expr(
+        "cast((cast(__v as decimal(38,0)) * weight) div __sw as bigint)"))
+      .withColumn("__sfloor", sum(col("__floor")).over(w))
+      // most-recent touch (max ts, ties by max id) absorbs the remainder
+      .withColumn("__rank", row_number().over(
+        w.orderBy(col(touchTsCol).desc, col(touchIdCol).desc)))
+      .withColumn("credit_micro",
+        when(col("__rank") === 1, col("__floor") + (col("__v") - col("__sfloor")))
+          .otherwise(col("__floor")))
+      .select(col(convIdCol), col(touchIdCol), col("__k").as("k_touches"),
+        col("age_halflives"), col("weight"),
+        col("credit_micro").cast("long").as("credit_micro"))
+  }
 }

@@ -70,4 +70,47 @@ object Funnel {
           col("n_users"))
     }.reduce(_.union(_)).orderBy("step")
   }
+
+  /** Conversion-window funnel: like [[funnel]], but every later step must
+    * land within `windowNs` of the user's FIRST step-1 event — the
+    * first-touch-anchored convention product analytics uses ("signed up,
+    * then activated within 24 h"). With the upper bound fixed at
+    * `t₀ + windowNs`, earliest-completion greediness is EXACT chain
+    * existence: taking the smallest qualifying timestamp per stage only
+    * loosens later stages' lower bounds and never their shared upper
+    * bound. (An un-anchored per-step window would NOT have that property —
+    * greedy could miss chains a later anchor admits — which is why the
+    * anchor convention is part of the operator's contract.) Same
+    * one-aggregate-per-stage, ReusedExchange-deduped plan as [[funnel]]. */
+  def timedFunnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowNs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowNs > 0, "windowNs must be positive")
+    val stage0 = events
+      .filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__t"))
+      .withColumn("__t0", col("__t"))
+    val reached = steps.drop(1).scanLeft(stage0) { (prev, step) =>
+      events
+        .filter(col(typeCol) === step)
+        .select(col(userCol).as("__eu"), col(tsCol).as("__ts"))
+        .join(prev, col("__eu") <=> col("__u"))
+        .filter(col("__ts") > col("__t") &&
+          col("__ts") <= col("__t0") + lit(windowNs))
+        .groupBy(col("__eu").as("__u"))
+        .agg(min(col("__ts")).as("__t"), min(col("__t0")).as("__t0"))
+    }
+    val one = isnull(col("__t")).cast("long") + isnotnull(col("__t")).cast("long")
+    reached.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(coalesce(sum(one), lit(0L)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_.union(_)).orderBy("step")
+  }
 }

@@ -93,4 +93,59 @@ class AttributionSpec extends AnyFunSuite {
       credits(Seq((9L, 5L, 50L, -1L)), Seq((1L, 5L, 40L)))
     }
   }
+
+  private def decay(
+      convs: Seq[(Long, Long, Long, Long)],
+      touches: Seq[(Long, Long, Long)],
+      windowNs: Long, halfLifeNs: Long) = {
+    import spark.implicits._
+    Attribution.timeDecayCredits(
+      convs.toDF("pid", "pu", "pts", "v"), "pid", "pu", "pts", "v",
+      touches.toDF("cid", "cu", "cts"), "cid", "cu", "cts",
+      windowNs, halfLifeNs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+  }
+
+  test("timeDecayCredits: hand-checked halving weights, remainder to most recent") {
+    // window 40, half-life 10 → maxAge 4, weights 2^(4−age).
+    // conv at ts=100, v=1000; touches at ts 100 (age 0, w 16) and 90
+    // (age 1, w 8): W = 24 → floors 666 and 333; most recent (+1) → 667
+    val got = decay(Seq((9L, 5L, 100L, 1000L)),
+      Seq((1L, 5L, 100L), (2L, 5L, 90L)), windowNs = 40L, halfLifeNs = 10L)
+    assert(got.toSet == Set(
+      (9L, 1L, 2L, 0L, 16L, 667L),
+      (9L, 2L, 2L, 1L, 8L, 333L)))
+  }
+
+  test("timeDecayCredits: value conservation under arbitrary touch layouts") {
+    val rng = new scala.util.Random(7)
+    val touches = (1L to 40L).map(i => (i, i % 3, rng.nextInt(200).toLong))
+    val convs = (101L to 110L).map(i =>
+      (i, i % 3, 100L + rng.nextInt(150), 1L + rng.nextInt(100000).toLong))
+    val rows = decay(convs, touches, windowNs = 70L, halfLifeNs = 7L)
+    val byConv = rows.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+    val values = convs.map(c => c._1 -> c._4).toMap
+    byConv.foreach { case (pid, total) =>
+      assert(total == values(pid), s"conversion $pid leaked credit")
+    }
+  }
+
+  test("timeDecayCredits: remainder tie at equal ts goes to the larger touch id") {
+    // both touches at age 0, equal weights 2 → floors v div 2 each;
+    // v odd → the id-2 touch absorbs the extra micro-unit
+    val got = decay(Seq((9L, 5L, 100L, 101L)),
+      Seq((1L, 5L, 100L), (2L, 5L, 100L)), windowNs = 20L, halfLifeNs = 10L)
+    assert(got.toSet == Set(
+      (9L, 1L, 2L, 0L, 4L, 50L),
+      (9L, 2L, 2L, 0L, 4L, 51L)))
+  }
+
+  test("timeDecayCredits: an over-62-half-life window fails loudly") {
+    intercept[IllegalArgumentException] {
+      decay(Seq((9L, 5L, 100L, 10L)), Seq((1L, 5L, 90L)),
+        windowNs = 6300L, halfLifeNs = 100L)
+    }
+  }
 }

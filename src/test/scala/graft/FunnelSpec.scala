@@ -97,4 +97,37 @@ class FunnelSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(got == Map("A" -> 1L, "B" -> 0L, "C" -> 0L), s"got $got")
   }
+
+  test("timedFunnel: later steps must land within the window of the FIRST step-1") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes fully inside the window anchored at ts=10
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // u2's B is beyond t0+W — even though a LATER A (t=40) would admit
+      // it, the anchor is the first A (documented convention)
+      (2L, "A", 0L), (2L, "A", 40L), (2L, "B", 50L),
+      // u3's B lands exactly at t0+W (inclusive bound), C one past it
+      (3L, "A", 0L), (3L, "B", 30L), (3L, "C", 31L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.timedFunnel(
+      ev, "user_id", "event_type", "ts", Seq("A", "B", "C"), windowNs = 30L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("A" -> 3L, "B" -> 2L, "C" -> 1L), s"got $got")
+  }
+
+  test("timedFunnel with a huge window degenerates to the plain funnel") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 15L), (2L, "B", 40L),
+      (3L, "C", 1L), (3L, "B", 2L), (3L, "A", 3L),
+      (5L, "A", 7L), (5L, "B", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val plain = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B", "C"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val timed = Funnel.timedFunnel(
+      ev, "user_id", "event_type", "ts", Seq("A", "B", "C"), Long.MaxValue / 4)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(timed == plain, s"timed $timed vs plain $plain")
+  }
 }
