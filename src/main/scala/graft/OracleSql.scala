@@ -4590,5 +4590,70 @@ private[graft] object OracleSql {
         |SELECT age AS age_halflives, weight,
         |  count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_micro_sum
         |FROM cr GROUP BY 1, 2""".stripMargin,
+
+    // centroid replay: per-(label, dim) quantized sums over the fixed
+    // 64-dim frame, sign-split truncated means, pair join on dim, signed
+    // cos² ppm in HUGEINT (= the Spark side's decimal(38,0))
+    "embed_centroid_sim" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT label, i,
+        |    sum(CAST(floor(v[i] * 4096.0) AS BIGINT))::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM e, range(1, 65) r(i) GROUP BY 1, 2),
+        |m AS (SELECT label, i, n,
+        |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m FROM q),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    max(a.n) AS n_a, max(b.n) AS n_b,
+        |    sum(a.m * b.m)::BIGINT AS dot_q,
+        |    sum(a.m * a.m)::BIGINT AS norm_a_q,
+        |    sum(b.m * b.m)::BIGINT AS norm_b_q
+        |  FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b, dot_q, norm_a_q, norm_b_q,
+        |  (CASE WHEN norm_a_q = 0 OR norm_b_q = 0 THEN NULL
+        |    ELSE (CASE WHEN dot_q >= 0 THEN 1 ELSE -1 END) *
+        |      ((dot_q::HUGEINT * dot_q * 1000000) //
+        |        (norm_a_q::HUGEINT * norm_b_q))
+        |    END)::BIGINT AS cos_sq_ppm
+        |FROM p""".stripMargin,
+
+    // Q14 replay: same per-row cent floor (one IEEE double product chain,
+    // bit-identical), promo share as integer ppm
+    "q14_promo" ->
+      """SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS month,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS promo_rev_c,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT))::BIGINT AS total_rev_c,
+        |  (sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |      AS BIGINT) ELSE 0 END) * 1000000 //
+        |   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT)))::BIGINT AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    // lead-lag replay: (type, day) grid 0-densified over the global span,
+    // lag set as a range table, shifted-day self-join, HUGEINT covariance
+    // numerator
+    "events_xcorr" ->
+      """WITH g AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS x, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(x) AS mn, max(x) AS mx FROM g),
+        |gs AS MATERIALIZED (SELECT unnest(generate_series(mn, mx)) AS x FROM sp),
+        |spine AS (SELECT keys.k, gs.x
+        |  FROM (SELECT DISTINCT k FROM g) keys CROSS JOIN gs),
+        |dense AS (SELECT spine.k, spine.x, coalesce(g.y, 0)::BIGINT AS y
+        |  FROM spine LEFT JOIN g ON g.k = spine.k AND g.x = spine.x),
+        |l AS (SELECT range AS lag FROM range(-3, 4))
+        |SELECT a.k AS key_a, b.k AS key_b, l.lag AS lag,
+        |  count(*)::BIGINT AS n_days,
+        |  (count(*) * sum(a.y::HUGEINT * b.y)
+        |    - sum(a.y)::HUGEINT * sum(b.y))::BIGINT AS cov_num
+        |FROM dense a CROSS JOIN l
+        |JOIN dense b ON b.x = a.x + l.lag AND a.k < b.k
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

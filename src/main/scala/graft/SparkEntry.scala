@@ -3272,6 +3272,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_touches"),
           sum("credit_micro").as("credit_micro_sum"))
     }),
+
+    "embed_centroid_sim" -> ((s, dir) => {
+      // label-space geometry audit: pairwise centroid cosine² (signed,
+      // exact integer ppm) between label clouds — near-±1e6 pairs flag
+      // label noise / near-synonym classes; truncated integer means keep
+      // every number bounded independent of corpus size
+      graft.llm.Quantize.centroidSimilarity(
+        t(s, dir, "embeddings"), "label", "embedding")
+    }),
+
+    "q14_promo" -> ((s, dir) => {
+      // TPC-H Q14 shape: per ship month, the promo-type share of revenue
+      // in exact integer ppm — broadcast part-dim join, per-row cent
+      // floor (one IEEE product both engines replay bit-for-bit)
+      val li = t(s, dir, "lineitem")
+        .withColumn("month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+        .withColumn("rev_c",
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as long)"))
+      li.join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("month")
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_rev_c"),
+          sum("rev_c").as("total_rev_c"))
+        .withColumn("promo_ppm",
+          expr("(promo_rev_c * 1000000) div total_rev_c"))
+    }),
+
+    "events_xcorr" -> ((s, dir) => {
+      // lead-lag cross-covariance matrix between event types' daily
+      // series at lags -3..3 — "do clicks lead purchases, and by how
+      // many days"; the corpus collapses to the (type, day) grid first,
+      // everything after is grid-grain
+      graft.operators.CrossCorr.leadLagMatrix(
+        events(s, dir), "event_type",
+        xCol = expr("ts_ns div 86400000000000"),
+        yCol = lit(1L), maxLag = 3)
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

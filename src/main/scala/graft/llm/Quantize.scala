@@ -153,4 +153,52 @@ object Quantize {
       .select(explode(col("__g")).as("__e"), col("n"))
       .select(col("__e.i").as("i"), col("__e.j").as("j"),
         col("__e.qsum").as("qsum"), col("n"))
+
+  /** Pairwise group-centroid similarity in exact integers — do two labels'
+    * embedding clouds point the same way (label noise / near-synonym
+    * classes), or is a source's embedding distribution drifting from
+    * another's? Per group, the TRUNCATED integer mean vector
+    * `m_i = (Σ floor(x_i·2¹²)) div n` (each |m_i| ≤ 4096 by construction,
+    * however many rows — the scale-safety trick); per group pair (a < b),
+    * the exact longs `dot_q = Σ mₐᵢ·m_bᵢ`, `norm_a_q = Σ mₐᵢ²`,
+    * `norm_b_q = Σ m_bᵢ²`, and the signed squared cosine
+    * `cos_sq_ppm = sign(dot) · (dot²·10⁶) div (norm_a·norm_b)` (the
+    * square avoids sqrt; the sign restores direction — ±10⁶ = parallel,
+    * 0 = orthogonal). dot² runs in decimal(38,0); with |m_i| ≤ 4096 and
+    * d ≤ 4096 dims every quantity is bounded INDEPENDENT of corpus size.
+    *
+    * '''Plan shape (the 100-TB design).''' One posexplode + map-side-
+    * combined aggregate collapses the corpus to the (groups × dims) grid;
+    * the pair join and epilogue run on that grid only. Groups must be
+    * modest in number (the output is group-pair grain) — that's the
+    * operator's domain: labels, sources, shards. */
+  def centroidSimilarity(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val q = df.select(col(groupCol).as("__g"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .withColumn("__q", expr("cast(floor(__x * 4096.0) as long)"))
+      .groupBy("__g", "__i")
+      .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__m", expr(
+        "CASE WHEN __s >= 0 THEN __s div __n ELSE -((-__s) div __n) END"))
+      .select("__g", "__i", "__m", "__n")
+    val a = q.select(col("__g").as("label_a"), col("__i"),
+      col("__m").as("__ma"), col("__n").as("n_a"))
+    val b = q.select(col("__g").as("label_b"), col("__i"),
+      col("__m").as("__mb"), col("__n").as("n_b"))
+    a.join(b, Seq("__i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(expr("__ma * __mb")).as("dot_q"),
+        sum(expr("__ma * __ma")).as("norm_a_q"),
+        sum(expr("__mb * __mb")).as("norm_b_q"))
+      .withColumn("cos_sq_ppm",
+        when(col("norm_a_q") === 0L || col("norm_b_q") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "cast(CASE WHEN dot_q >= 0 THEN 1 ELSE -1 END *" +
+              " ((cast(dot_q as decimal(38,0)) * dot_q * 1000000) div" +
+              " (cast(norm_a_q as decimal(38,0)) * norm_b_q)) as bigint)")))
+  }
 }
