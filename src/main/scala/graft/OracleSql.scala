@@ -4655,5 +4655,69 @@ private[graft] object OracleSql {
         |FROM dense a CROSS JOIN l
         |JOIN dense b ON b.x = a.x + l.lag AND a.k < b.k
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // cross-column skew survey replay: one UNION ALL arm per candidate
+    // column (string-cast values, NULLs out), column-grain rollup with
+    // integer ceil-div hot-over-average
+    "column_skew_profile" -> {
+      val arms = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus").map(c =>
+        s"""SELECT '$c' AS col_name, $c::VARCHAR AS v FROM lineitem
+           |    WHERE $c IS NOT NULL""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  $arms),
+         |c AS (SELECT col_name, v, count(*)::BIGINT AS n FROM u GROUP BY 1, 2)
+         |SELECT col_name, sum(n)::BIGINT AS n_nonnull, count(*)::BIGINT AS ndv,
+         |  max(n) AS top_count,
+         |  ((max(n) * 1000000) // sum(n))::BIGINT AS top_share_ppm,
+         |  (max(n) // ((sum(n) + count(*) - 1) // count(*)))::BIGINT
+         |    AS hot_over_avg
+         |FROM c GROUP BY 1""".stripMargin
+    },
+
+    // cohort-LTV replay: first-signup week cohorts, per-age purchase
+    // cells, cumulative over observed ages
+    "events_cohort_ltv" ->
+      """WITH co AS (SELECT user_id,
+        |    min(epoch_ns(ts)) // 604800000000000 AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, epoch_ns(e.ts) // 604800000000000 AS p_week,
+        |    CAST(floor(e.value * 1000000.0) AS BIGINT) AS v
+        |  FROM events e WHERE event_type = 'purchase'),
+        |cell AS (SELECT cohort_week, p_week - cohort_week AS age_week,
+        |    count(*)::BIGINT AS n_purchases, sum(v)::BIGINT AS value_micro
+        |  FROM p JOIN co USING (user_id) WHERE p_week >= cohort_week
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, age_week, n_purchases, value_micro,
+        |  (sum(value_micro) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_value_micro
+        |FROM cell""".stripMargin,
+
+    // index-probe replay: the ann_ivf pipeline with the corpus split into
+    // historical (indexed) and fresh (probing) halves — centroids are the
+    // 16 lowest HISTORICAL ids; index persistence itself is transparent
+    "ann_index_probe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |h AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM h ORDER BY vec_id LIMIT 16),
+        |cell AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT h.vec_id, cid, row_number() OVER (PARTITION BY h.vec_id
+        |    ORDER BY list_cosine_similarity(h.v, cv) DESC, cid) AS rn
+        |  FROM h CROSS JOIN cent) WHERE rn = 1),
+        |qp AS (SELECT query_id, cid AS cell FROM (
+        |  SELECT query_id, cid, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+        |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+        |    FROM q CROSS JOIN cent)) WHERE rn <= 4),
+        |cand AS (SELECT query_id, vec_id AS neighbor_id
+        |  FROM qp JOIN cell USING (cell)),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, v) AS cos
+        |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
   )
 }

@@ -3311,6 +3311,56 @@ object SparkEntry {
         xCol = expr("ts_ns div 86400000000000"),
         yCol = lit(1L), maxLag = 3)
     }),
+
+    "column_skew_profile" -> ((s, dir) => {
+      // which candidate join/group columns are shuffle-hazardous at all:
+      // per column (one tagged-union scan) exact ndv, hottest-value share,
+      // and hot-over-average-key load — the cross-column survey run
+      // BEFORE SkewAdvisor.advise drills into one column's keys
+      graft.skew.SkewAdvisor.columnSkewProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"))
+    }),
+
+    "events_cohort_ltv" -> ((s, dir) => {
+      // cohort-LTV curve: users bucketed by first-signup week, purchase
+      // value accumulated per cohort-age week (exact micro-units;
+      // cumulative window rides the cohort × age grid, never raw events)
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(expr("min(ts_ns) div 604800000000000").as("cohort_week"))
+      val cell = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 604800000000000").as("p_week"),
+          expr("cast(floor(value * 1000000.0) as long)").as("v"))
+        .join(cohort, Seq("user_id"))
+        .filter(col("p_week") >= col("cohort_week"))
+        .withColumn("age_week", col("p_week") - col("cohort_week"))
+        .groupBy("cohort_week", "age_week")
+        .agg(count(lit(1)).as("n_purchases"), sum("v").as("value_micro"))
+      val w = Window.partitionBy("cohort_week").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cell.withColumn("cum_value_micro", sum("value_micro").over(w))
+    }),
+
+    "ann_index_probe" -> ((s, dir) => {
+      // daily-ingest ANN: IVF index over the historical corpus persisted
+      // to parquet (partitioned by cell — probes are partition-pruned
+      // scans), fresh batch probed against it without re-touching
+      // historical vectors; the embedding twin of dedup_index_probe
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+      val fresh = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      val path = scratchPath("ann_index_probe")
+      val cents = graft.llm.Similarity.writeIvfIndex(
+        hist, "vec_id", "embedding", path, nCells = 16)
+      graft.llm.Similarity.probeIvfIndex(
+        s, path, fresh, "vec_id", "embedding", cents, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -228,25 +228,54 @@ object Similarity {
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
       centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] = centroids.getOrElse {
-      corpus.select(col(cIdCol).cast("long"), col(cVecCol))
-        .orderBy(col(cIdCol))
-        .limit(nCells)
-        .collect()
-        .map(r => r.getLong(0) ->
-          r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
-        .toSeq
-    }
-    // per-centroid score structs; struct(cos, -cid) makes array_max resolve
-    // ties toward the LOWEST centroid id (same rule as the oracle's
-    // row_number ORDER BY cos DESC, cid ASC)
-    def scoreStructs(vec: Column): Column = array(cents.map { case (cid, cv) =>
+    val cents = centroids.getOrElse(
+      seedCentroids(corpus, cIdCol, cVecCol, nCells))
+    probeIvfCells(queries, qIdCol, qVecCol,
+      assignIvfCells(corpus, cIdCol, cVecCol, cents), cents, k, nProbe)
+  }
+
+  /** First `nCells` corpus vectors by id — [[ivfTopK]]'s deterministic
+    * sampled-centroid convention as a reusable piece (O(nCells) collect,
+    * independent of corpus size). */
+  def seedCentroids(corpus: DataFrame, cIdCol: String, cVecCol: String,
+      nCells: Int): Seq[(Long, Seq[Double])] =
+    corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+      .orderBy(col(cIdCol))
+      .limit(nCells)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
+      .toSeq
+
+  // per-centroid score structs; struct(cos, -cid) makes array_max resolve
+  // ties toward the LOWEST centroid id (same rule as the oracle's
+  // row_number ORDER BY cos DESC, cid ASC)
+  private def centroidScoreStructs(
+      cents: Seq[(Long, Seq[Double])])(vec: Column): Column =
+    array(cents.map { case (cid, cv) =>
       struct(cosineSim(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
-    val corpusCells = corpus.select(
+
+  /** The IVF index frame: `(neighbor_id, cv, __cn, cell)` — one narrow map
+    * assigning each corpus vector to its argmax-cosine cell. This is what
+    * [[writeIvfIndex]] persists and [[probeIvfCells]] consumes. */
+  private def assignIvfCells(
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scoreStructs = centroidScoreStructs(cents) _
+    corpus.select(
       col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
       l2Norm(col(cVecCol)).as("__cn"),
       (-array_max(scoreStructs(col(cVecCol))).getField("ncid")).as("cell"))
+  }
+
+  /** Probe half of [[ivfTopK]]: route each query to its `nProbe` best
+    * cells, exact cosine top-k among those cells' index members. */
+  private def probeIvfCells(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: DataFrame, cents: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int): DataFrame = {
+    val scoreStructs = centroidScoreStructs(cents) _
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       l2Norm(col(qVecCol)).as("__qn"))
     val qProbes = qv
@@ -258,7 +287,7 @@ object Similarity {
     // candidate generation: equi-join on the cell id; each corpus vector is
     // in exactly one cell, so no pair dedup is needed
     val scored = qProbes
-      .join(corpusCells, Seq("cell"))
+      .join(index, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
@@ -270,6 +299,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Persist an IVF index for incremental serving: cell assignments (plus
+    * the vectors and their norms — everything a probe needs) go to
+    * parquet, partitioned by cell so a probe's nProbe cell reads are
+    * partition-pruned scans. Returns the centroids — the model parameter
+    * the caller must keep (or re-derive via [[seedCentroids]] under the
+    * default convention) to probe later. The daily-ingest ANN story:
+    * index the historical corpus once, probe each day's fresh batch
+    * against it without touching historical vectors again — the
+    * embedding-side twin of [[Dedup.writeMinHashIndex]]/`probeMinHashIndex`. */
+  def writeIvfIndex(
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      path: String, nCells: Int = 16,
+      centroids: Option[Seq[(Long, Seq[Double])]] = None)
+      : Seq[(Long, Seq[Double])] = {
+    val cents = centroids.getOrElse(
+      seedCentroids(corpus, cIdCol, cVecCol, nCells))
+    assignIvfCells(corpus, cIdCol, cVecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents
+  }
+
+  /** Probe a [[writeIvfIndex]] index with a fresh query batch: exact
+    * cosine top-k among the `nProbe` best cells' INDEXED members (fresh
+    * vectors see the historical corpus, not each other). `centroids`
+    * must be the set the index was built with. */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int = 4): DataFrame =
+    probeIvfCells(queries, qIdCol, qVecCol,
+      // partition-column type is directory-inferred (int) — restore long
+      spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
+      centroids, k, nProbe)
 
   /** Deterministic sampled PQ codebooks: codebook `j` holds the `j`-th
     * `subDim`-slice of the first `codebookSize` corpus vectors by id (same

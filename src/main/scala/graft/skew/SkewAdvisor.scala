@@ -65,4 +65,37 @@ object SkewAdvisor {
       .orderBy(col("n").desc +: keyCols.map(col): _*)
       .limit(topK)
   }
+
+  /** Cross-COLUMN skew survey — [[advise]] answers "how hot are the keys
+    * of THIS column"; this answers "which of these candidate join/group
+    * columns is hazardous at all", one row per column from ONE scan:
+    *  - `n_nonnull`, `ndv` (exact distinct values);
+    *  - `top_count` / `top_share_ppm`: the hottest value's rows and share;
+    *  - `hot_over_avg`: top_count div ⌈n/ndv⌉ — how many× the average
+    *    key's load the hottest key carries (1 = level; the magnitude that
+    *    decides whether a join on this column needs [[SkewJoin]] at all).
+    *
+    * '''Plan shape (the 100-TB design).''' All candidate columns ride one
+    * tagged-union explode (the [[graft.sources.TableProfile]] discipline):
+    * one scan, one map-side-combined (column, value) count, then a
+    * column-grain rollup. Values compare as strings (the tagged union
+    * needs one type); NULLs are excluded — nullability is
+    * [[graft.sources.Constraints]]' business. */
+  def columnSkewProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val tagged = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("__v"))): _*))
+      .as("__t"))
+      .select(col("__t.col_name").as("col_name"), col("__t.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    tagged
+      .groupBy("col_name", "__v").agg(count(lit(1)).as("__n"))
+      .groupBy("col_name")
+      .agg(sum("__n").as("n_nonnull"), count(lit(1)).as("ndv"),
+        max("__n").as("top_count"))
+      .withColumn("top_share_ppm",
+        idiv(col("top_count") * lit(1000000L), col("n_nonnull")))
+      .withColumn("hot_over_avg",
+        idiv(col("top_count"), ceilDiv(col("n_nonnull"), col("ndv"))))
+  }
 }
