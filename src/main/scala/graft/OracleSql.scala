@@ -4719,5 +4719,57 @@ private[graft] object OracleSql {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // Q6 replay: same pushed predicates, same per-row cent floor
+    "q6_forecast" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_extendedprice * l_discount * 100.0)
+        |    AS BIGINT))::BIGINT AS revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    // Q10 replay: returned-item revenue per customer, deterministic top-20
+    "q10_returns" ->
+      """SELECT o_custkey AS custkey, c_name, count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT))::BIGINT AS returned_rev_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY returned_rev_c DESC, custkey LIMIT 20""".stripMargin,
+
+    // assortativity replay: exact-Jaccard pair ground truth, endpoint
+    // degrees, both orientations, HUGEINT covariance numerator
+    "graph_assortativity" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+        |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)),
+        |tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+        |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+        |    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p)
+        |  GROUP BY 1),
+        |e AS (SELECT da.deg AS da, db.deg AS db
+        |  FROM p JOIN deg da ON da.node = p.id_a
+        |  JOIN deg db ON db.node = p.id_b),
+        |ends AS (SELECT da AS x, db AS y FROM e
+        |  UNION ALL SELECT db, da FROM e)
+        |SELECT count(*)::BIGINT AS m,
+        |  (count(*) * sum(x::HUGEINT * y)
+        |    - sum(x)::HUGEINT * sum(y))::BIGINT AS cov_num
+        |FROM ends""".stripMargin,
   )
 }

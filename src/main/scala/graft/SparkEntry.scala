@@ -3361,6 +3361,67 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     }),
+
+    "q6_forecast" -> ((s, dir) => {
+      // TPC-H Q6 shape: revenue delta from a discount policy change — a
+      // pure filter-aggregate whose predicates must ALL reach the scan
+      // (PushedFilters), cent-floored per row
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cast(floor(l_extendedprice * l_discount * 100.0) as long)"))
+            .as("revenue_c"))
+    }),
+
+    "q10_returns" -> ((s, dir) => {
+      // TPC-H Q10 shape: top-20 customers by returned-item revenue — the
+      // "who is sending everything back" triage; broadcast customer dim,
+      // deterministic top-k via TakeOrderedAndProject
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .withColumn("rev_c",
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as long)"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      li.join(o, Seq("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))),
+          Seq("o_custkey"))
+        .groupBy(col("o_custkey").as("custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_items"), sum("rev_c").as("returned_rev_c"))
+        .orderBy(col("returned_rev_c").desc, col("custkey"))
+        .limit(20)
+    }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the near-dup graph: the exact integer
+      // covariance numerator m·Σ(da·db) − Σda·Σdb over edge-endpoint
+      // degrees (both orientations — the undirected convention) — sign
+      // answers "do hubs link to hubs" (template families) or to leaves
+      // (hub-and-spoke boilerplate); everything after the pair pass is
+      // node/edge-grain
+      val pairs = graft.llm.Dedup.minHashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      val deg = pairs.select(col("id_a").as("node"))
+        .unionAll(pairs.select(col("id_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val edges = pairs
+        .join(deg.select(col("node").as("id_a"), col("deg").as("da")), Seq("id_a"))
+        .join(deg.select(col("node").as("id_b"), col("deg").as("db")), Seq("id_b"))
+      // both orientations: (da,db) and (db,da) — the undirected pairing
+      val ends = edges.select(col("da").as("x"), col("db").as("y"))
+        .unionAll(edges.select(col("db").as("x"), col("da").as("y")))
+      ends.agg(count(lit(1)).as("m"),
+          sum(expr("cast(x as decimal(38,0)) * y")).as("__sxy"),
+          sum("x").as("__sx"), sum("y").as("__sy"))
+        .withColumn("cov_num", expr(
+          "cast(m * __sxy - cast(__sx as decimal(38,0)) * __sy as bigint)"))
+        .select("m", "cov_num")
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing
