@@ -4720,6 +4720,28 @@ private[graft] object OracleSql {
         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
 
+    // stream-throttle replay: the events_throttle recursive kept-anchor
+    // fold rolled up to (key, counts, last kept ts) — the streaming
+    // fold's convergence target
+    "stream_throttle" ->
+      """WITH RECURSIVE e AS (SELECT
+        |    user_id::VARCHAR || ':' || event_type AS key, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |n AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY ts_us, event_id) AS rn FROM e),
+        |r AS (
+        |  SELECT key, ts_us, rn, TRUE AS kept, ts_us AS last
+        |  FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.key, n.ts_us, n.rn, n.ts_us - r.last >= 600000000,
+        |    CASE WHEN n.ts_us - r.last >= 600000000
+        |      THEN n.ts_us ELSE r.last END
+        |  FROM n JOIN r ON n.key = r.key AND n.rn = r.rn + 1)
+        |SELECT key, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  max(last)::BIGINT AS last_kept_ts
+        |FROM r GROUP BY 1""".stripMargin,
+
     // Q6 replay: same pushed predicates, same per-row cent floor
     "q6_forecast" ->
       """SELECT count(*)::BIGINT AS n_items,

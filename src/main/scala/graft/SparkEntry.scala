@@ -3362,6 +3362,27 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "stream_throttle" -> ((s, dir) => {
+      // live face of events_throttle: state is the per-key (ts, tie)
+      // event set itself — the kept-anchored recurrence is sequential, so
+      // the set IS the minimal order-proof state; converged counts equal
+      // the batch throttle under any arrival order
+      import graft.streaming.StreamOps
+      val out = StreamOps.runToMemory(s,
+        StreamOps.throttleUpdates(
+          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          keyCol = concat_ws(":", col("user_id"), col("event_type")),
+          ts = expr("ts_ns div 1000"), tie = col("event_id"),
+          cooldown = 10L * 60 * 1000 * 1000),
+        "graft_stream_throttle", outputMode = "update")
+      out.groupBy("key")
+        .agg(max(struct(col("update_seq"), col("n_events"), col("n_kept"),
+          col("last_kept_ts"))).as("__f"))
+        .select(col("key"), col("__f.n_events").as("n_events"),
+          col("__f.n_kept").as("n_kept"),
+          col("__f.last_kept_ts").as("last_kept_ts"))
+    }),
+
     "q6_forecast" -> ((s, dir) => {
       // TPC-H Q6 shape: revenue delta from a discount policy change — a
       // pure filter-aggregate whose predicates must ALL reach the scan

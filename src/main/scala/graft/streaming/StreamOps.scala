@@ -652,6 +652,57 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "x", "y", "ewma")
   }
 
+  /** Streaming cooldown-throttle fold — the live face of
+    * [[graft.operators.Sessionize.throttle]]: state is the accumulated
+    * per-key (ts, tie) event set itself (the same state-is-the-grid
+    * contract as [[ewmaUpdates]] — the kept-anchored recurrence is a
+    * sequential fold over the SORTED events, so no smaller state can
+    * survive out-of-order arrival), and every update re-runs the batch
+    * operator's exact fold over the re-sorted set. Arrival order therefore
+    * cannot change the converged answer: the converged (max update_seq)
+    * row per key carries the same kept-count and last-kept-ts the batch
+    * throttle produces on the full table.
+    *
+    * Emits one row per (key, update):
+    * `(key, update_seq, n_events, n_kept, last_kept_ts)`. Duplicate
+    * (ts, tie) deliveries collapse (at-least-once safe). Bounded per-key
+    * state is the contract — per-entity event residency, the assumption
+    * every per-key window in the batch library already makes. */
+  def throttleUpdates(
+      stream: DataFrame, keyCol: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,
+      cooldown: Long): DataFrame = {
+    require(cooldown >= 0, s"cooldown must be non-negative, got $cooldown")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val pts = stream
+      .select(keyCol.cast("string").as("g"),
+        ts.cast("long").as("ts"), tie.cast("long").as("tie"))
+      .filter(col("ts").isNotNull && col("tie").isNotNull)
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Seq[(Long, Long)]),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (seq, evs0) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          val evs = (evs0 ++ rows.map(r => (r._2, r._3))).distinct.sorted
+          state.update((seq + 1, evs))
+          // the batch operator's kept-anchored fold, verbatim semantics:
+          // keep iff nothing kept yet or ts − lastKept ≥ cooldown
+          val (nKept, lastKept) = evs.foldLeft((0L, Option.empty[Long])) {
+            case ((k, last), (t, _)) =>
+              if (last.isEmpty || t - last.get >= cooldown) (k + 1, Some(t))
+              else (k, last)
+          }
+          Iterator((grp, seq + 1, evs.size.toLong, nKept, lastKept.get))
+      }
+      .toDF("key", "update_seq", "n_events", "n_kept", "last_kept_ts")
+  }
+
   /** Streaming mean-shift change-point fold — the live face of
     * [[graft.operators.ChangePoint.meanShiftChangePoint]]: state is the
     * bounded per-group (x → Σy) grid itself (the same state contract as

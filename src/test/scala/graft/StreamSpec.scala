@@ -639,4 +639,47 @@ class StreamSpec extends AnyFunSuite {
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
     streamed.ensureDatasetEquals(batch)
   }
+
+  test("streaming throttle converges to the batch fold under SHUFFLED arrival order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_thr_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(23)
+    // bursty per-key timelines delivered out of order across micro-batches;
+    // the kept-anchored recurrence is sequential, so only the buffered
+    // event-set state can survive the shuffle — converged counts must
+    // equal the batch throttle exactly, including a duplicate delivery
+    val base = (1L to 60L).map { i =>
+      val g = s"k${i % 3}"
+      (g, rnd.nextInt(500).toLong, i) // (key, ts, tie)
+    }
+    val data = rnd.shuffle((base ++ base.take(5)).toVector) // 5 dup deliveries
+    data.grouped(22).foreach { chunk =>
+      chunk.toDF("g", "ts", "tie").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    val stream = spark.readStream
+      .schema("g STRING, ts BIGINT, tie BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.throttleUpdates(stream, col("g"), col("ts"), col("tie"),
+        cooldown = 40L),
+      "t_stream_throttle", outputMode = "update")
+    assert(updates.groupBy("key").count().filter(col("count") > 1).count() == 3)
+    val fin = updates.groupBy("key")
+      .agg(max(struct(col("update_seq"), col("n_events"), col("n_kept"),
+        col("last_kept_ts"))).as("__f"))
+      .select(col("key"), col("__f.n_events").as("n_events"),
+        col("__f.n_kept").as("n_kept"),
+        col("__f.last_kept_ts").as("last_kept_ts"))
+    val kept = graft.operators.Sessionize.throttle(
+      base.distinct.toDF("key", "ts", "tie"), Seq("key"), "ts", "tie",
+      cooldown = 40L)
+    val batch = base.distinct.toDF("key", "ts", "tie")
+      .groupBy("key").agg(countDistinct(col("ts"), col("tie")).as("n_events"))
+      .join(kept.groupBy("key").agg(count(lit(1)).as("n_kept"),
+        max("ts").as("last_kept_ts")), Seq("key"))
+    fin.ensureDatasetEquals(batch)
+  }
 }
