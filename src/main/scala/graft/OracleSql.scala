@@ -4793,5 +4793,50 @@ private[graft] object OracleSql {
         |  (count(*) * sum(x::HUGEINT * y)
         |    - sum(x)::HUGEINT * sum(y))::BIGINT AS cov_num
         |FROM ends""".stripMargin,
+
+    // zero-codec PGM replay: the generating formula (the parser's output
+    // must land back on it exactly — lossless by construction)
+    "multimodal_pgm" ->
+      """SELECT d.doc_id AS media_id,
+        |  (8 + d.doc_id % 6)::BIGINT AS width,
+        |  (8 + d.doc_id % 7)::BIGINT AS height,
+        |  sum((d.doc_id * 43 + xs.x * 7 + ys.y * 23) % 256)::BIGINT
+        |    AS gray_sum,
+        |  max((d.doc_id * 43 + xs.x * 7 + ys.y * 23) % 256)::BIGINT
+        |    AS gray_max
+        |FROM documents d
+        |CROSS JOIN range(0, 13) AS xs(x)
+        |CROSS JOIN range(0, 14) AS ys(y)
+        |WHERE xs.x < 8 + d.doc_id % 6 AND ys.y < 8 + d.doc_id % 7
+        |GROUP BY 1""".stripMargin,
+
+    // Hamilton apportionment replay: HUGEINT base/remainder, leftover
+    // units to the largest remainders with source ties
+    "sample_apportionment" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+        |b AS (SELECT source, n,
+        |    ((n::HUGEINT * 1000) // tot)::BIGINT AS base,
+        |    ((n::HUGEINT * 1000) % tot)::BIGINT AS remainder FROM c, t),
+        |s AS (SELECT (1000 - sum(base))::BIGINT AS short FROM b)
+        |SELECT source, n, base, remainder,
+        |  (CASE WHEN row_number() OVER (ORDER BY remainder DESC, source)
+        |      <= (SELECT short FROM s)
+        |    THEN base + 1 ELSE base END)::BIGINT AS alloc
+        |FROM b""".stripMargin,
+
+    // Q19 replay: same OR'd branch predicates, same per-row cent floor
+    "q19_or_pred" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT))::BIGINT AS revenue_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1.0 AND 11.0)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10.0 AND 20.0)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
   )
 }

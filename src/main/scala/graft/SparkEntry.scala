@@ -3443,6 +3443,44 @@ object SparkEntry {
           "cast(m * __sxy - cast(__sx as decimal(38,0)) * __sy as bigint)"))
         .select("m", "cov_num")
     }),
+
+    "multimodal_pgm" -> ((s, dir) => {
+      // REAL zero-codec image decode: ASCII PGM parsed by the repo's OWN
+      // reader (comments, header, exact sample census — no ImageIO) —
+      // the one image path whose whole decode stack lives in this repo
+      graft.llm.Multimodal.documentPgmStats(s, t(s, dir, "documents"))
+    }),
+
+    "sample_apportionment" -> ((s, dir) => {
+      // proportional corpus shrink: split a 1000-doc budget across
+      // sources by largest-remainder apportionment — Σalloc = budget
+      // EXACTLY (the conservation float proportions can't give), ties by
+      // source; the proportional sibling of sample_fair_cap
+      graft.llm.Sampling.apportionBudget(
+        t(s, dir, "documents"), "source", budget = 1000L)
+    }),
+
+    "q19_or_pred" -> ((s, dir) => {
+      // TPC-H Q19 shape: three OR'd (brand × size × quantity) branches —
+      // the disjunctive-predicate stress the optimizer must keep
+      // broadcast-side; cent-floored revenue
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+            col("p_size"))),
+          Seq("l_partkey"))
+      li.filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20.0, 30.0)))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr(
+            "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as long)"))
+            .as("revenue_c"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

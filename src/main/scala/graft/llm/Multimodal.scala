@@ -228,6 +228,84 @@ object Multimodal {
     decodeImageStats(records).toDF()
   }
 
+  /** Netpbm P2 (ASCII PGM) synth — the ZERO-CODEC image format: pure text,
+    * parsed by [[decodePgmStats]]' own hand-rolled reader rather than any
+    * ImageIO plugin, which makes it the one image path whose entire decode
+    * stack is in this repo (the others trust the JDK's readers). A comment
+    * line is embedded on purpose so the parser's comment handling is
+    * exercised by every record. `width = 8 + id%6`, `height = 8 + id%7`,
+    * pixel (x, y) = `(id·43 + x·7 + y·23) mod 256`, maxval 255. */
+  def synthesizePgm(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthesizePgm needs a non-negative id, got $id")
+    val w = 8 + (id % 6).toInt
+    val h = 8 + (id % 7).toInt
+    val sb = new StringBuilder
+    sb.append("P2\n# graft pattern ").append(id).append('\n')
+    sb.append(w).append(' ').append(h).append("\n255\n")
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sb.append((id * 43 + x * 7 + y * 23) % 256)
+        sb.append(if (x == w - 1) '\n' else ' ')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Exact per-image stats from the hand-rolled P2 parser:
+    * `(media_id, width, height, gray_sum, gray_max)`. */
+  case class PgmStats(
+      media_id: Long, width: Long, height: Long,
+      gray_sum: Long, gray_max: Long)
+
+  /** REAL ASCII-PGM decode with NO codec dependency: '#' comments stripped
+    * to end-of-line, whitespace tokenization, magic/shape/maxval header,
+    * exactly width·height sample values — a malformed payload fails
+    * loudly. Narrow `mapPartitions`, shuffle-free, like every decode here. */
+  def decodePgmStats(records: Dataset[ImageRecord]): Dataset[PgmStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val text = new String(rec.content, java.nio.charset.StandardCharsets.US_ASCII)
+        val toks = text.linesIterator
+          .map { l => val i = l.indexOf('#'); if (i >= 0) l.substring(0, i) else l }
+          .flatMap(_.split("\\s+"))
+          .filter(_.nonEmpty)
+          .toArray
+        require(toks.nonEmpty && toks(0) == "P2",
+          s"media_id=${rec.media_id}: not an ASCII PGM (P2) payload")
+        require(toks.length >= 4, s"media_id=${rec.media_id}: truncated header")
+        val w = toks(1).toInt; val h = toks(2).toInt; val maxVal = toks(3).toInt
+        require(w > 0 && h > 0 && maxVal > 0 && maxVal <= 65535,
+          s"media_id=${rec.media_id}: bad PGM shape ${w}x$h max $maxVal")
+        require(toks.length == 4 + w * h,
+          s"media_id=${rec.media_id}: expected ${w * h} samples, " +
+            s"got ${toks.length - 4}")
+        var s = 0L; var mx = 0L; var i = 4
+        while (i < toks.length) {
+          val v = toks(i).toLong
+          require(v >= 0 && v <= maxVal,
+            s"media_id=${rec.media_id}: sample $v out of [0, $maxVal]")
+          s += v; if (v > mx) mx = v; i += 1
+        }
+        PgmStats(rec.media_id, w.toLong, h.toLong, s, mx)
+      }
+    }
+  }
+
+  /** End-to-end zero-codec pipeline over the documents table — synthesize
+    * an ASCII PGM per doc_id, decode it back through the repo's own
+    * parser. */
+  def documentPgmStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    decodePgmStats(ids.mapPartitions(_.map(id =>
+      ImageRecord(id, synthesizePgm(id))))).toDF()
+  }
+
   def synthesizeTiff(id: Long): Array[Byte] = {
     require(id >= 0, s"synthesizeTiff needs a non-negative id, got $id")
     val w = 8 + (id % 7).toInt

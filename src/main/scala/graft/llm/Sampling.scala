@@ -407,4 +407,45 @@ object Sampling {
           col("alloc0") + 1).otherwise(col("alloc0")))
       .select(col(groupCol), col("n"), col("cap"), col("alloc"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer budget across
+    * groups proportional to their row counts — the quota planner beside
+    * [[fairCaps]]: fairCaps levels a budget under per-group SUPPLY limits
+    * (max–min fairness), this splits it PROPORTIONALLY to observed mass
+    * (the "keep the mixture's shape, shrink it to B docs" plan).
+    *
+    * Exact integers end to end: `base_i = (B·n_i) div N`, remainder
+    * `r_i = (B·n_i) mod N`; the `B − Σbase` leftover units (provably
+    * `< #groups`) go one each to the largest remainders, ties by group
+    * key — so `Σalloc = B` EXACTLY, the conservation property float
+    * proportions cannot give. Products run in decimal(38,0) (B·n_i
+    * overflows a long at ~10¹⁰ budget × 10⁹-row groups).
+    *
+    * '''Plan shape (the 100-TB design).''' One map-side-combined count
+    * collapses the corpus to the group-grain frame; the remainder rank is
+    * a window over that frame (groups-scale, domain-bounded — the same
+    * discipline as every grid epilogue here). Returns
+    * `(groupCol, n, base, remainder, alloc)`. */
+  def apportionBudget(df: DataFrame, groupCol: String, budget: Long)
+      : DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__N"))
+    val based = counts.crossJoin(broadcast(total))
+      .withColumn("base", expr(
+        s"cast((cast(n as decimal(38,0)) * ${budget}L) div __N as bigint)"))
+      .withColumn("remainder", expr(
+        s"cast((cast(n as decimal(38,0)) * ${budget}L) % __N as bigint)"))
+    val short = based.agg(
+      (lit(budget) - sum("base")).as("__short"))
+    based.crossJoin(broadcast(short))
+      .withColumn("__rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("remainder").desc, col(groupCol))))
+      .withColumn("alloc",
+        when(col("__rr") <= col("__short"), col("base") + 1L)
+          .otherwise(col("base")))
+      .select(col(groupCol), col("n"), col("base"), col("remainder"),
+        col("alloc"))
+  }
 }
