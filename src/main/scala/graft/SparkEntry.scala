@@ -3211,11 +3211,14 @@ object SparkEntry {
       // near-dup graph health: node degree census in floor-log2 buckets —
       // a mega-hub bucket flags template spam (one boilerplate doc
       // near-dup to thousands) before the CC closure pays for it; the
-      // graph-shaped sibling of dedup_cluster_sizes. One pair pass,
-      // degree frame is node-grain, census is ≤64 rows
+      // graph-shaped sibling of dedup_cluster_sizes. One pair pass —
+      // localCheckpoint so the LSH lineage runs ONCE (the
+      // dup_rate_by_source precedent: both union arms re-plan it
+      // otherwise); degree frame is node-grain, census is ≤64 rows
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b").localCheckpoint()
       pairs.select(col("id_a").as("node"))
         .unionAll(pairs.select(col("id_b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -3422,11 +3425,13 @@ object SparkEntry {
       // degrees (both orientations — the undirected convention) — sign
       // answers "do hubs link to hubs" (template families) or to leaves
       // (hub-and-spoke boilerplate); everything after the pair pass is
-      // node/edge-grain
+      // node/edge-grain. localCheckpoint: the pair lineage otherwise
+      // re-plans FIVE times (degree unions + two edge joins — measured
+      // 299 static exchanges, now a handful)
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint()
       val deg = pairs.select(col("id_a").as("node"))
         .unionAll(pairs.select(col("id_b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

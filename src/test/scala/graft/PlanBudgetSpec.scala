@@ -239,7 +239,53 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the prefix-filtered AllPairs pipeline (same family as
     // dedup_jaccard_exact) + band histogram; the one partitionless
     // window is the reverse cumsum on the ≤13-row band grid
-    ("dedup_threshold_sweep", 14, 1))
+    ("dedup_threshold_sweep", 14, 1),
+    // r14 late additions — budgets are measured current counts
+    // one tokenize pass; unigram frame joined twice by the pair frame,
+    // top-k is TakeOrdered
+    ("text_pmi", 8, 0),
+    // token counts + the ≤64-row bucket census
+    ("vocab_zipf", 2, 0),
+    // pair set localCheckpointed (LSH lineage ONCE — was 60 exchanges
+    // un-checkpointed); degree fold + census ride the node frame
+    ("graph_degree_dist", 2, 0),
+    // same checkpoint discipline (was 299 exchanges: degree unions + two
+    // edge joins each re-planned the pair lineage); edges + 1-row fold
+    ("graph_assortativity", 9, 0),
+    // unit-grain cohort frame + 1-row totals broadcast + per-metric fold
+    ("events_ab_test", 7, 0),
+    // per-stage conditional aggregates (ReusedExchange dedupes the
+    // stage-k frame between its count branch and stage k+1's join)
+    ("events_funnel_timed", 12, 0),
+    // binned range join + three per-conversion windows (weight sum,
+    // floor sum, remainder rank — all bounded by touches-per-window)
+    ("events_attribution_decay", 3, 3),
+    // corpus collapses to the (groups × dims) grid in one aggregate;
+    // pair join + epilogue ride the grid
+    ("embed_centroid_sim", 4, 0),
+    // broadcast part dim + month fold
+    ("q14_promo", 2, 0),
+    // (type, day) grid + densify + lag explode + shifted-day self-join —
+    // all grid-grain after the one corpus aggregate
+    ("events_xcorr", 12, 0),
+    // ONE tagged-union scan for all candidate columns + column fold
+    ("column_skew_profile", 2, 0),
+    // signup cohorts + purchase cells + the cohort×age cumulative window
+    ("events_cohort_ltv", 4, 1),
+    // probe half of ann_ivf over the parquet index (cell-partition-pruned
+    // scan); windows are the per-query rank (query-bounded)
+    ("ann_index_probe", 3, 3),
+    // pure filter-aggregate; predicates pushed to the scan
+    ("q6_forecast", 1, 0),
+    // broadcast dims + TakeOrdered top-20
+    ("q10_returns", 3, 0),
+    // synthesize + hand-rolled parse are narrow mapPartitions
+    ("multimodal_pgm", 0, 0),
+    // group-grain count + two 1-row broadcasts + the remainder rank on
+    // the #groups frame
+    ("sample_apportionment", 11, 1),
+    // broadcast part dim + the OR'd filter + 1-row aggregate
+    ("q19_or_pred", 2, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -267,7 +313,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "events_rfm" -> 1,
     // threshold-sweep reverse cumulative: the band grid is ≤ 13 rows by
     // construction (jaccard twentieths in [8, 20])
-    "dedup_threshold_sweep" -> 1)
+    "dedup_threshold_sweep" -> 1,
+    // Hamilton remainder rank: ONE partitionless window over the
+    // #groups-grain count frame (Sampling.apportionBudget's design
+    // point) — group count is the domain bound, never corpus rows
+    "sample_apportionment" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
