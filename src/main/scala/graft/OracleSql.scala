@@ -4826,6 +4826,37 @@ private[graft] object OracleSql {
         |    THEN base + 1 ELSE base END)::BIGINT AS alloc
         |FROM b""".stripMargin,
 
+    // compaction replay: same simulated listing, prefix-sum next-fit bin
+    // rule (Σ sizes strictly before, id order), per-bin rollup windows
+    "compaction_plan" ->
+      """WITH l AS (SELECT
+        |    (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT
+        |      AS part_month,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT
+        |      AS file_id,
+        |    count(*)::BIGINT AS size_rows
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT part_month, file_id, size_rows AS size_bytes,
+        |    (coalesce(sum(size_rows) OVER (PARTITION BY part_month
+        |      ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) // 2000)::BIGINT AS bin
+        |  FROM l)
+        |SELECT part_month, file_id, size_bytes, bin,
+        |  (sum(size_bytes) OVER (PARTITION BY part_month, bin))::BIGINT
+        |    AS bin_total_bytes,
+        |  (count(*) OVER (PARTITION BY part_month, bin))::BIGINT
+        |    AS n_bin_files
+        |FROM b""".stripMargin,
+
+    // ship-latency replay: date_diff day grain, per-priority census
+    "q_ship_latency" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  sum(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS sum_days,
+        |  min(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS min_days,
+        |  max(date_diff('day', o_orderdate, l_shipdate))::BIGINT AS max_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // Q19 replay: same OR'd branch predicates, same per-row cent floor
     "q19_or_pred" ->
       """SELECT count(*)::BIGINT AS n_items,

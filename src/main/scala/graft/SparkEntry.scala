@@ -3465,6 +3465,41 @@ object SparkEntry {
         t(s, dir, "documents"), "source", budget = 1000L)
     }),
 
+    "compaction_plan" -> ((s, dir) => {
+      // lakehouse OPTIMIZE planning: a simulated per-month file listing
+      // (one "file" per order day, size = its row mass) rolled into
+      // ~2000-row output groups by the prefix-sum next-fit rule — the
+      // rewrite job's exact input→output map; metadata-scale end to end
+      val listing = t(s, dir, "orders")
+        .groupBy(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("part_month"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("timestamp"))
+            .cast("long").as("file_id"))
+        .agg(count(lit(1)).as("size_rows"))
+      graft.sources.Compaction.planBinPack(
+        listing, Seq("part_month"), "file_id", "size_rows",
+        targetBytes = 2000L)
+    }),
+
+    "q_ship_latency" -> ((s, dir) => {
+      // order→ship latency distribution per priority: exact day-grain
+      // census with extremes — the fulfillment-SLA evidence; one join +
+      // one domain-grain fold
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(o, Seq("l_orderkey"))
+        .withColumn("latency_days",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum("latency_days").as("sum_days"),
+          min("latency_days").as("min_days"),
+          max("latency_days").as("max_days"))
+    }),
+
     "q19_or_pred" -> ((s, dir) => {
       // TPC-H Q19 shape: three OR'd (brand × size × quantity) branches —
       // the disjunctive-predicate stress the optimizer must keep
