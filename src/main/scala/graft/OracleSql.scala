@@ -4826,6 +4826,50 @@ private[graft] object OracleSql {
         |    THEN base + 1 ELSE base END)::BIGINT AS alloc
         |FROM b""".stripMargin,
 
+    // clustering-coefficient replay: the knn_graph mutual edge set,
+    // canonical a<b<c triple enumeration, triangle credited to all three
+    // members, integer ppm coefficient
+    "graph_clustering_coeff" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s),
+        |d AS (SELECT qid, nid FROM r WHERE rank <= 3),
+        |ed AS (SELECT ab.qid AS a, ab.nid AS b
+        |  FROM d ab JOIN d ba ON ab.qid = ba.nid AND ab.nid = ba.qid
+        |  WHERE ab.qid < ab.nid),
+        |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS id FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z
+        |  FROM ed t1 JOIN ed t2 ON t2.a = t1.b
+        |  JOIN ed t3 ON t3.a = t1.a AND t3.b = t2.b),
+        |t AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1)
+        |SELECT deg.id AS node, deg.deg,
+        |  coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+        |  (CASE WHEN deg.deg < 2 THEN NULL
+        |    ELSE (2 * coalesce(t.n_triangles, 0) * 1000000)
+        |      // (deg.deg * (deg.deg - 1)) END)::BIGINT AS coeff_ppm
+        |FROM deg LEFT JOIN t ON t.node = deg.id""".stripMargin,
+
+    // exact audience-overlap replay: distinct (user, type) frame,
+    // user self-join, type-pair Jaccard ppm
+    "events_audience_overlap" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, count(*)::BIGINT AS n FROM u GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS n_both
+        |  FROM u a JOIN u b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both,
+        |  ((n_both * 1000000) // (pa.n + pb.n - n_both))::BIGINT
+        |    AS jaccard_ppm
+        |FROM i JOIN pt pa ON pa.event_type = i.type_a
+        |JOIN pt pb ON pb.event_type = i.type_b""".stripMargin,
+
     // compaction replay: same simulated listing, prefix-sum next-fit bin
     // rule (Σ sizes strictly before, id order), per-bin rollup windows
     "compaction_plan" ->

@@ -3465,6 +3465,40 @@ object SparkEntry {
         t(s, dir, "documents"), "source", budget = 1000L)
     }),
 
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // embedding-manifold consistency: per-node local clustering
+      // coefficient of the mutual k-NN graph (exact integer ppm) — high
+      // = coherent neighborhoods, low = hub noise; same degree-ordered
+      // O(√m) wedge scheme as triangle_count, apex-credited
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.llm.Similarity.mutualKnnGraph(
+        emb, "vec_id", "embedding", k = 3,
+        mode = graft.llm.Similarity.KnnMode.Exact)
+      graft.operators.Triangles.clusteringCoefficients(edges, "id_a", "id_b")
+    }),
+
+    "events_audience_overlap" -> ((s, dir) => {
+      // exact audience overlap between event types: |users(a) ∩ users(b)|
+      // and Jaccard ppm per type pair — the EXACT twin of hll_overlap's
+      // sketch estimate (cross-validates it); one distinct (user, type)
+      // frame, self-joined on user, type-pair grain after
+      val u = events(s, dir).select("user_id", "event_type").distinct()
+      val perType = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = u.select(col("user_id"), col("event_type").as("type_a"))
+        .join(u.select(col("user_id"), col("event_type").as("type_b")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")),
+          Seq("type_a"))
+        .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")),
+          Seq("type_b"))
+        .withColumn("jaccard_ppm",
+          expr("(n_both * 1000000) div (n_a + n_b - n_both)"))
+        .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+    }),
+
     "compaction_plan" -> ((s, dir) => {
       // lakehouse OPTIMIZE planning: a simulated per-month file listing
       // (one "file" per order day, size = its row mass) rolled into

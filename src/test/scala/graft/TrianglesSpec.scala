@@ -43,4 +43,34 @@ class TrianglesSpec extends AnyFunSuite {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
     assert(run(messy) == ((3L, 1L)))
   }
+
+  private def coeffs(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    graft.operators.Triangles.clusteringCoefficients(
+      edges.toDF("x", "y"), "x", "y")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+  }
+
+  test("clusteringCoefficients: triangle + pendant, hand-checked ppm") {
+    // triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle →
+    // 2·1e6/(3·2) = 333333; nodes 1,2 deg 2 → 1e6; node 4 deg 1 → NULL
+    val got = coeffs(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got == Map(
+      1L -> ((2L, 1L, Some(1000000L))),
+      2L -> ((2L, 1L, Some(1000000L))),
+      3L -> ((3L, 1L, Some(333333L))),
+      4L -> ((1L, 0L, None))))
+  }
+
+  test("clusteringCoefficients: K4 is all-1e6; star center is 0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(coeffs(k4).values.forall(_ == ((3L, 3L, Some(1000000L)))))
+    val star = (2L to 5L).map(i => (1L, i))
+    val got = coeffs(star)
+    assert(got(1L) == ((4L, 0L, Some(0L))))
+    (2L to 5L).foreach(i => assert(got(i) == ((1L, 0L, None))))
+  }
 }
