@@ -4826,6 +4826,38 @@ private[graft] object OracleSql {
         |    THEN base + 1 ELSE base END)::BIGINT AS alloc
         |FROM b""".stripMargin,
 
+    // velocity-features replay: one conditional-aggregate pass against
+    // the broadcast horizon day
+    "events_velocity_features" ->
+      """WITH mx AS (SELECT max(epoch_ns(ts) // 86400000000000) AS mxd
+        |  FROM events),
+        |e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN d > (SELECT mxd FROM mx) - 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS n_1d,
+        |  sum(CASE WHEN d > (SELECT mxd FROM mx) - 7 THEN 1 ELSE 0
+        |    END)::BIGINT AS n_7d,
+        |  sum(CASE WHEN d > (SELECT mxd FROM mx) - 28 THEN 1 ELSE 0
+        |    END)::BIGINT AS n_28d,
+        |  sum(CASE WHEN d > (SELECT mxd FROM mx) - 7
+        |      AND event_type = 'purchase' THEN v ELSE 0
+        |    END)::BIGINT AS purchase_micro_7d,
+        |  max(d)::BIGINT AS last_day,
+        |  (SELECT mxd FROM mx)::BIGINT AS horizon_day
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // χ² replay: HUGEINT cleared-denominator form, one integral ppm
+    "label_balance_chi2" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS o
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(o)::BIGINT AS n, count(*)::BIGINT AS k FROM c)
+        |SELECT max(n)::BIGINT AS n_rows, max(k)::BIGINT AS n_labels,
+        |  ((sum((k::HUGEINT * o - n) * (k::HUGEINT * o - n)) * 1000000)
+        |    // (max(n)::HUGEINT * max(k)))::BIGINT AS chi2_ppm
+        |FROM c, t""".stripMargin,
+
     // clustering-coefficient replay: the knn_graph mutual edge set,
     // canonical a<b<c triple enumeration, triangle credited to all three
     // members, integer ppm coefficient

@@ -3465,6 +3465,50 @@ object SparkEntry {
         t(s, dir, "documents"), "source", budget = 1000L)
     }),
 
+    "events_velocity_features" -> ((s, dir) => {
+      // feature-store snapshot: per-user activity velocity at three
+      // trailing horizons (1/7/28 days back from the corpus max) in ONE
+      // conditional-aggregate pass — counts, purchase value micro, and
+      // recency; the classic ML-feature fan-out without three scans
+      val ev = events(s, dir)
+      val bounds = ev.agg(max(expr("ts_ns div 86400000000000")).as("__mx"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("__day", expr("ts_ns div 86400000000000"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("__day") > col("__mx") - 1L, 1L).otherwise(0L))
+            .as("n_1d"),
+          sum(when(col("__day") > col("__mx") - 7L, 1L).otherwise(0L))
+            .as("n_7d"),
+          sum(when(col("__day") > col("__mx") - 28L, 1L).otherwise(0L))
+            .as("n_28d"),
+          sum(when(col("__day") > col("__mx") - 7L &&
+              col("event_type") === "purchase",
+            expr("cast(floor(value * 1000000.0) as long)")).otherwise(0L))
+            .as("purchase_micro_7d"),
+          max(col("__day")).as("last_day"),
+          max(col("__mx")).as("horizon_day"))
+    }),
+
+    "label_balance_chi2" -> ((s, dir) => {
+      // label-balance goodness-of-fit: the χ² uniformity statistic as an
+      // exact integer ppm — χ² = Σ(k·o−N)² / (N·k) cleared of divisions
+      // until one integral ppm at the end; the class-imbalance gate run
+      // before training a probe head (the GoF sibling of events_ab_test's
+      // two-sample z²)
+      val c = t(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("o"))
+      val tot = c.agg(sum("o").as("__N"), count(lit(1)).as("__k"))
+      c.crossJoin(broadcast(tot))
+        .withColumn("__d", expr(
+          "cast(__k as decimal(38,0)) * o - __N"))
+        .agg(max("__N").cast("long").as("n_rows"),
+          max("__k").cast("long").as("n_labels"),
+          expr("cast(sum(__d * __d) * 1000000 div" +
+            " (max(cast(__N as decimal(38,0))) * max(__k)) as bigint)")
+            .as("chi2_ppm"))
+    }),
+
     "graph_clustering_coeff" -> ((s, dir) => {
       // embedding-manifold consistency: per-node local clustering
       // coefficient of the mutual k-NN graph (exact integer ppm) — high
