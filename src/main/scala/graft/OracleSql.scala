@@ -178,6 +178,39 @@ private[graft] object OracleSql {
        |SELECT node, s AS rank_scaled FROM r$iters""".stripMargin
   }
 
+  /** Generated oracle for `graph_ppr`: [[pageRankSql]]'s iteration shape
+    * with the teleport mass (and the initial distribution) restricted to
+    * the seed nodes — same floor arithmetic, bit-exact. */
+  private def pprSql(iters: Int = 4, scale: Long = 1000000000L): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT no.node,
+         |  ((CASE WHEN sd.node IS NOT NULL
+         |      THEN (15 * ${scale}::BIGINT) // (100 * ns.n) ELSE 0 END)
+         |    + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS s
+         |  FROM nodes no CROSS JOIN ns
+         |  LEFT JOIN seeds sd ON sd.node = no.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.s // deg.d)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+       |    'e' || event_type AS dst FROM events),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |seeds AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS node
+       |  FROM events WHERE user_id % 50 = 0),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT no.node,
+       |  (CASE WHEN sd.node IS NOT NULL THEN ${scale}::BIGINT // ns.n
+       |    ELSE 0 END)::BIGINT AS s
+       |  FROM nodes no CROSS JOIN ns LEFT JOIN seeds sd ON sd.node = no.node),
+       |$iterCtes
+       |SELECT node, s AS rank_scaled FROM r$iters""".stripMargin
+  }
+
   /** Generated oracle for `graph_communities`: the synchronous LPA rounds
     * unrolled as CTEs — each round recomputes every node's argmax neighbor
     * label under the same (count desc, label asc) total tie order the
@@ -1423,6 +1456,7 @@ private[graft] object OracleSql {
     "bpe_train" -> bpeTrainSql(),
 
     "pagerank_bipartite" -> pageRankSql(),
+    "graph_ppr" -> pprSql(),
 
     // replays the fingerprint diff: the edit slice appends the same marker,
     // the classification CASE mirrors the operator's null-ness order

@@ -1734,6 +1734,24 @@ object SparkEntry {
       graft.operators.PageRank.pageRankInt(both, "src", "dst", iters = 4)
     }),
 
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank on the same bipartite graph: the 15%
+      // teleport restarts ONLY at the flagged users (user_id % 50 — the
+      // deterministic seed stand-in), so rank = proximity to the flagged
+      // set — the recommendation / blast-radius ranking beside the global
+      // centrality of pagerank_bipartite
+      val ev = events(s, dir)
+        .select(concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("e"), col("event_type")).as("dst"))
+        .distinct()
+      val both = ev.unionAll(ev.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = events(s, dir)
+        .filter(col("user_id") % 50 === 0)
+        .select(concat(lit("u"), col("user_id")).as("seed")).distinct()
+      graft.operators.PageRank.personalizedPageRankInt(
+        both, "src", "dst", seeds, "seed", iters = 4)
+    }),
+
     "corpus_diff" -> ((s, dir) => {
       // snapshot-versioning audit: two simulated materializations of the
       // corpus (drops on each side + an appended-marker "edit" slice)

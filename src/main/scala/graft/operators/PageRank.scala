@@ -50,7 +50,39 @@ object PageRank {
       dstCol: String,
       iters: Int = 4,
       scale: Long = 1000000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    rankImpl(edges, srcCol, dstCol, iters, scale, checkpointDir, None)
+
+  /** Personalized PageRank: identical fixed-point integer iterations, but
+    * the 15% teleport mass restarts ONLY at `seeds` (and the initial
+    * distribution sits on them) — ranks become "proximity to the seed
+    * set" instead of global centrality: the recommendation / blast-radius
+    * ranking (seed = flagged docs, rank = contamination proximity through
+    * the graph; seed = a user's items, rank = what to recommend). With
+    * every node seeded this IS [[pageRankInt]] (same arithmetic, same
+    * bits). Seeds absent from the graph are ignored; an empty effective
+    * seed set fails loudly (an all-zero rank vector would look like a
+    * result). */
+  def personalizedPageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int = 4,
+      scale: Long = 1000000000L,
+      checkpointDir: Option[String] = None): DataFrame =
+    rankImpl(edges, srcCol, dstCol, iters, scale, checkpointDir,
+      Some(seeds.select(col(seedCol).as("node")).distinct()))
+
+  private def rankImpl(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long,
+      checkpointDir: Option[String],
+      seedSet: Option[DataFrame]): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(scale > 0, "scale must be positive")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
@@ -87,14 +119,29 @@ object PageRank {
           .distinct())
       val outdeg = e.groupBy(col("__graft_src").as("node"))
         .agg(count(lit(1)).as("__graft_deg"))
+      // teleport targets: every node (classic) or the seed∩graph set
+      // (personalized); nodesT carries the per-node seed flag so the
+      // classic path stays a constant-folded literal, never a join
+      val (nodesT, nT) = seedSet match {
+        case None => (nodes.select(col("node"), lit(true).as("__graft_seed")), n)
+        case Some(sd) =>
+          val (sdm, c) = matCount(nodes.join(sd, Seq("node"), "left_semi"))
+          require(c > 0, "personalizedPageRankInt: no seed is present in " +
+            "the graph — an all-zero rank vector would masquerade as a result")
+          (nodes.join(sdm.select(col("node"), lit(true).as("__graft_seed")),
+            Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("__graft_seed"), lit(false)).as("__graft_seed")), c)
+      }
       // n == 0 ⇒ every frame below is empty; the guards only keep the
       // driver-side integer divisions from throwing
-      val initRank = if (n == 0) 0L else scale / n
-      val teleport = if (n == 0) 0L else (15L * scale) / (100L * n)
-      var scores = if (checkpointDir.isDefined)
-        nodes.select(col("node"), lit(initRank).as("rank_scaled")).checkpoint()
-      else
-        nodes.select(col("node"), lit(initRank).as("rank_scaled")).localCheckpoint()
+      val initRank = if (nT == 0) 0L else scale / nT
+      val teleport = if (nT == 0) 0L else (15L * scale) / (100L * nT)
+      val init = nodesT.select(col("node"),
+        when(col("__graft_seed"), lit(initRank)).otherwise(lit(0L))
+          .as("rank_scaled"))
+      var scores = if (checkpointDir.isDefined) init.checkpoint()
+        else init.localCheckpoint()
       (1 to iters).foreach { _ =>
         val contrib = e
           .join(scores.join(outdeg, Seq("node"))
@@ -103,10 +150,10 @@ object PageRank {
             Seq("__graft_src"))
           .groupBy(col("__graft_dst").as("node"))
           .agg(sum("__graft_c").as("__graft_in"))
-        val next = nodes
+        val next = nodesT
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(teleport) +
+            (when(col("__graft_seed"), lit(teleport)).otherwise(lit(0L)) +
               expr("(85 * coalesce(__graft_in, 0L)) div 100")).as("rank_scaled"))
         scores = if (checkpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
       }

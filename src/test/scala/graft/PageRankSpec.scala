@@ -54,4 +54,38 @@ class PageRankSpec extends AnyFunSuite {
       assert(got == want, s"trial=$trial:\ngot  $got\nwant $want")
     }
   }
+
+  test("personalized PPR with ALL nodes seeded equals classic pageRankInt") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"))
+    val nodes = Seq("a", "b", "c")
+    val classic = run(edges, 3)
+    val ppr = PageRank.personalizedPageRankInt(
+      edges.toDF("src", "dst"), "src", "dst",
+      nodes.toDF("seed"), "seed", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr == classic)
+  }
+
+  test("PPR mass concentrates near the seed; off-graph seeds ignored; empty fails") {
+    import spark.implicits._
+    // directed path a→b→c→d with back edges so everything has out-degree
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "c"),
+      ("c", "b"), ("b", "a"))
+    val ppr = PageRank.personalizedPageRankInt(
+      edges.toDF("src", "dst"), "src", "dst",
+      Seq("a", "ghost").toDF("seed"), "seed", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the seed gets teleport mass: the seed tops the ranking and the
+    // farthest node (one in-edge, three hops out) bottoms it. (Strict
+    // per-hop decay does NOT hold — c collects in-edges from both b and
+    // d — so the assertion pins the extremes, not a monotone chain.)
+    assert(ppr("a") == ppr.values.max && ppr("d") == ppr.values.min,
+      s"expected seed max / farthest min, got $ppr")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRankInt(
+        edges.toDF("src", "dst"), "src", "dst",
+        Seq("ghost").toDF("seed"), "seed", iters = 2).collect()
+    }
+  }
 }
