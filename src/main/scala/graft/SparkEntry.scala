@@ -57,6 +57,29 @@ object SparkEntry {
   case class TKCust(custkey: Long, c_name: String)
   case class TKOrd(custkey: Long, o_orderkey: Long, o_totalprice: Double)
 
+  /** Near-dup pair set at the graph-audit parameters (32 hashes, 16
+    * bands, 0.5), LSH lineage materialized ONCE — the shared input of the
+    * graph_* audit queries (un-checkpointed, each consumer's unions/joins
+    * re-plan the whole LSH pipeline: measured 299 static exchanges on the
+    * assortativity shape, 9 after). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.minHashDedupPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").localCheckpoint()
+
+  /** Node degrees of an undirected pair list (both endpoints credited) —
+    * one definition for every degree-consuming graph audit. */
+  private def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("node"))
+      .unionAll(pairs.select(col("id_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** The shared no-float floor-log2 bucket (`length(bin(c)) − 1`) of a
+    * positive integral column, as a long. */
+  private def floorLog2Bucket(c: String) =
+    expr(s"cast(length(bin($c)) - 1 as bigint)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3028,13 +3051,10 @@ object SparkEntry {
       // through the near-dup pair graph — hop 1 = the flagged docs'
       // paraphrases, hop 2 = theirs; the primitive between CC ("same
       // cluster at any distance") and a plain join ("direct neighbor")
-      val docs = t(s, dir, "documents")
-      val pairs = graft.llm.Dedup.minHashDedupPairs(
-        docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b")
       graft.operators.SeedDistance.seedDistances(
-        pairs, "id_a", "id_b",
-        docs.filter(col("doc_id") % 15 === 0), "doc_id", maxHops = 3)
+        neardupPairs(s, dir), "id_a", "id_b",
+        t(s, dir, "documents").filter(col("doc_id") % 15 === 0),
+        "doc_id", maxHops = 3)
     }),
 
     "multimodal_bmp" -> ((s, dir) => {
@@ -3229,18 +3249,11 @@ object SparkEntry {
       // near-dup graph health: node degree census in floor-log2 buckets —
       // a mega-hub bucket flags template spam (one boilerplate doc
       // near-dup to thousands) before the CC closure pays for it; the
-      // graph-shaped sibling of dedup_cluster_sizes. One pair pass —
-      // localCheckpoint so the LSH lineage runs ONCE (the
-      // dup_rate_by_source precedent: both union arms re-plan it
-      // otherwise); degree frame is node-grain, census is ≤64 rows
-      val pairs = graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 32, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b").localCheckpoint()
-      pairs.select(col("id_a").as("node"))
-        .unionAll(pairs.select(col("id_b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-        .withColumn("bucket", expr("cast(length(bin(deg)) - 1 as bigint)"))
+      // graph-shaped sibling of dedup_cluster_sizes. One pair pass
+      // (shared neardupPairs checkpoint); degree frame is node-grain,
+      // census is ≤64 rows
+      pairDegrees(neardupPairs(s, dir))
+        .withColumn("bucket", floorLog2Bucket("deg"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_degree"),
           min("deg").as("min_degree"), max("deg").as("max_degree"))
@@ -3318,8 +3331,11 @@ object SparkEntry {
         .agg(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
             .as("promo_rev_c"),
           sum("rev_c").as("total_rev_c"))
-        .withColumn("promo_ppm",
-          expr("(promo_rev_c * 1000000) div total_rev_c"))
+        // decimal(38,0): at warehouse scale a month's cents × 10⁶ wraps a
+        // long (the oracle's HUGEINT would keep going — divergence)
+        .withColumn("promo_ppm", expr(
+          "cast((cast(promo_rev_c as decimal(38,0)) * 1000000)" +
+            " div total_rev_c as bigint)"))
     }),
 
     "events_xcorr" -> ((s, dir) => {
@@ -3443,16 +3459,9 @@ object SparkEntry {
       // degrees (both orientations — the undirected convention) — sign
       // answers "do hubs link to hubs" (template families) or to leaves
       // (hub-and-spoke boilerplate); everything after the pair pass is
-      // node/edge-grain. localCheckpoint: the pair lineage otherwise
-      // re-plans FIVE times (degree unions + two edge joins — measured
-      // 299 static exchanges, now a handful)
-      val pairs = graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 32, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b").localCheckpoint()
-      val deg = pairs.select(col("id_a").as("node"))
-        .unionAll(pairs.select(col("id_b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // node/edge-grain (shared neardupPairs checkpoint + pairDegrees)
+      val pairs = neardupPairs(s, dir)
+      val deg = pairDegrees(pairs)
       val edges = pairs
         .join(deg.select(col("node").as("id_a"), col("deg").as("da")), Seq("id_a"))
         .join(deg.select(col("node").as("id_b"), col("deg").as("db")), Seq("id_b"))

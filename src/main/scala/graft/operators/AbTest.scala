@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * so the verdict is bit-identical in any engine — no float variance, no
   * sqrt, no normal-CDF table. Degenerate cohorts (n₁=0 or n₂=0) yield
   * NULL delta and a false verdict; zero-variance pools (x=0 or x=n) yield
-  * RHS 0 and LHS 0, correctly insignificant. Exactness bound: both sides
-  * stay inside decimal(38,0) up to ~3·10⁸ units per cohort (the RHS is
-  * ~n⁴·2401) — beyond that, pre-aggregate units (e.g. test at the
-  * account grain) before calling.
+  * RHS 0 and LHS 0, correctly insignificant. Exactness bound: the LHS is
+  * ~625·D²·n ≤ 625·n⁵/16 (D ≤ n₁n₂ binds, not the RHS's ~n⁴·2401), which
+  * exits decimal(38,0) near n ≈ 1.2·10⁷ total units — so the operator
+  * FAILS LOUDLY above 10⁷ units rather than letting Spark's non-ANSI
+  * decimal overflow return a silent NULL verdict (and the oracle's
+  * HUGEINT error) on a wildly significant test. Beyond that, pre-aggregate
+  * units (e.g. test at the account grain) before calling.
   *
   * '''Plan shape (the 100-TB design).''' Cohort totals are ONE 1-row
   * aggregate over the unit frame (broadcast back); per-metric conversion
@@ -45,8 +48,19 @@ object AbTest {
       : DataFrame = {
     val u = units.select(col(unitCol).as("__u"), col(isACol).as("__a"))
     val totals = u.agg(
-      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      // loud exactness guard: past ~1.2·10⁷ total units the LHS decimal
+      // overflows to NULL (a silent wrong verdict) — fail instead
+      .select(
+        when(col("n_a") + col("n_b") > 10000000L,
+          raise_error(concat(
+            lit("twoProportionTest: cohorts total more than 1e7 units ("),
+            (col("n_a") + col("n_b")).cast("string"),
+            lit(") — the integer z² exceeds decimal(38,0); " +
+              "pre-aggregate units before testing"))))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"))
     val x = conversions
       .select(col(convUnitCol).as("__u"), col(metricCol).as("metric"))
       .distinct()

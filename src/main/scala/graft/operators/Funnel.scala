@@ -106,7 +106,15 @@ object Funnel {
         .groupBy(col("__eu").as("__u"))
         .agg(min(col("__ts")).as("__t"), min(col("__t0")).as("__t0"))
     }
-    val one = isnull(col("__t")).cast("long") + isnotnull(col("__t")).cast("long")
+    // same ReusedExchange discipline as funnel's `one`, but the stage
+    // aggregates here carry BOTH __t and __t0 — the count branch must
+    // reference both, or column pruning rewrites its copy to a __t0-less
+    // aggregate whose exchange no longer matches the next stage's join
+    // branch. Each isnull+isnotnull pair is exactly 1, so (2) div 2 = 1
+    // per row (a non-foldable expression over both columns).
+    val one = expr(
+      "(cast(isnull(__t) as long) + cast(isnotnull(__t) as long)" +
+        " + cast(isnull(__t0) as long) + cast(isnotnull(__t0) as long)) div 2")
     reached.zip(steps).zipWithIndex.map { case ((r, name), i) =>
       r.agg(coalesce(sum(one), lit(0L)).as("n_users"))
         .select(lit(i.toLong).as("step"), lit(name).as("step_name"),

@@ -30,8 +30,11 @@ object Compaction {
       files: DataFrame, partCols: Seq[String],
       fileIdCol: String, sizeCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // size as the secondary sort key: duplicate file ids within a
+    // partition would otherwise make the running sum (and thus every bin)
+    // depend on shuffle row order — the determinism contract above
     val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(col(fileIdCol))
+      .orderBy(col(fileIdCol), col("__sz"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val guarded = when(col(sizeCol) < 0,
       raise_error(concat(lit("planBinPack: negative file size: "),

@@ -54,4 +54,17 @@ class AbTestSpec extends AnyFunSuite {
     // duplicates collapse: x_a = 2 distinct converters, not 3 rows
     assert(got("m") == ((3L, 2L, 0L, 0L, None, false)))
   }
+
+  test("over-1e7-unit cohorts fail loudly instead of overflowing to NULL verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val units = spark.range(10000001L)
+      .select(col("id").as("u"), (col("id") % 2 === 0).as("is_a"))
+    val convs = Seq((1L, "m")).toDF("cu", "m")
+    val ex = intercept[Exception] {
+      AbTest.twoProportionTest(units, "u", "is_a", convs, "cu", "m").collect()
+    }
+    assert(ex.getMessage.contains("1e7") || ex.getMessage.contains("pre-aggregate"),
+      s"unexpected failure message: ${ex.getMessage}")
+  }
 }

@@ -60,4 +60,18 @@ class CompactionSpec extends AnyFunSuite {
   test("negative file size fails loudly") {
     intercept[Exception](plan(Seq(("a", 1L, -5L)), 100L))
   }
+
+  test("duplicate file ids stay deterministic: size is the tie-break sort key") {
+    // two rows share (partition, file id) with different sizes — the
+    // size-ascending tie order makes prefixes (0, 20, 110) regardless of
+    // arrival order, so bins are a pure function of the data
+    import spark.implicits._
+    val rows = Compaction.planBinPack(
+      Seq(("a", 1L, 90L), ("a", 1L, 20L), ("a", 2L, 50L))
+        .toDF("p", "fid", "sz"), Seq("p"), "fid", "sz", 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, 20L, 0L), (1L, 90L, 0L), (2L, 50L, 1L)),
+      s"got $rows")
+  }
 }

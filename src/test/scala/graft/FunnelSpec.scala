@@ -115,6 +115,37 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map("A" -> 3L, "B" -> 2L, "C" -> 1L), s"got $got")
   }
 
+  test("timedFunnel keeps the one-scan-per-step ReusedExchange discipline") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfunnel_scans")
+    try {
+      (for (u <- 1L to 50L; (t, i) <- Seq("A", "B", "C", "D").zipWithIndex)
+        yield (u, t, u * 100 + i)).toDF("user_id", "event_type", "ts")
+        .write.parquet(s"$dir/events")
+      val ev = spark.read.parquet(s"$dir/events")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val steps = Seq("A", "B", "C", "D")
+        val q = Funnel.timedFunnel(ev, "user_id", "event_type", "ts", steps,
+          windowNs = 1000L)
+        val got = q.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+        assert(got == Map("A" -> 50L, "B" -> 50L, "C" -> 50L, "D" -> 50L))
+        // the count expression must reference BOTH __t and __t0, else
+        // pruning forks the stage aggregate and every stage re-scans its
+        // predecessors (the O(steps²) this construction exists to avoid)
+        val scans = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+        assert(scans.size <= steps.size + 1,
+          s"expected ≤ ${steps.size + 1} events scans, found ${scans.size}:\n" +
+            q.queryExecution.executedPlan.treeString)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("timedFunnel with a huge window degenerates to the plain funnel") {
     import spark.implicits._
     val ev = Seq(
