@@ -776,6 +776,47 @@ private[graft] object OracleSql {
        |FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id""".stripMargin
   }
 
+  /** Generated oracle for `dedup_quality_bias`: the exact-Jaccard pair
+    * ground truth (graph_degree_dist's CTE), micro scores via the shared
+    * weight literal, sign-split truncated mean per membership side. */
+  private def dedupQualityBiasSql: String = {
+    val wl = qualityModelWeights.mkString("[", ", ", "]")
+    val d = qualityModelWeights.size
+    s"""WITH dd AS (
+       |  SELECT doc_id, list_distinct([norm[i:i+4] FOR i IN
+       |    range(1, greatest(length(norm)-4, 1)+1)]) AS sh
+       |  FROM (SELECT doc_id, $normSql AS norm FROM documents)),
+       |tokp AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM dd),
+       |p AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt,
+       |      any_value(a.sz) AS sza, any_value(b.sz) AS szb
+       |    FROM tokp a JOIN tokp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.5),
+       |mem AS (SELECT DISTINCT node AS doc_id FROM (
+       |    SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p)),
+       |w AS (SELECT $wl::BIGINT[] AS wl),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex($normSql, '\\s+'),
+       |      t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |s AS (SELECT doc_id,
+       |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1])
+       |      AS total
+       |  FROM tok, w GROUP BY doc_id),
+       |docsc AS (SELECT tk.doc_id, coalesce(s.total, 0)::BIGINT AS m,
+       |    mem.doc_id IS NOT NULL AS is_dup
+       |  FROM tk LEFT JOIN s ON s.doc_id = tk.doc_id
+       |  LEFT JOIN mem ON mem.doc_id = tk.doc_id)
+       |SELECT is_dup, count(*)::BIGINT AS n_docs,
+       |  sum(m)::BIGINT AS score_micro_sum,
+       |  (CASE WHEN sum(m) >= 0 THEN sum(m) // count(*)
+       |    ELSE -((-sum(m)) // count(*)) END)::BIGINT AS mean_score_micro
+       |FROM docsc GROUP BY 1""".stripMargin
+  }
+
   /** Shared DuckDB expression for [[graft.llm.TextStats.normalizeText]]. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -2897,6 +2938,20 @@ private[graft] object OracleSql {
 
     "quality_model_score" -> qualityModelSql,
     "model_calibration" -> calibrationSql,
+    "dedup_quality_bias" -> dedupQualityBiasSql,
+
+    // new-vs-returning replay: first-day fold + distinct (user, day)
+    "events_new_vs_returning" ->
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_ns(ts) // 86400000000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events)
+        |SELECT day,
+        |  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_returning
+        |FROM a JOIN f USING (user_id) GROUP BY 1""".stripMargin,
 
     // same deterministic PII injection, then RE2 replays of the (dialect-
     // portable) patterns; counts on raw text, redaction email → IP → phone

@@ -3492,6 +3492,43 @@ object SparkEntry {
         t(s, dir, "documents"), "source", budget = 1000L)
     }),
 
+    "dedup_quality_bias" -> ((s, dir) => {
+      // does dedup remove disproportionately low-quality text? Docs split
+      // by near-dup membership (≥1 LSH pair vs none), each side's exact
+      // integer micro-score mass and truncated mean — the curation-bias
+      // check run before trusting "dedup improved the corpus"
+      val pairs = neardupPairs(s, dir)
+      val members = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextStats.hashedLinearScoreMicro(
+            col("text"), OracleSql.qualityModelWeights).as("__m"))
+        .join(members.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+        .groupBy(coalesce(col("__d"), lit(false)).as("is_dup"))
+        .agg(count(lit(1)).as("n_docs"), sum("__m").as("score_micro_sum"))
+        .withColumn("mean_score_micro", expr(
+          "CASE WHEN score_micro_sum >= 0 THEN score_micro_sum div n_docs" +
+            " ELSE -((-score_micro_sum) div n_docs) END"))
+    }),
+
+    "events_new_vs_returning" -> ((s, dir) => {
+      // growth accounting: per day, users active for the FIRST time vs
+      // returning — one (user, first_day) fold + one (user, day) distinct
+      // frame, day-grain after
+      val ev = events(s, dir)
+      val firstDay = ev.groupBy("user_id")
+        .agg(expr("min(ts_ns div 86400000000000)").as("first_day"))
+      ev.select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+        .join(firstDay, Seq("user_id"))
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"))
+    }),
+
     "events_velocity_features" -> ((s, dir) => {
       // feature-store snapshot: per-user activity velocity at three
       // trailing horizons (1/7/28 days back from the corpus max) in ONE
