@@ -409,6 +409,77 @@ private[graft] object OracleSql {
        |FROM p, t""".stripMargin
   }
 
+  /** Generated oracle for `model_lift`: the modelAucSql scoring chain,
+    * then SQL ntile(10) over (score DESC, vec_id) — the spec GroupedRank
+    * reproduces distributed — and the cumulative lift over the 10-row
+    * decile grid. */
+  private def modelLiftSql(dim: Int = 64, seed: Long = 42L): String = {
+    val signs = graft.llm.Quantize.signMatrix(1, dim, seed)
+    val terms = (0 until dim).map { i =>
+      s"${if (signs(0)(i) > 0) "+" else "-"} codes[${i + 1}]"
+    }.mkString(" ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, label, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |q AS (SELECT vec_id, label,
+       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
+       |      END AS codes FROM m),
+       |s AS (SELECT vec_id, label, (0 $terms)::BIGINT AS score FROM q),
+       |d AS (SELECT label, ntile(10) OVER (ORDER BY score DESC, vec_id)
+       |    AS decile FROM s),
+       |per AS (SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+       |  FROM d GROUP BY 1),
+       |c AS (SELECT decile, n, n_pos,
+       |    sum(n) OVER (ORDER BY decile)::BIGINT AS cum_n,
+       |    sum(n_pos) OVER (ORDER BY decile)::BIGINT AS cum_pos FROM per),
+       |t AS (SELECT sum(n)::HUGEINT AS nn, sum(n_pos)::HUGEINT AS pp
+       |  FROM per)
+       |SELECT decile, n, n_pos, cum_n, cum_pos,
+       |  ((cum_pos::HUGEINT * nn * 1000000) // (cum_n::HUGEINT * pp))::BIGINT
+       |    AS lift_ppm
+       |FROM c, t""".stripMargin
+  }
+
+  /** Generated oracle for `corr_matrix`: one moment CTE, one branch per
+    * metric pair replaying the identical sign and two-step integral r²
+    * division. */
+  private val corrMatrixSql: String = {
+    val names = Seq("qty", "price_c", "disc_pct", "tax_pct")
+    val moments =
+      (names.map(c => s"sum($c)::HUGEINT AS s_$c") ++
+        names.map(c => s"sum($c * $c)::HUGEINT AS ss_$c") ++
+        (for { i <- names.indices; j <- names.indices if i < j } yield
+          s"sum(${names(i)} * ${names(j)})::HUGEINT" +
+            s" AS sp_${names(i)}_${names(j)}")).mkString(",\n|    ")
+    val branches = (for {
+      i <- names.indices; j <- names.indices if i < j
+      a = names(i); b = names(j)
+    } yield {
+      val cov = s"(n * sp_${a}_$b - s_$a * s_$b)"
+      val vx = s"(n * ss_$a - s_$a * s_$a)"
+      val vy = s"(n * ss_$b - s_$b * s_$b)"
+      s"""SELECT '$a' AS metric_a, '$b' AS metric_b, n::BIGINT AS n_rows,
+         |  (CASE WHEN $cov < 0 THEN -1 WHEN $cov > 0 THEN 1 ELSE 0
+         |    END)::BIGINT AS corr_sign,
+         |  (CASE WHEN $vx = 0 OR $vy = 0 THEN NULL
+         |    ELSE ((abs($cov) * 1000) // $vx) * ((abs($cov) * 1000) // $vy)
+         |    END)::BIGINT AS r2_ppm
+         |FROM a""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+       |    CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct,
+       |    CAST(floor(l_tax * 100.0) AS BIGINT) AS tax_pct
+       |  FROM lineitem),
+       |a AS (SELECT count(*)::HUGEINT AS n,
+       |    $moments
+       |  FROM m)
+       |$branches""".stripMargin
+  }
+
   private def embedProjectSql(outDim: Int = 8, dim: Int = 64,
       seed: Long = 42L): String = {
     val signs = graft.llm.Quantize.signMatrix(outDim, dim, seed)
@@ -5034,5 +5105,160 @@ private[graft] object OracleSql {
         |    AND l_quantity BETWEEN 10.0 AND 20.0)
         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+
+    // Q4 replay: correlated EXISTS on the flagged lineitem set
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    // Q7 replay: bilateral nation-pair volume per ship year, cent floor
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS ship_year,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |    AS BIGINT))::BIGINT AS volume_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Q8 replay: ASIA-supplier share of PROMO revenue per year, exact ppm
+    "q8_share" ->
+      """WITH l AS (SELECT year(l_shipdate)::BIGINT AS ship_year, r_name,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT ship_year,
+        |  sum(CASE WHEN r_name = 'ASIA' THEN rev_c ELSE 0 END)::BIGINT
+        |    AS asia_rev_c,
+        |  sum(rev_c)::BIGINT AS total_rev_c,
+        |  ((sum(CASE WHEN r_name = 'ASIA' THEN rev_c ELSE 0 END)::HUGEINT
+        |    * 1000000) // sum(rev_c))::BIGINT AS asia_ppm
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // Q15 replay: quarterly supplier revenue view, equality-to-max select
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey AS s_suppkey,
+        |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |      AS BIGINT))::BIGINT AS total_rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT r.s_suppkey, s_name, total_rev_c
+        |FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+        |WHERE total_rev_c = (SELECT max(total_rev_c) FROM r)""".stripMargin,
+
+    // Q17 replay: per-part avg threshold cleared of division
+    // (5·qty·cnt < sum_qty), brand/size dim filter, cent floor
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2' AND p_size < 15),
+        |pa AS (SELECT l_partkey,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+        |    count(*)::BIGINT AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))::BIGINT
+        |    AS price_c
+        |FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+        |WHERE CAST(li.l_quantity AS BIGINT) * 5 * cnt < sum_qty""".stripMargin,
+
+    // Q21 replay: EXISTS other supplier / NOT EXISTS other flagged
+    // supplier on the distinct (order, supplier) grain, top-10
+    "q21_waiting" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |w AS (SELECT f.l_suppkey AS s_suppkey, count(*)::BIGINT AS numwait
+        |  FROM f
+        |  WHERE EXISTS (SELECT 1 FROM a
+        |      WHERE a.l_orderkey = f.l_orderkey
+        |        AND a.l_suppkey <> f.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM f f2
+        |      WHERE f2.l_orderkey = f.l_orderkey
+        |        AND f2.l_suppkey <> f.l_suppkey)
+        |  GROUP BY 1)
+        |SELECT w.s_suppkey, numwait, s_name
+        |FROM w JOIN supplier ON w.s_suppkey = supplier.s_suppkey
+        |ORDER BY numwait DESC, w.s_suppkey LIMIT 10""".stripMargin,
+
+    // Q22 replay: cent-exact above-positive-mean test (bal·cnt > sum),
+    // anti join on urgent orders, per-nation census
+    "q22_idle_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_c, c_acctbal
+        |  FROM customer),
+        |t AS (SELECT sum(bal_c)::BIGINT AS sum_c, count(*)::BIGINT AS cnt
+        |  FROM c WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey::BIGINT AS nationkey,
+        |  count(*)::BIGINT AS n_custs, sum(bal_c)::BIGINT AS sum_bal_c
+        |FROM c, t
+        |WHERE bal_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    // correlation-matrix replay: same one-pass moments, same pair
+    // explosion, same two-step integral division (generated per pair)
+    "corr_matrix" -> corrMatrixSql,
+
+    // lift replay: same JL p0 scoring as model_auc, SQL ntile(10) over
+    // (score DESC, vec_id), cumulative over the 10-row grid
+    "model_lift" -> modelLiftSql(),
+
+    // contingency replay: per-cell truncated χ² term minus its truncated
+    // expectation mass, + n·10⁶ folding in the absent zero cells;
+    // Cramér's V² ppm
+    "source_lang_assoc" ->
+      """WITH cl AS (SELECT source, lang, count(*)::HUGEINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rr AS (SELECT source, count(*)::HUGEINT AS r
+        |  FROM documents GROUP BY 1),
+        |cc AS (SELECT lang, count(*)::HUGEINT AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(*)::HUGEINT AS n,
+        |    count(DISTINCT source)::HUGEINT AS nr,
+        |    count(DISTINCT lang)::HUGEINT AS nc FROM documents),
+        |term AS (SELECT
+        |    ((n * o - r * c) * (n * o - r * c) * 1000000) // (n * r * c)
+        |      AS tv,
+        |    (r * c * 1000000) // n AS ev
+        |  FROM cl JOIN rr USING (source) JOIN cc USING (lang), t),
+        |x AS (SELECT sum(tv) - sum(ev) + max(n) * 1000000 AS chi2
+        |  FROM term, t)
+        |SELECT max(n)::BIGINT AS n_docs, max(nr)::BIGINT AS n_sources,
+        |  max(nc)::BIGINT AS n_langs, max(chi2)::BIGINT AS chi2_ppm,
+        |  (max(chi2) // (max(n) * (least(max(nr), max(nc)) - 1)))::BIGINT
+        |    AS v2_ppm
+        |FROM x, t""".stripMargin,
+
+    // Q12 replay: high/low priority split per line status, one join
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -3663,6 +3663,230 @@ object SparkEntry {
             "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as long)"))
             .as("revenue_c"))
     }),
+
+    "q4_exists" -> ((s, dir) => {
+      // TPC-H Q4 shape: EXISTS-correlated order count — the semi-join
+      // that must NOT multiply (an order with 5 flagged lineitems counts
+      // once); date window pushed to the orders scan, the lineitem side
+      // reduced to (orderkey) before the semi join
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val flagged = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(flagged, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "q7_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral shipping volume between two nations per
+      // ship year — the two-dim-lookup join (supplier nation × customer
+      // nation) with the pair predicate in BOTH directions; nation is
+      // broadcast twice under different aliases, revenue cent-floored
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(n.select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("cust_nation"))), Seq("c_nationkey"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey").as("s_suppkey"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0)" +
+            " as long)").as("rev_c"))
+        .join(broadcast(sup), Seq("s_suppkey"))
+        .join(o, Seq("l_orderkey"))
+        .join(cust, Seq("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(count(lit(1)).as("n_items"), sum("rev_c").as("volume_c"))
+    }),
+
+    "q8_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: per ship year, the ASIA-supplier share of global
+      // PROMO-part revenue in exact integer ppm — a 4-dim star (part,
+      // supplier, nation, region) where the share condition rides the
+      // aggregate as a CASE, never a second scan
+      val supRegion = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))),
+          Seq("s_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          Seq("n_regionkey"))
+        .select(col("s_suppkey").as("l_suppkey"), col("r_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+        .join(broadcast(supRegion), Seq("l_suppkey"))
+        .withColumn("rev_c",
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0)" +
+            " as long)"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("r_name") === "ASIA", col("rev_c")).otherwise(0L))
+            .as("asia_rev_c"),
+          sum("rev_c").as("total_rev_c"))
+        .withColumn("asia_ppm", expr(
+          "cast((cast(asia_rev_c as decimal(38,0)) * 1000000)" +
+            " div total_rev_c as bigint)"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: the argmax-over-an-aggregate-view — quarterly
+      // per-supplier revenue, then ONLY the max-revenue supplier(s) via a
+      // broadcast scalar max (no global sort, no window over the corpus);
+      // ties would all surface, exactly like the reference query's
+      // equality-to-subquery semantics
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as long)"))
+          .as("total_rev_c"))
+      val top = rev.agg(max("total_rev_c").as("__mx"))
+      rev.join(broadcast(top), col("total_rev_c") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          Seq("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+    }),
+
+    "q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue locked in small-quantity orders of one
+      // brand's small parts — the per-part avg threshold cleared of
+      // division (qty < avg(qty)/5  ⇔  5·qty·cnt < sum_qty, all integral),
+      // computed by per-part aggregate + self-join, never a per-part window
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#2" && col("p_size") < 15)
+          .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("__sum_qty"),
+          count(lit(1)).as("__cnt"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("long") * 5 * col("__cnt") <
+          col("__sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cast(floor(l_extendedprice * 100.0) as long)"))
+            .as("price_c"))
+    }),
+
+    "q21_waiting" -> ((s, dir) => {
+      // TPC-H Q21 shape: the sole-blame supplier — flagged ('R')
+      // lineitems in multi-supplier orders where NO other supplier in the
+      // order is also flagged; EXISTS (semi) + NOT EXISTS (anti) against
+      // the same order-grain frame, top-10 suppliers deterministic
+      val flagged = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // fresh scans (not projections of `flagged`) so the semi/anti join
+      // conditions reference unambiguous attribute ids
+      val others = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__o_ok"), col("l_suppkey").as("__o_sk"))
+        .distinct()
+      val flaggedOthers = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("__f_ok"), col("l_suppkey").as("__f_sk"))
+        .distinct()
+      flagged
+        .join(others,
+          col("__o_ok") === col("l_orderkey") &&
+            col("__o_sk") =!= col("l_suppkey"), "left_semi")
+        .join(flaggedOthers,
+          col("__f_ok") === col("l_orderkey") &&
+            col("__f_sk") =!= col("l_suppkey"), "left_anti")
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          Seq("s_suppkey"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
+    "q22_idle_balance" -> ((s, dir) => {
+      // TPC-H Q22 shape: rich-but-inactive accounts — balance above the
+      // positive-balance mean (exact in cents: bal·cnt > sum, no FP avg)
+      // AND no urgent order ever (anti join); per-nation census of the
+      // sales-opportunity pool
+      val c = t(s, dir, "customer")
+        .withColumn("bal_c", expr("cast(floor(c_acctbal * 100.0) as long)"))
+      val thresh = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum("bal_c").as("__sum_c"), count(lit(1)).as("__cnt"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      c.crossJoin(broadcast(thresh))
+        .filter(col("bal_c") * col("__cnt") > col("__sum_c"))
+        .join(urgent, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("sum_bal_c"))
+    }),
+
+    "q12_priority_class" -> ((s, dir) => {
+      // TPC-H Q12 shape: per line status in a ship-year window, the
+      // high/low order-priority split as two conditional counts of ONE
+      // join — the canonical CASE-inside-agg pivot
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(o, Seq("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    "corr_matrix" -> ((s, dir) => {
+      // exact Pearson correlation matrix over lineitem's numeric metrics
+      // in ONE corpus pass — corr_sign + r² ppm with no sqrt and no FP
+      // accumulation (metrics pre-scaled to integral cents/pct longs)
+      graft.operators.Correlation.corrMatrixExact(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(floor(l_extendedprice * 100.0) as long)").as("price_c"),
+          expr("cast(floor(l_discount * 100.0) as long)").as("disc_pct"),
+          expr("cast(floor(l_tax * 100.0) as long)").as("tax_pct")),
+        Seq("qty", "price_c", "disc_pct", "tax_pct"))
+    }),
+
+    "model_lift" -> ((s, dir) => {
+      // decile lift/gains table of the JL p0 score against label-0 — the
+      // business-facing twin of model_auc ("top 10% of scores captures
+      // N× its share of positives"); global deciles via range-partitioned
+      // GroupedRank (never ntile over an unpartitioned corpus window), the
+      // cumulative pass runs on the 10-row decile grid
+      val scored = graft.llm.Quantize.signProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 1,
+        dim = 64, keepCols = Seq("label"))
+        .select(col("vec_id"), col("label"), col("p0").as("score"))
+      graft.llm.EvalMetrics.liftTable(
+        scored, "score", "vec_id", positive = col("label") === 0, k = 10)
+    }),
+
+    "source_lang_assoc" -> ((s, dir) => {
+      // source × lang contingency association: exact per-cell χ² term
+      // ((n·O − r·c)²·10⁶ div (n·r·c), truncated per cell — an
+      // order-independent integer sum) plus Cramér's V² ppm — "is language
+      // mix a property of the source" asked before per-source lang
+      // stratification; cell/margin grain throughout
+      graft.operators.Contingency.chiSquaredAssoc(
+        t(s, dir, "documents"), "source", "lang")
+        .select(col("n_rows").as("n_docs"), col("n_a").as("n_sources"),
+          col("n_b").as("n_langs"), col("chi2_ppm"), col("v2_ppm"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lexical evaluation metrics over (reference, candidate) text pairs —
@@ -176,5 +176,50 @@ object EvalMetrics {
             "((2 * __rpos - cast(n_pos as decimal(38,0)) * (n_pos + 1)) " +
               "* 1000000) div (2 * cast(n_pos as decimal(38,0)) * n_neg)")))
       .select(col(labelCol), col("n_pos"), col("n_neg"), col("auc_ppm"))
+  }
+
+  /** Decile lift/gains table — the business-facing twin of [[aucByLabel]]:
+    * "the top 10% of scores captures N× its share of positives". Rows are
+    * bucketed into `k` equal score-rank tiles (highest scores = bucket 1);
+    * per bucket the positive count plus cumulative gains and the exact
+    * integer lift ppm `cum_pos·N·10⁶ div (cum_n·P)` (1 000 000 = no lift).
+    *
+    * '''Plan shape (100 TB).''' Tiles come from
+    * [[graft.operators.GroupedRank.withGroupNtile]] with EMPTY groups —
+    * range-partitioned, bit-identical to SQL
+    * `ntile(k) OVER (ORDER BY score DESC, id)` with no single-task sort;
+    * the cumulative window then runs on the k-row bucket grid
+    * (domain-bounded partitionless window). Ties on `scoreCol` break by
+    * `idCol`, making the table deterministic. */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      positive: Column,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = graft.operators.GroupedRank.withGroupNtile(
+      df, Seq.empty, Seq(col(scoreCol).desc, col(idCol)), k = k,
+      ntileCol = "decile")
+      .withColumn("decile", col("decile").cast("long"))
+    // k-row frame, but BOTH the cumulative branch and the totals branch
+    // consume it — materialize once so the corpus scoring+rank pipeline
+    // upstream isn't planned (and paid) twice
+    val per = dec.groupBy("decile").agg(
+      count(lit(1)).as("n"),
+      sum(when(positive, 1L).otherwise(0L)).as("n_pos"))
+      .localCheckpoint()
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(
+        per.agg(sum("n").as("__N"), sum("n_pos").as("__P"))))
+      .withColumn("lift_ppm", expr(
+        "cast(case when __P = 0 then null else" +
+          " (cast(cum_pos as decimal(38,0)) * __N * 1000000)" +
+          " div (cast(cum_n as decimal(38,0)) * __P) end as bigint)"))
+      .select("decile", "n", "n_pos", "cum_n", "cum_pos", "lift_ppm")
   }
 }

@@ -111,4 +111,43 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, Some(1000000L))))
     assert(got(0) == ((2L, 2L, Some(0L))))
   }
+
+  private def lift(rows: Seq[(Long, Long, Int)], k: Int) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    EvalMetrics.liftTable(
+      rows.toDF("id", "score", "label"), "score", "id",
+      positive = col("label") === 1, k = k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+  }
+
+  test("liftTable: perfect ranking — top half all positive, 2× lift") {
+    // ids 1..4 score desc 40,30,20,10; labels 1,1,0,0; k=2
+    val rows = Seq((1L, 40L, 1), (2L, 30L, 1), (3L, 20L, 0), (4L, 10L, 0))
+    val got = lift(rows, 2)
+    // bucket 1: 2 rows, 2 pos; cum lift = 2·4·1e6 / (2·2) = 2e6
+    assert(got(1L) == ((2L, 2L, 2L, 2L, Some(2000000L))))
+    // bucket 2: cumulative = whole population → exactly 1e6
+    assert(got(2L) == ((2L, 0L, 4L, 2L, Some(1000000L))))
+  }
+
+  test("liftTable: matches SQL ntile bucket sizes on non-divisible n") {
+    // n=5, k=2 → ntile sizes (3, 2); positives on ids 1,3,5
+    val rows = Seq((1L, 50L, 1), (2L, 40L, 0), (3L, 30L, 1),
+      (4L, 20L, 0), (5L, 10L, 1))
+    val got = lift(rows, 2)
+    // bucket 1 holds scores 50,40,30 → 2 pos; lift = 2·5e6/(3·3) = 1111111
+    assert(got(1L) == ((3L, 2L, 3L, 2L, Some(1111111L))))
+    assert(got(2L) == ((2L, 1L, 5L, 3L, Some(1000000L))))
+  }
+
+  test("liftTable: zero positives → NULL lift, counts intact") {
+    val rows = Seq((1L, 9L, 0), (2L, 8L, 0), (3L, 7L, 0), (4L, 6L, 0))
+    val got = lift(rows, 2)
+    assert(got(1L) == ((2L, 0L, 2L, 0L, None)))
+    assert(got(2L) == ((2L, 0L, 4L, 0L, None)))
+  }
 }

@@ -285,7 +285,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the #groups frame
     ("sample_apportionment", 11, 1),
     // broadcast part dim + the OR'd filter + 1-row aggregate
-    ("q19_or_pred", 2, 0))
+    ("q19_or_pred", 2, 0),
+    // r14 TPC-H shapes + exact-analytics batch
+    ("q4_exists", 2, 0),
+    ("q7_volume", 6, 0),
+    ("q8_share", 5, 0),
+    ("q15_top_supplier", 5, 0),
+    ("q17_small_qty", 5, 0),
+    ("q21_waiting", 7, 0),
+    ("q22_idle_balance", 4, 0),
+    ("q12_priority_class", 2, 0),
+    // ONE corpus aggregate; pairs explode from the single moment row
+    ("corr_matrix", 1, 0),
+    // post-checkpoint stitch: the 10-row decile grid (scoring + rank
+    // lineage localCheckpoints inside liftTable — its budget is
+    // GroupedRank's own spec, same convention as the CC family)
+    ("model_lift", 3, 1),
+    // post-checkpoint stitch: margins + fold on the |A|·|B| cell frame
+    ("source_lang_assoc", 8, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -317,7 +334,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // Hamilton remainder rank: ONE partitionless window over the
     // #groups-grain count frame (Sampling.apportionBudget's design
     // point) — group count is the domain bound, never corpus rows
-    "sample_apportionment" -> 1)
+    "sample_apportionment" -> 1,
+    // lift cumulative: ONE partitionless window over the k-row decile
+    // grid (EvalMetrics.liftTable materializes the grid first; k is the
+    // domain bound, never corpus rows)
+    "model_lift" -> 1)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
