@@ -5249,6 +5249,18 @@ private[graft] object OracleSql {
         |    AS v2_ppm
         |FROM x, t""".stripMargin,
 
+    // incremental-maintenance replay: the maintained rollup must equal
+    // the direct re-aggregate of the post-purge fact set
+    "rollup_incremental" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, day, count(*)::BIGINT AS n,
+        |  sum(v)::BIGINT AS v_micros
+        |FROM e WHERE day < 19745 OR event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
     // Q12 replay: high/low priority split per line status, one join
     "q12_priority_class" ->
       """SELECT l_linestatus,

@@ -3887,6 +3887,29 @@ object SparkEntry {
         .select(col("n_rows").as("n_docs"), col("n_a").as("n_sources"),
           col("n_b").as("n_langs"), col("chi2_ppm"), col("v2_ppm"))
     }),
+
+    "rollup_incremental" -> ((s, dir) => {
+      // incremental view maintenance: a GDPR-style purge (retract every
+      // event from day ≥ 19745, re-insert the retention-exempt purchases)
+      // applied to the materialized per-(type, day) rollup WITHOUT
+      // rescanning the fact history — the maintained rollup must equal
+      // the oracle's direct re-aggregate; fully-purged groups drop
+      val e = events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .withColumn("v_micros",
+          expr("cast(floor(value * 1000000.0) as long)"))
+      val base = e.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("v_micros").as("v_micros"))
+      val recent = e.filter(col("day") >= 19745L)
+      val delta = recent
+        .select(col("event_type"), col("day"), col("v_micros"),
+          lit("D").as("op"))
+        .unionAll(recent.filter(col("event_type") === "purchase")
+          .select(col("event_type"), col("day"), col("v_micros"),
+            lit("I").as("op")))
+      graft.operators.RollupMaintain.applyAggDelta(
+        base, delta, Seq("event_type", "day"), "n", Seq("v_micros"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -302,7 +302,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // GroupedRank's own spec, same convention as the CC family)
     ("model_lift", 3, 1),
     // post-checkpoint stitch: margins + fold on the |A|·|B| cell frame
-    ("source_lang_assoc", 8, 0))
+    ("source_lang_assoc", 8, 0),
+    // delta collapses to group grain first, ONE full-outer join to the
+    // group-grain base — never a rescan of the base facts
+    ("rollup_incremental", 4, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
