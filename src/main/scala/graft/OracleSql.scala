@@ -5261,6 +5261,18 @@ private[graft] object OracleSql {
         |FROM e WHERE day < 19745 OR event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin,
 
+    // streaming face of the same purge: the converged retract fold must
+    // equal the identical post-purge re-aggregate
+    "stream_rollup_maintain" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, day, count(*)::BIGINT AS n,
+        |  sum(v)::BIGINT AS v_micros
+        |FROM e WHERE day < 19745 OR event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
     // Q12 replay: high/low priority split per line status, one join
     "q12_priority_class" ->
       """SELECT l_linestatus,

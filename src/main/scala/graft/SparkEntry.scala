@@ -3910,6 +3910,40 @@ object SparkEntry {
       graft.operators.RollupMaintain.applyAggDelta(
         base, delta, Seq("event_type", "day"), "n", Seq("v_micros"))
     }),
+
+    "stream_rollup_maintain" -> ((s, dir) => {
+      // rollup_incremental's purge scenario replayed THROUGH the streaming
+      // retract fold: all events arrive as I, the purged days as D, the
+      // retention-exempt purchases re-inserted as I — the signed fold is
+      // commutative, so the converged per-group (n, sum) equals the batch
+      // delta-apply (and shares its oracle); serve side = max-seq pick,
+      // n=0 deletion rows filtered
+      import graft.streaming.StreamOps
+      val es = StreamOps.eventsStream(s, s"$dir/events.parquet")
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .withColumn("v_micros",
+          expr("cast(floor(value * 1000000.0) as long)"))
+      def slice(f: DataFrame => DataFrame, o: String) =
+        f(es).select(col("event_type"), col("day"), col("v_micros"),
+          lit(o).as("op"))
+      val live = slice(identity, "I")
+        .unionAll(slice(_.filter(col("day") >= 19745L), "D"))
+        .unionAll(slice(_.filter(col("day") >= 19745L &&
+          col("event_type") === "purchase"), "I"))
+      val mem = StreamOps.runToMemory(s,
+        StreamOps.rollupMaintainUpdates(live,
+          concat(col("event_type"), lit("|"), col("day")),
+          col("v_micros"), col("op")),
+        "graft_stream_rollup", outputMode = "update")
+      val last = graft.operators.GroupedTopK.topKPerGroup(
+        mem, Seq("key"), Seq(col("update_seq")), 1, "__r", ascending = false)
+        .drop("__r")
+      last.filter(col("n") > 0)
+        .select(
+          expr("substring_index(key, '|', 1)").as("event_type"),
+          expr("cast(substring_index(key, '|', -1) as bigint)").as("day"),
+          col("n"), col("sum_v").as("v_micros"))
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -769,6 +769,68 @@ object StreamOps {
   /** Run a (bounded) streaming DataFrame to completion through a memory sink
     * and return the materialized result — the test/verify harness for the
     * operators above. */
+  /** Streaming incremental rollup maintenance — the live face of
+    * [[graft.operators.RollupMaintain.applyAggDelta]]: per group, fold the
+    * I/D retract stream into (count, sum) state. The fold (signed count,
+    * signed sum) is commutative and associative, so the converged (max
+    * `update_seq`) row per group equals the batch delta-apply EXACTLY
+    * under any micro-batch slicing or arrival order.
+    *
+    * A group folded to count 0 still EMITS its zero row — an update-mode
+    * stream cannot retract previously-emitted rows, so the zero row IS
+    * the downstream deletion signal; the serve side filters `n > 0` after
+    * the max-seq pick (exactly what the batch operator's drop does). A
+    * negative count or an op outside {I, D} throws, matching the batch
+    * guards. The negativity check runs AFTER each micro-batch's fold, so
+    * arrival order WITHIN a batch is free; across batches the source must
+    * be causal (a retraction must not arrive in an earlier micro-batch
+    * than its insertion — the standard retract-stream contract; violating
+    * it is indistinguishable from retracting a never-absorbed row).
+    *
+    * '''Plan shape (the ∞-time design).''' State is (seq, n, sum) per
+    * group — never the group's history; a group churning 10⁹
+    * inserts/retracts holds 3 longs of state and emits at most once per
+    * micro-batch.
+    *
+    * Key-type note: `keyCol` may be a composite expression; it is cast to
+    * STRING for the typed state key (the kmvDistinctUpdates
+    * canonicalization) — the serve side decodes composites itself. */
+  def rollupMaintainUpdates(
+      stream: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      measureCol: org.apache.spark.sql.Column,
+      opCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = stream
+      .select(keyCol.cast("string").as("g"),
+        measureCol.cast("long").as("v"), opCol.cast("string").as("op"))
+      .as[(String, Long, String)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: String, rs: Iterator[(String, Long, String)],
+            state: GroupState[(Long, Long, Long)]) =>
+          val (seq, n0, s0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val (n, s) = rs.foldLeft((n0, s0)) { case ((cn, cs), (_, v, op)) =>
+            val sgn = op match {
+              case "I" => 1L
+              case "D" => -1L
+              case other => throw new IllegalArgumentException(
+                s"rollupMaintainUpdates: op must be I or D, got $other")
+            }
+            (cn + sgn, cs + sgn * v)
+          }
+          if (n < 0) throw new IllegalStateException(
+            s"rollupMaintainUpdates: group $grp count went negative — " +
+              "retraction of a row the rollup never absorbed")
+          state.update((seq + 1, n, s))
+          Iterator((grp, seq + 1, n, s))
+      }
+      .toDF("key", "update_seq", "n", "sum_v")
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream

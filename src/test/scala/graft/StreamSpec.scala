@@ -682,4 +682,58 @@ class StreamSpec extends AnyFunSuite {
         max("ts").as("last_kept_ts")), Seq("key"))
     fin.ensureDatasetEquals(batch)
   }
+
+  test("streaming rollup maintenance converges to the batch delta-apply " +
+      "(shuffled within causal epochs; zero row emitted, served dropped)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rm_")
+    dir.toFile.deleteOnExit()
+    val rnd = new scala.util.Random(31)
+    val facts = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 6L), ("c", 9L))
+    val deltas = Seq(("a", 10L, "D"), ("c", 9L, "D"), // c fully retracted
+      ("a", 7L, "I"), ("d", 1L, "I"))
+    // causal epochs: every insertion lands in earlier files than the
+    // retract feed (the retract-stream contract); WITHIN each epoch the
+    // arrival order is shuffled — the signed fold must not care
+    rnd.shuffle(facts.map { case (g, v) => (g, v, "I") }.toVector)
+      .grouped(2).foreach { chunk =>
+        chunk.toDF("g", "v", "op").coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+      }
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rm2_")
+    d2.toFile.deleteOnExit()
+    rnd.shuffle(deltas.toVector).grouped(2).foreach { chunk =>
+      chunk.toDF("g", "v", "op").coalesce(1)
+        .write.mode("append").parquet(d2.toString)
+    }
+    // one source per epoch, unioned: file order within a source is
+    // nondeterministic, so epoch 2 gets its own (later-started) source
+    java.nio.file.Files.list(d2).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p,
+          dir.resolve("zz_" + p.getFileName.toString))
+    }
+    val stream = spark.readStream
+      .schema("g STRING, v BIGINT, op STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir.toString)
+    val updates = StreamOps.runToMemory(spark,
+      StreamOps.rollupMaintainUpdates(stream, col("g"), col("v"), col("op")),
+      "t_stream_rollup", outputMode = "update")
+    // the fully-retracted group DID emit its zero deletion signal
+    val cLast = updates.filter(col("key") === "c")
+      .orderBy(col("update_seq").desc).select("n").head()
+    assert(cLast.getLong(0) == 0L,
+      "fully-retracted group must emit its n=0 deletion row")
+    val fin = updates.groupBy("key")
+      .agg(max(struct(col("update_seq"), col("n"), col("sum_v"))).as("__f"))
+      .select(col("key"), col("__f.n").as("n"), col("__f.sum_v").as("v"))
+      .filter(col("n") > 0)
+    val batch = graft.operators.RollupMaintain.applyAggDelta(
+      facts.toDF("key", "v").groupBy("key")
+        .agg(count(lit(1)).as("n"), sum("v").as("v")),
+      deltas.toDF("key", "v", "op"), Seq("key"), "n", Seq("v"))
+    fin.ensureDatasetEquals(batch)
+  }
 }
