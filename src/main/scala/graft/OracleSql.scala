@@ -382,7 +382,25 @@ private[graft] object OracleSql {
     * [[graft.llm.Quantize.signMatrix]] row 0 the Spark expression embeds,
     * then the tie-broken Mann–Whitney rank-sum in HUGEINT — row_number
     * over `(score, vec_id)` is the identical injective permutation. */
-  private def modelAucSql(dim: Int = 64, seed: Long = 42L): String = {
+  /** Shared by `rollup_incremental` (batch delta-apply) and
+    * `stream_rollup_maintain` (converged streaming retract fold): the
+    * direct re-aggregate of the post-purge fact set — day < 19745 kept,
+    * retention-exempt purchases kept everywhere. One specification, two
+    * faces (the changePointSql convention). */
+  private val purgeRollupSql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_type, day, count(*)::BIGINT AS n,
+      |  sum(v)::BIGINT AS v_micros
+      |FROM e WHERE day < 19745 OR event_type = 'purchase'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Shared JL p0-score CTE prefix (`e`/`m`/`q`/`s`) of [[modelAucSql]]
+    * and [[modelLiftSql]] — ONE copy of the int8-quantize + signed-sum
+    * replay so the two oracles can never desync on the scoring rule. */
+  private def jlScoreCtes(dim: Int, seed: Long): String = {
     val signs = graft.llm.Quantize.signMatrix(1, dim, seed)
     val terms = (0 until dim).map { i =>
       s"${if (signs(0)(i) > 0) "+" else "-"} codes[${i + 1}]"
@@ -395,7 +413,11 @@ private[graft] object OracleSql {
        |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
        |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
        |      END AS codes FROM m),
-       |s AS (SELECT vec_id, label, (0 $terms)::BIGINT AS score FROM q),
+       |s AS (SELECT vec_id, label, (0 $terms)::BIGINT AS score FROM q)""".stripMargin
+  }
+
+  private def modelAucSql(dim: Int = 64, seed: Long = 42L): String = {
+    s"""${jlScoreCtes(dim, seed)},
        |r AS (SELECT label,
        |    row_number() OVER (ORDER BY score, vec_id) AS r FROM s),
        |p AS (SELECT label, count(*)::BIGINT AS n_pos,
@@ -414,19 +436,7 @@ private[graft] object OracleSql {
     * reproduces distributed — and the cumulative lift over the 10-row
     * decile grid. */
   private def modelLiftSql(dim: Int = 64, seed: Long = 42L): String = {
-    val signs = graft.llm.Quantize.signMatrix(1, dim, seed)
-    val terms = (0 until dim).map { i =>
-      s"${if (signs(0)(i) > 0) "+" else "-"} codes[${i + 1}]"
-    }.mkString(" ")
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |m AS (SELECT vec_id, label, v,
-       |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-       |q AS (SELECT vec_id, label,
-       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
-       |      ELSE list_transform(v, x -> CAST(floor(x / mx * 127.0) AS BIGINT))
-       |      END AS codes FROM m),
-       |s AS (SELECT vec_id, label, (0 $terms)::BIGINT AS score FROM q),
+    s"""${jlScoreCtes(dim, seed)},
        |d AS (SELECT label, ntile(10) OVER (ORDER BY score DESC, vec_id)
        |    AS decile FROM s),
        |per AS (SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
@@ -5225,7 +5235,9 @@ private[graft] object OracleSql {
 
     // contingency replay: per-cell truncated χ² term minus its truncated
     // expectation mass, + n·10⁶ folding in the absent zero cells;
-    // Cramér's V² ppm
+    // Cramér's V² ppm. NULL-safe margin joins + NULL-inclusive distinct
+    // counts, mirroring the operator's NULL-as-ordinary-category contract
+    // (no-op on today's NULL-free fixture, but the specs pin it)
     "source_lang_assoc" ->
       """WITH cl AS (SELECT source, lang, count(*)::HUGEINT AS o
         |  FROM documents GROUP BY 1, 2),
@@ -5234,13 +5246,17 @@ private[graft] object OracleSql {
         |cc AS (SELECT lang, count(*)::HUGEINT AS c
         |  FROM documents GROUP BY 1),
         |t AS (SELECT count(*)::HUGEINT AS n,
-        |    count(DISTINCT source)::HUGEINT AS nr,
-        |    count(DISTINCT lang)::HUGEINT AS nc FROM documents),
+        |    (count(DISTINCT source) + max(CASE WHEN source IS NULL
+        |      THEN 1 ELSE 0 END))::HUGEINT AS nr,
+        |    (count(DISTINCT lang) + max(CASE WHEN lang IS NULL
+        |      THEN 1 ELSE 0 END))::HUGEINT AS nc FROM documents),
         |term AS (SELECT
         |    ((n * o - r * c) * (n * o - r * c) * 1000000) // (n * r * c)
         |      AS tv,
         |    (r * c * 1000000) // n AS ev
-        |  FROM cl JOIN rr USING (source) JOIN cc USING (lang), t),
+        |  FROM cl
+        |  JOIN rr ON cl.source IS NOT DISTINCT FROM rr.source
+        |  JOIN cc ON cl.lang IS NOT DISTINCT FROM cc.lang, t),
         |x AS (SELECT sum(tv) - sum(ev) + max(n) * 1000000 AS chi2
         |  FROM term, t)
         |SELECT max(n)::BIGINT AS n_docs, max(nr)::BIGINT AS n_sources,
@@ -5250,28 +5266,14 @@ private[graft] object OracleSql {
         |FROM x, t""".stripMargin,
 
     // incremental-maintenance replay: the maintained rollup must equal
-    // the direct re-aggregate of the post-purge fact set
-    "rollup_incremental" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events)
-        |SELECT event_type, day, count(*)::BIGINT AS n,
-        |  sum(v)::BIGINT AS v_micros
-        |FROM e WHERE day < 19745 OR event_type = 'purchase'
-        |GROUP BY 1, 2""".stripMargin,
+    // the direct re-aggregate of the post-purge fact set (ONE shared
+    // spec — the batch==stream equivalence is structural, not two
+    // coincidentally-identical strings)
+    "rollup_incremental" -> purgeRollupSql,
 
     // streaming face of the same purge: the converged retract fold must
     // equal the identical post-purge re-aggregate
-    "stream_rollup_maintain" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events)
-        |SELECT event_type, day, count(*)::BIGINT AS n,
-        |  sum(v)::BIGINT AS v_micros
-        |FROM e WHERE day < 19745 OR event_type = 'purchase'
-        |GROUP BY 1, 2""".stripMargin,
+    "stream_rollup_maintain" -> purgeRollupSql,
 
     // Q12 replay: high/low priority split per line status, one join
     "q12_priority_class" ->

@@ -35,13 +35,17 @@ object Correlation {
     // a NULL in any metric would desync n from that metric's sums
     // (sum skips NULLs, count(1) doesn't) — complete rows only
     val rows = df.na.drop(names)
+    // decimal BEFORE the multiply (the Trend.scala:48-58 rule): a
+    // long×long product overflows at |x| > ~3·10⁹ — far inside the
+    // documented exactness envelope — wrapping silently (or throwing
+    // under ANSI) while the decimal product just widens
+    def d(c: String) = col(c).cast("decimal(38,0)")
     val aggs =
       Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
-      names.map(c => sum(col(c).cast("decimal(38,0)")).as(s"__s_$c")) ++
-      names.map(c =>
-        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"__ss_$c")) ++
+      names.map(c => sum(d(c)).as(s"__s_$c")) ++
+      names.map(c => sum(d(c) * d(c)).as(s"__ss_$c")) ++
       (for { i <- names.indices; j <- names.indices if i < j } yield
-        sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+        sum(d(names(i)) * d(names(j)))
           .as(s"__sp_${names(i)}_${names(j)}"))
     val one = rows.agg(aggs.head, aggs.tail: _*)
     val pairStructs = for {

@@ -766,9 +766,6 @@ object StreamOps {
       .toDF(groupCol, "update_seq", "n_grid", "split_x", "shift_ppm")
   }
 
-  /** Run a (bounded) streaming DataFrame to completion through a memory sink
-    * and return the materialized result — the test/verify harness for the
-    * operators above. */
   /** Streaming incremental rollup maintenance — the live face of
     * [[graft.operators.RollupMaintain.applyAggDelta]]: per group, fold the
     * I/D retract stream into (count, sum) state. The fold (signed count,
@@ -831,6 +828,9 @@ object StreamOps {
       .toDF("key", "update_seq", "n", "sum_v")
   }
 
+  /** Run a (bounded) streaming DataFrame to completion through a memory sink
+    * and return the materialized result — the test/verify harness for the
+    * operators above. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream

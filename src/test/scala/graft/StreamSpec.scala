@@ -706,8 +706,11 @@ class StreamSpec extends AnyFunSuite {
       chunk.toDF("g", "v", "op").coalesce(1)
         .write.mode("append").parquet(d2.toString)
     }
-    // one source per epoch, unioned: file order within a source is
-    // nondeterministic, so epoch 2 gets its own (later-started) source
+    // causal ordering rests on BOTH orderings the file source may use:
+    // the epoch-2 copies get later modification times (copied after every
+    // epoch-1 write) AND later-sorting names ("zz_" > "part-"), so the
+    // retract files land in later micro-batches than the inserts under
+    // maxFilesPerTrigger=1 regardless of which criterion breaks ties
     java.nio.file.Files.list(d2).forEach { p =>
       if (p.getFileName.toString.endsWith(".parquet"))
         java.nio.file.Files.copy(p,
