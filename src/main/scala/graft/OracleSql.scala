@@ -5275,6 +5275,15 @@ private[graft] object OracleSql {
     // equal the identical post-purge re-aggregate
     "stream_rollup_maintain" -> purgeRollupSql,
 
+    // k-anonymity replay: same QI grouping, same floor-banded sensitive
+    // attribute, same below-k rule
+    "kanonymity_audit" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))::BIGINT
+        |    AS l_sensitive,
+        |  count(*) < 25 AS below_k
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
     // Q12 replay: high/low priority split per line status, one join
     "q12_priority_class" ->
       """SELECT l_linestatus,

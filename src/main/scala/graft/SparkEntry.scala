@@ -3944,6 +3944,18 @@ object SparkEntry {
           expr("cast(substring_index(key, '|', -1) as bigint)").as("day"),
           col("n"), col("sum_v").as("v_micros"))
     }),
+
+    "kanonymity_audit" -> ((s, dir) => {
+      // pre-release governance gate: can a customer be singled out by the
+      // externally-knowable (nation, segment) pair, and do small groups
+      // leak the balance band — per-QI-group size, l-diversity of the
+      // $1000 balance band (one IEEE division + floor, replayed exactly),
+      // below-k flag at k=25
+      graft.operators.Anonymity.kAnonymityAudit(
+        t(s, dir, "customer").withColumn("bal_band",
+          expr("cast(floor(c_acctbal / 1000.0) as long)")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 25L)
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -305,7 +305,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("source_lang_assoc", 8, 0),
     // delta collapses to group grain first, ONE full-outer join to the
     // group-grain base — never a rescan of the base facts
-    ("rollup_incremental", 4, 0))
+    ("rollup_incremental", 4, 0),
+    // ONE aggregate (count + two-phase count-distinct expand)
+    ("kanonymity_audit", 2, 0))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
