@@ -5275,6 +5275,35 @@ private[graft] object OracleSql {
     // equal the identical post-purge re-aggregate
     "stream_rollup_maintain" -> purgeRollupSql,
 
+    // Spearman replay: same deterministic (value, id) ranks, same
+    // integral moment math as the corr_matrix branches
+    "spearman_qty_price" ->
+      """WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+        |    l_orderkey * 10 + l_linenumber AS line_id
+        |  FROM lineitem),
+        |r AS (SELECT
+        |    row_number() OVER (ORDER BY qty, line_id) AS rank_qty,
+        |    row_number() OVER (ORDER BY price_c, line_id) AS rank_price_c
+        |  FROM m),
+        |a AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(rank_qty)::HUGEINT AS sx, sum(rank_price_c)::HUGEINT AS sy,
+        |    sum(rank_qty * rank_qty)::HUGEINT AS sxx,
+        |    sum(rank_price_c * rank_price_c)::HUGEINT AS syy,
+        |    sum(rank_qty * rank_price_c)::HUGEINT AS sxy
+        |  FROM r)
+        |SELECT 'rank_qty' AS metric_a, 'rank_price_c' AS metric_b,
+        |  n::BIGINT AS n_rows,
+        |  (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1
+        |    WHEN (n * sxy - sx * sy) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS corr_sign,
+        |  (CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+        |    THEN NULL
+        |    ELSE ((abs(n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)) *
+        |         ((abs(n * sxy - sx * sy) * 1000) // (n * syy - sy * sy))
+        |    END)::BIGINT AS r2_ppm
+        |FROM a""".stripMargin,
+
     // k-anonymity replay: same QI grouping, same floor-banded sensitive
     // attribute, same below-k rule
     "kanonymity_audit" ->

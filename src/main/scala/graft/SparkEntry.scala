@@ -3956,6 +3956,19 @@ object SparkEntry {
           expr("cast(floor(c_acctbal / 1000.0) as long)")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 25L)
     }),
+
+    "spearman_qty_price" -> ((s, dir) => {
+      // monotone association between quantity and line price: exact
+      // Spearman ρ² ppm over deterministic ranks (ties by the line's
+      // composite id) — the outlier-immune companion of corr_matrix's
+      // Pearson row; two range-partitioned rank passes + one moment fold
+      graft.operators.Correlation.spearmanExact(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(floor(l_extendedprice * 100.0) as long)").as("price_c"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id")),
+        "qty", "price_c", "line_id")
+    }),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry — the driver-facing

@@ -69,4 +69,32 @@ object Correlation {
           " (abs(p.cov) * 1000 div p.vx) * (abs(p.cov) * 1000 div p.vy)" +
           " end as bigint)").as("r2_ppm"))
   }
+
+  /** Exact Spearman rank correlation between two columns — the monotone
+    * association Pearson misses (a perfectly monotone but nonlinear
+    * relation scores ρ² = 1 here), robust to outlier magnitudes because
+    * only ranks enter the moments.
+    *
+    * Ranks are dense row numbers with ties broken by `idCol` (the
+    * deterministic-total-order convention every ranked operator here
+    * uses — NOT average-rank Spearman; on continuous data the two agree,
+    * and the convention is what makes the result SQL-replayable
+    * bit-for-bit). Both rankings come from
+    * [[GroupedRank.withGroupRank]] with EMPTY groups — range-partitioned,
+    * no single-task sort — then the rank pair feeds [[corrMatrixExact]]'s
+    * integral moment math. Output: one row `(metric_a, metric_b, n_rows,
+    * corr_sign, r2_ppm)` where r2_ppm is ρ²·10⁶. */
+  def spearmanExact(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      idCol: String): DataFrame = {
+    val rx = GroupedRank.withGroupRank(
+      df.select(col(xCol), col(yCol), col(idCol)),
+      Seq.empty, Seq(col(xCol), col(idCol)), s"rank_$xCol")
+    val rxy = GroupedRank.withGroupRank(
+      rx, Seq.empty, Seq(col(yCol), col(idCol)), s"rank_$yCol")
+    corrMatrixExact(rxy.select(col(s"rank_$xCol"), col(s"rank_$yCol")),
+      Seq(s"rank_$xCol", s"rank_$yCol"))
+  }
 }

@@ -51,4 +51,33 @@ class CorrelationSpec extends AnyFunSuite {
     val got = run(Seq((1L, 2L, 3L), (4L, 5L, 6L)))
     assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
   }
+
+  private def spearman(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val r = Correlation.spearmanExact(
+      rows.toDF("x", "y", "id"), "x", "y", "id").collect().head
+    (r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("spearman: monotone-nonlinear y=x³ scores ρ²=1e6 where Pearson doesn't") {
+    val rows = Seq.tabulate(6)(i => (i.toLong, (i.toLong - 3) *
+      (i.toLong - 3) * (i.toLong - 3), i.toLong))
+    assert(spearman(rows.map { case (x, y, id) => (x, y, id) }) ==
+      ((6L, 1L, Some(1000000L))))
+    // same data through Pearson: strictly below 1e6 (nonlinear)
+    import spark.implicits._
+    val p = Correlation.corrMatrixExact(
+      rows.toDF("x", "y", "id").select("x", "y"), Seq("x", "y"))
+      .collect().head
+    assert(p.getLong(4) < 1000000L)
+  }
+
+  test("spearman: reversal gives sign -1, ρ²=1e6; ties broken by id deterministically") {
+    assert(spearman(Seq((1L, 9L, 1L), (2L, 5L, 2L), (3L, 1L, 3L))) ==
+      ((3L, -1L, Some(1000000L))))
+    // all-tied x: ranks follow id on both axes when values tie
+    val tied = spearman(Seq((7L, 10L, 1L), (7L, 20L, 2L), (7L, 30L, 3L)))
+    assert(tied == ((3L, 1L, Some(1000000L))))
+  }
 }

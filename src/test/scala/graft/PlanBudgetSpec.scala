@@ -307,7 +307,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // group-grain base — never a rescan of the base facts
     ("rollup_incremental", 4, 0),
     // ONE aggregate (count + two-phase count-distinct expand)
-    ("kanonymity_audit", 2, 0))
+    ("kanonymity_audit", 2, 0),
+    // two composed GroupedRank passes (each: range exchange + counts +
+    // broadcast offsets) + the moment fold — exact global Spearman's
+    // inherent cost; all shuffled rows are 3 narrow columns
+    ("spearman_qty_price", 17, 4))
 
   // Partitionless-window pins (absent = 0): every allowed one names the
   // domain-bounded frame that makes a single-task window safe at 100 TB.
@@ -343,7 +347,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // lift cumulative: ONE partitionless window over the k-row decile
     // grid (EvalMetrics.liftTable materializes the grid first; k is the
     // domain bound, never corpus rows)
-    "model_lift" -> 1)
+    "model_lift" -> 1,
+    // two GroupedRank offset windows (one per composed rank pass), each
+    // on its #shuffle-partitions-grain counts frame — the model_auc bound
+    "spearman_qty_price" -> 2)
 
   budgets.foreach { case (name, maxEx, maxWin) =>
     test(s"$name stays within its plan budget (≤$maxEx exchanges, ≤$maxWin windows)") {
