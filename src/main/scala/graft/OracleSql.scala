@@ -448,8 +448,9 @@ private[graft] object OracleSql {
        |t AS (SELECT sum(n)::HUGEINT AS nn, sum(n_pos)::HUGEINT AS pp
        |  FROM per)
        |SELECT decile, n, n_pos, cum_n, cum_pos,
-       |  ((cum_pos::HUGEINT * nn * 1000000) // (cum_n::HUGEINT * pp))::BIGINT
-       |    AS lift_ppm
+       |  (CASE WHEN pp = 0 THEN NULL
+       |    ELSE (cum_pos::HUGEINT * nn * 1000000) // (cum_n::HUGEINT * pp)
+       |    END)::BIGINT AS lift_ppm
        |FROM c, t""".stripMargin
   }
 
@@ -483,7 +484,9 @@ private[graft] object OracleSql {
        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_c,
        |    CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct,
        |    CAST(floor(l_tax * 100.0) AS BIGINT) AS tax_pct
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
        |a AS (SELECT count(*)::HUGEINT AS n,
        |    $moments
        |  FROM m)
@@ -5261,8 +5264,9 @@ private[graft] object OracleSql {
         |  FROM term, t)
         |SELECT max(n)::BIGINT AS n_docs, max(nr)::BIGINT AS n_sources,
         |  max(nc)::BIGINT AS n_langs, max(chi2)::BIGINT AS chi2_ppm,
-        |  (max(chi2) // (max(n) * (least(max(nr), max(nc)) - 1)))::BIGINT
-        |    AS v2_ppm
+        |  (CASE WHEN least(max(nr), max(nc)) < 2 THEN NULL
+        |    ELSE (max(chi2) // (max(n) * (least(max(nr), max(nc)) - 1)))
+        |    END)::BIGINT AS v2_ppm
         |FROM x, t""".stripMargin,
 
     // incremental-maintenance replay: the maintained rollup must equal
@@ -5281,10 +5285,13 @@ private[graft] object OracleSql {
       """WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
         |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_c,
         |    l_orderkey * 10 + l_linenumber AS line_id
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |r AS (SELECT
-        |    row_number() OVER (ORDER BY qty, line_id) AS rank_qty,
-        |    row_number() OVER (ORDER BY price_c, line_id) AS rank_price_c
+        |    row_number() OVER (ORDER BY qty NULLS FIRST,
+        |      line_id NULLS FIRST) AS rank_qty,
+        |    row_number() OVER (ORDER BY price_c NULLS FIRST,
+        |      line_id NULLS FIRST) AS rank_price_c
         |  FROM m),
         |a AS (SELECT count(*)::HUGEINT AS n,
         |    sum(rank_qty)::HUGEINT AS sx, sum(rank_price_c)::HUGEINT AS sy,

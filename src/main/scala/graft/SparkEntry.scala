@@ -3764,10 +3764,15 @@ object SparkEntry {
       // brand's small parts — the per-part avg threshold cleared of
       // division (qty < avg(qty)/5  ⇔  5·qty·cnt < sum_qty, all integral),
       // computed by per-part aggregate + self-join, never a per-part window
+      // `li` feeds BOTH the per-part aggregate and the threshold join —
+      // localCheckpoint per the multi-consumer convention (liftTable,
+      // Contingency) so the fact scan + broadcast join is paid once
       val li = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
           .filter(col("p_brand") === "Brand#2" && col("p_size") < 15)
           .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint(eager = false)
       val perPart = li.groupBy("l_partkey")
         .agg(sum(col("l_quantity").cast("long")).as("__sum_qty"),
           count(lit(1)).as("__cnt"))
@@ -3930,8 +3935,15 @@ object SparkEntry {
         .unionAll(slice(_.filter(col("day") >= 19745L), "D"))
         .unionAll(slice(_.filter(col("day") >= 19745L &&
           col("event_type") === "purchase"), "I"))
+      // the composite key is '|'-delimited; a delimiter inside event_type
+      // would silently split wrong on decode, so fail loudly instead of
+      // trusting the current {view,click,purchase,signup,error} set
+      val checked = live.withColumn("event_type",
+        when(expr("instr(event_type, '|') > 0"),
+          expr("raise_error('event_type contains the | key delimiter')"))
+          .otherwise(col("event_type")))
       val mem = StreamOps.runToMemory(s,
-        StreamOps.rollupMaintainUpdates(live,
+        StreamOps.rollupMaintainUpdates(checked,
           concat(col("event_type"), lit("|"), col("day")),
           col("v_micros"), col("op")),
         "graft_stream_rollup", outputMode = "update")

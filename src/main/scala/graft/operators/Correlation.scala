@@ -89,9 +89,14 @@ object Correlation {
       xCol: String,
       yCol: String,
       idCol: String): DataFrame = {
+    // same complete-rows contract as corrMatrixExact: a NULL metric has
+    // no rank (row_number would otherwise rank NULLs first and feed a
+    // meaningless position into the moments) — drop before ranking so
+    // the operator and its oracle replay share one row set
+    val rows = df.select(col(xCol), col(yCol), col(idCol))
+      .na.drop(Seq(xCol, yCol))
     val rx = GroupedRank.withGroupRank(
-      df.select(col(xCol), col(yCol), col(idCol)),
-      Seq.empty, Seq(col(xCol), col(idCol)), s"rank_$xCol")
+      rows, Seq.empty, Seq(col(xCol), col(idCol)), s"rank_$xCol")
     val rxy = GroupedRank.withGroupRank(
       rx, Seq.empty, Seq(col(yCol), col(idCol)), s"rank_$yCol")
     corrMatrixExact(rxy.select(col(s"rank_$xCol"), col(s"rank_$yCol")),
