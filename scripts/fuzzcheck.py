@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Differential fuzz orchestrator (r15): after `runMain graft.FuzzCheck
+OUT_ROOT seeds...` has written per-seed hostile corpora + Spark results,
+replay every oracle in DuckDB over the SAME corpus and diff — the identical
+compare contract as scripts/compare.py (row count + sorted value multiset +
+arrow types, columns sorted by name), looped over seeds, aggregated into
+FUZZCHECK.json.
+
+Usage: fuzzcheck.py OUT_ROOT [--write-json REPO_JSON] [QUERY...]
+
+Exit 0 = every (seed, query) MATCHed (spark-side errors recorded in
+fuzz_meta.json also fail the run unless listed in EXPECTED_SKIP with a
+documented reason)."""
+import sys, json, glob, os, subprocess
+
+out_root = sys.argv[1]
+args = sys.argv[2:]
+write_json = None
+if args and args[0] == "--write-json":
+    write_json = args[1]
+    args = args[2:]
+only = args
+
+# Queries excluded from the fuzz surface, each with the documented reason —
+# printed in FUZZCHECK.json so the omission is visible, never silent.
+EXPECTED_SKIP = {}
+
+here = os.path.dirname(os.path.abspath(__file__))
+seed_dirs = sorted(glob.glob(os.path.join(out_root, "seed_*")))
+if not seed_dirs:
+    print(f"no seed_* dirs under {out_root}"); sys.exit(2)
+
+summary = {"seeds": {}, "skipped": EXPECTED_SKIP, "total_fail": 0}
+for sd in seed_dirs:
+    seed = os.path.basename(sd)[len("seed_"):]
+    data_dir, out_dir = os.path.join(sd, "data"), os.path.join(sd, "out")
+    meta = json.load(open(os.path.join(out_dir, "fuzz_meta.json")))
+    spark_errs = {k: v for k, v in meta.get("failed", {}).items()
+                  if k not in EXPECTED_SKIP and (not only or k in only)}
+    cmd = [sys.executable, os.path.join(here, "compare.py"), data_dir,
+           out_dir] + only
+    p = subprocess.run(cmd, capture_output=True, text=True)
+    match, fails = 0, {}
+    for line in p.stdout.splitlines():
+        if ": " not in line or line.startswith("--"):
+            continue
+        name, status = line.split(": ", 1)
+        if name in EXPECTED_SKIP:
+            continue
+        if status.startswith("MATCH"):
+            match += 1
+        else:
+            fails[name] = status[:200]
+    for k, v in spark_errs.items():
+        fails.setdefault(k, f"SPARK ERROR {v[:180]}")
+    summary["seeds"][seed] = {
+        "match": match, "fail": len(fails), "failures": fails}
+    summary["total_fail"] += len(fails)
+    print(f"seed {seed}: {match} MATCH, {len(fails)} FAIL")
+    for k, v in sorted(fails.items()):
+        print(f"  FAIL {k}: {v}")
+
+if write_json:
+    with open(write_json, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"wrote {write_json}")
+sys.exit(1 if summary["total_fail"] else 0)

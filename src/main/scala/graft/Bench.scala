@@ -85,12 +85,33 @@ object Bench {
     // eviction, unlike statusTracker); the sweep between queries runs
     // OUTSIDE the group so its unpersist jobs don't pollute the counts.
     val planCounts = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    // Per-query shuffle/spill BYTES (VERDICT r14 task 6): jobs/stages
+    // fingerprint plan SHAPE; bytes are the 100-TB COST. Shuffle read/write
+    // comes from each completed stage's aggregated task metrics, attributed
+    // to the owning query through a stageId -> job-group map built at job
+    // start (stages skipped via exchange reuse never complete, so reused
+    // shuffles correctly count once). Spill means executor memory pressure —
+    // any nonzero value at bench scale is a red flag the watch rule reads.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    val ioBytes = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
-        if (g != null && g.startsWith("graftbench:"))
+        if (g != null && g.startsWith("graftbench:")) {
           planCounts.merge(g, (1, js.stageInfos.size),
             (a, b) => (a._1 + b._1, a._2 + b._2))
+          js.stageInfos.foreach(si => stageGroup.put(si.stageId, g))
+        }
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val g = stageGroup.get(sc.stageInfo.stageId)
+        val tm = sc.stageInfo.taskMetrics
+        if (g != null && tm != null)
+          ioBytes.merge(g, (tm.shuffleReadMetrics.totalBytesRead,
+            tm.shuffleWriteMetrics.bytesWritten,
+            tm.memoryBytesSpilled + tm.diskBytesSpilled),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       }
     })
     val timings = (1 to iters).map { it =>
@@ -147,10 +168,17 @@ object Bench {
     // tail-capture line keeps its byte budget for timings.
     val plansJson = plans.map { case (k, (j, st)) => "\"" + k + "\":[" + j + "," + st + "]" }
       .mkString("{", ",", "}")
+    // name -> [shuffle_read, shuffle_write, spill] bytes, final timed pass
+    // (same steady-state convention as plan_jobs_stages). Full line /
+    // BENCH_LAST.json only.
+    val ioJson = queries.map { case (name, _) =>
+      val (r, w, sp) = ioBytes.getOrDefault(s"graftbench:$name#$iters", (0L, 0L, 0L))
+      "\"" + name + "\":[" + r + "," + w + "," + sp + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(160)},"queries":$qs,"plan_jobs_stages":$plansJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errJson(160)},"queries":$qs,"plan_jobs_stages":$plansJson,"shuffle_rw_spill_bytes":$ioJson,"sf":"$sfDir"}"""
     // a bounded stdout tail capture can still clip the line's head under
     // heavy shutdown noise (r5-r7 all lost queries to it) — the file copy is
     // the canonical, unclippable record

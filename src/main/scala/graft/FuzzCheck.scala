@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential fuzz harness (r15, VERDICT task 1): the fixed fixture has
+  * no NULLs, no ties-by-construction, no unicode extremes — so every NULL
+  * convention documented on the query surface (RollupMaintain's null-safe
+  * `<=>` join, Anonymity's NULL-QI groups, the skew-join outer coalesce,
+  * Contingency's NULL-category margins, corr/spearman complete-rows) was
+  * spec-trusted, never differentially oracle-checked. This main closes
+  * that gap: for each seed it writes a hostile corpus
+  * ([[FuzzCorpus.write]]) with the SAME table names and schemas, then runs
+  * the full `SparkEntry.queries` surface against it exactly like
+  * [[Verify]] — same parquet dump, same `oracle_sql.json` — so
+  * `scripts/fuzzcheck.py` can replay every oracle in DuckDB over the SAME
+  * hostile corpus and diff. One specification, two engines, adversarial
+  * data.
+  *
+  * Usage: `runMain graft.FuzzCheck OUT_ROOT seed1,seed2,... [QUERY...]`
+  * Layout per seed: `OUT_ROOT/seed_<s>/data/<table>.parquet` (corpus) and
+  * `OUT_ROOT/seed_<s>/out/<query>/` + `oracle_sql.json` (results). */
+object FuzzCheck {
+  def main(args: Array[String]): Unit = {
+    val outRoot = args(0)
+    val seeds = args(1).split(",").map(_.trim.toLong).toSeq
+    val only = args.drop(2).toSet
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val oracleJson = SparkEntry.oracleSql
+      .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
+      .mkString("{", ",", "}")
+
+    seeds.foreach { seed =>
+      val dataDir = s"$outRoot/seed_$seed/data"
+      val outDir = s"$outRoot/seed_$seed/out"
+      new java.io.File(outDir).mkdirs()
+      println(s"[fuzz] seed $seed: generating corpus -> $dataDir")
+      FuzzCorpus.write(spark, dataDir, seed)
+      Verify.writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
+
+      var ok = 0; var err = 0
+      val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (name, fn) =>
+          try {
+            fn(spark, dataDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            ok += 1
+          } catch { case e: Throwable =>
+            err += 1
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            failed(name) = msg.linesIterator.take(1).mkString.take(300)
+            System.err.println(s"[fuzz] seed $seed $name FAILED: ${failed(name)}")
+          }
+        }
+      val failJson = failed
+        .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
+        .mkString("{", ",", "}")
+      Verify.writeAtomic(s"$outDir/fuzz_meta.json",
+        s"""{"seed": $seed, "ok": $ok, "err": $err, "failed": $failJson}""")
+      println(s"[fuzz] seed $seed: $ok ok, $err spark-side errors")
+    }
+    spark.stop()
+  }
+}

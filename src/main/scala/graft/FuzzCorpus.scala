@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Seeded adversarial corpus generator for the differential fuzz harness
+  * ([[FuzzCheck]]): writes the same ten tables, with the same physical
+  * parquet schemas, as the driver's fixture — but with the hostile
+  * features the fixed fixture never exhibits:
+  *
+  *  - NULLs in every non-key column (the fixture is documented NULL-free,
+  *    so every NULL convention on the query surface was spec-trusted until
+  *    this harness);
+  *  - duplicate foreign keys, heavy-hitter key skew, exact value TIES
+  *    (2-decimal money collides constantly at these row counts; embedding
+  *    coordinates are multiples of 1/64 so dot products tie exactly);
+  *  - negative and large magnitudes inside each operator's documented
+  *    exactness envelope;
+  *  - unicode extremes: emoji, CJK, RTL, combining marks, an extra
+  *    non-ASCII event category flowing through group keys and sorts;
+  *  - empty/whitespace/long-repetitive documents, exact and near
+  *    duplicates (so the dedup family has real work), zero vectors and
+  *    duplicate embeddings (distance ties, the mx=0 quantize guard).
+  *
+  * PRIMARY keys stay non-null and unique — that is the documented contract
+  * of every keyed operator (deterministic tie-breaks need a total order);
+  * everything else is fair game. Generation is driver-side by design: a
+  * few thousand rows per table, seeded `scala.util.Random`, written once
+  * per seed, so any divergence the harness finds replays exactly. */
+object FuzzCorpus {
+
+  private def ts(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private val DAY_US = 86400000000L
+  // epoch day ranges matching the fixture (queries parameterize on them)
+  private val EVENT_DAY0 = 19723L
+  private val EVENT_DAYS = 30
+  private def dateUs(epochDay: Long, intraUs: Long): Long =
+    epochDay * DAY_US + intraUs
+
+  /** null with probability p, else v — the workhorse of the whole file. */
+  private def orNull(r: Random, p: Double)(v: => Any): Any =
+    if (r.nextDouble() < p) null else v
+
+  private def money2(r: Random, lo: Double, hi: Double): Double = {
+    // 2-decimal money on a COARSE grid: collisions (exact ties) by design
+    val cents = (lo * 100).toLong + r.nextLong(((hi - lo) * 100).toLong + 1)
+    // snap 30% of values to a whole-dollar grid for even denser ties
+    val snapped = if (r.nextDouble() < 0.3) cents / 100 * 100 else cents
+    snapped / 100.0
+  }
+
+  private val unicodeWords = Seq(
+    "café", "straße", "你好", "世界",
+    "привет", "مرحبا",
+    "😀🔥", "étoile", "über",
+    "naïve", "日本語", "한국어")
+  private val asciiWords = Seq(
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "hash", "join", "batch", "stream", "spark",
+    "dup", "group", "query", "row", "data", "slow", "filter", "customer",
+    "line", "value", "column", "big", "vector", "agg")
+
+  // ——————————————————————————————— tables ———————————————————————————————
+
+  private def region(spark: SparkSession, r: Random) = {
+    val names = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val rows = names.zipWithIndex.map { case (n, i) => Row(i, n) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("r_regionkey", IntegerType, nullable = false),
+        StructField("r_name", StringType, nullable = true))))
+  }
+
+  private def nation(spark: SparkSession, r: Random) = {
+    val rows = (0 until 25).map(i => Row(i, s"NATION_$i", i % 5))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("n_nationkey", IntegerType, nullable = false),
+        StructField("n_name", StringType, nullable = true),
+        StructField("n_regionkey", IntegerType, nullable = true))))
+  }
+
+  private def supplier(spark: SparkSession, r: Random, n: Int) = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, f"Supplier#$i%09d",
+        orNull(r, 0.05)(r.nextInt(25)),
+        orNull(r, 0.06)(money2(r, -1000, 10000)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("s_suppkey", LongType, nullable = false),
+        StructField("s_name", StringType, nullable = true),
+        StructField("s_nationkey", IntegerType, nullable = true),
+        StructField("s_acctbal", DoubleType, nullable = true))))
+  }
+
+  private def customer(spark: SparkSession, r: Random, n: Int) = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, f"Customer#$i%09d",
+        orNull(r, 0.08)(r.nextInt(25)),
+        orNull(r, 0.06)(money2(r, -1000, 10000)),
+        orNull(r, 0.08)(segs(r.nextInt(segs.size))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("c_custkey", LongType, nullable = false),
+        StructField("c_name", StringType, nullable = true),
+        StructField("c_nationkey", IntegerType, nullable = true),
+        StructField("c_acctbal", DoubleType, nullable = true),
+        StructField("c_mktsegment", StringType, nullable = true))))
+  }
+
+  private def part(spark: SparkSession, r: Random, n: Int) = {
+    val types = Seq("ECONOMY", "STANDARD", "LARGE", "MEDIUM", "PROMO",
+      "SMALL")
+    val adjs = Seq("cold", "small", "large", "hot", "dim", "bright",
+      "café", "über")
+    val nouns = Seq("widget", "bolt", "gear", "cog", "spring")
+    val rows = (0 until n).map { i =>
+      Row(i.toLong,
+        orNull(r, 0.04)(
+          s"${adjs(r.nextInt(adjs.size))} ${nouns(r.nextInt(nouns.size))}"),
+        orNull(r, 0.04)(s"Brand#${r.nextInt(25) + 1}"),
+        orNull(r, 0.05)(types(r.nextInt(types.size))),
+        orNull(r, 0.05)(r.nextInt(50) + 1),
+        orNull(r, 0.05)(money2(r, 100, 2000)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("p_partkey", LongType, nullable = false),
+        StructField("p_name", StringType, nullable = true),
+        StructField("p_brand", StringType, nullable = true),
+        StructField("p_type", StringType, nullable = true),
+        StructField("p_size", IntegerType, nullable = true),
+        StructField("p_retailprice", DoubleType, nullable = true))))
+  }
+
+  private def orders(spark: SparkSession, r: Random, n: Int, nCust: Int) = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val statuses = Seq("F", "O", "P")
+    val day0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val daySpan = (java.time.LocalDate.of(2001, 8, 1).toEpochDay - day0).toInt
+    val rows = (0 until n).map { i =>
+      // heavy-hitter skew: 25% of orders land on 3 hot customers
+      val cust =
+        if (r.nextDouble() < 0.25) r.nextInt(3).toLong
+        else r.nextLong(nCust.toLong)
+      Row(i.toLong,
+        orNull(r, 0.03)(cust),
+        orNull(r, 0.04)(statuses(r.nextInt(statuses.size))),
+        orNull(r, 0.05)(money2(r, -500, 400000)),
+        orNull(r, 0.04)(
+          ts(dateUs(day0 + r.nextInt(daySpan), r.nextLong(DAY_US)))),
+        orNull(r, 0.05)(prios(r.nextInt(prios.size))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = false),
+        StructField("o_custkey", LongType, nullable = true),
+        StructField("o_orderstatus", StringType, nullable = true),
+        StructField("o_totalprice", DoubleType, nullable = true),
+        StructField("o_orderdate", TimestampType, nullable = true),
+        StructField("o_orderpriority", StringType, nullable = true))))
+  }
+
+  private def lineitem(spark: SparkSession, r: Random, n: Int,
+      nOrders: Int, nParts: Int, nSupp: Int) = {
+    val flags = Seq("A", "N", "R")
+    val statuses = Seq("F", "O")
+    val day0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val daySpan = (java.time.LocalDate.of(2001, 11, 1).toEpochDay - day0).toInt
+    var ok = -1L; var ln = 0
+    val rows = (0 until n).map { _ =>
+      // 1-7 lines per order; (orderkey, linenumber) stays unique — the
+      // deterministic-tie-break id contract (line_id = ok*10+ln)
+      if (ln >= 1 + r.nextInt(7) || ok < 0) { ok += 1; ln = 1 } else ln += 1
+      // hot parts: 20% of lines hit 2 hot parts (skew-join fodder)
+      val pk = if (r.nextDouble() < 0.2) r.nextInt(2).toLong
+               else r.nextLong(nParts.toLong)
+      Row(ok, orNull(r, 0.03)(pk),
+        orNull(r, 0.03)(r.nextLong(nSupp.toLong)),
+        ln,
+        orNull(r, 0.05)((r.nextInt(66) - 5).toDouble), // integral, some ≤ 0
+        orNull(r, 0.05)(money2(r, -100000, 10000000)),
+        orNull(r, 0.05)((r.nextInt(15) - 2) / 100.0),  // -0.02..0.12
+        orNull(r, 0.05)(r.nextInt(11) / 100.0),
+        orNull(r, 0.04)(flags(r.nextInt(flags.size))),
+        orNull(r, 0.04)(statuses(r.nextInt(statuses.size))),
+        orNull(r, 0.05)(
+          ts(dateUs(day0 + r.nextInt(daySpan), r.nextLong(DAY_US)))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("l_orderkey", LongType, nullable = false),
+        StructField("l_partkey", LongType, nullable = true),
+        StructField("l_suppkey", LongType, nullable = true),
+        StructField("l_linenumber", IntegerType, nullable = false),
+        StructField("l_quantity", DoubleType, nullable = true),
+        StructField("l_extendedprice", DoubleType, nullable = true),
+        StructField("l_discount", DoubleType, nullable = true),
+        StructField("l_tax", DoubleType, nullable = true),
+        StructField("l_returnflag", StringType, nullable = true),
+        StructField("l_linestatus", StringType, nullable = true),
+        StructField("l_shipdate", TimestampType, nullable = true))))
+  }
+
+  private def events(spark: SparkSession, r: Random, n: Int) = {
+    // the five fixture categories PLUS a non-ASCII one: unicode must
+    // survive group keys, sorts, and the '|'-composite stream key
+    val types = Seq("view", "click", "purchase", "signup", "error",
+      "päuse🛑")
+    val props = Seq.tabulate(8)(i => s"""{"k": ${i * 7 - 3}}""") ++
+      Seq("{}", """{"k": null}""")
+    val rows = (0 until n).map { i =>
+      val day = EVENT_DAY0 + (i % EVENT_DAYS) // every day populated
+      val user = if (r.nextDouble() < 0.5) r.nextInt(30).toLong
+                 else r.nextLong(400L)
+      // value: mix of 2-dec money, 6-dec micro-precision, negatives,
+      // exact zero, and a large-magnitude tail
+      val v = r.nextInt(5) match {
+        case 0 => money2(r, -100, 1000)
+        case 1 => r.nextInt(2000000).toDouble / 1000000.0
+        case 2 => 0.0
+        case 3 => -money2(r, 0, 500)
+        case _ => money2(r, 0, 999999)
+      }
+      Row(i.toLong,
+        ts(dateUs(day, r.nextLong(DAY_US))), // ts NON-NULL: watermark contract
+        orNull(r, 0.06)(user),
+        types(r.nextInt(types.size)),        // type NON-NULL: stream key contract
+        orNull(r, 0.06)(v),
+        orNull(r, 0.08)(props(r.nextInt(props.size))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("user_id", LongType, nullable = true),
+        StructField("event_type", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = true),
+        StructField("props", StringType, nullable = true))))
+  }
+
+  private def sentence(r: Random, words: Int): String =
+    Seq.fill(words)(
+      if (r.nextDouble() < 0.12) unicodeWords(r.nextInt(unicodeWords.size))
+      else asciiWords(r.nextInt(asciiWords.size))).mkString(" ")
+
+  private def documents(spark: SparkSession, r: Random, n: Int) = {
+    val langs = Seq("en", "de", "fr", "es", "zh", "ru", "pt", "ja")
+    val texts = new scala.collection.mutable.ArrayBuffer[String](n)
+    (0 until n).foreach { i =>
+      val t = r.nextInt(20) match {
+        case 0 if texts.nonEmpty =>            // exact duplicate
+          texts(r.nextInt(texts.size))
+        case 1 if texts.nonEmpty =>            // near duplicate: one-word edit
+          val base = texts(r.nextInt(texts.size))
+          val toks = base.split(" ")
+          if (toks.length < 4) base
+          else toks.updated(r.nextInt(toks.length),
+            asciiWords(r.nextInt(asciiWords.size))).mkString(" ")
+        case 2 => ""                           // empty
+        case 3 => " \t\n "                     // whitespace-only
+        case 4 =>                              // long repetitive (boilerplate)
+          val para = sentence(r, 25)
+          Seq.fill(4)(para).mkString(" ")
+        case 5 =>                              // RTL + CJK + emoji mix
+          "مرحبا 世界 " +
+            "😀 étoile " + sentence(r, 6)
+        case _ => sentence(r, 5 + r.nextInt(60))
+      }
+      texts += t
+    }
+    val rows = (0 until n).map { i =>
+      val t = texts(i)
+      Row(i.toLong, t,
+        orNull(r, 0.10)(langs(r.nextInt(langs.size))),
+        orNull(r, 0.10)(s"src${r.nextInt(10)}"),
+        t.codePointCount(0, t.length).toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("lang", StringType, nullable = true),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))))
+  }
+
+  private def embeddings(spark: SparkSession, r: Random, n: Int,
+      dim: Int = 64) = {
+    val vecs = new scala.collection.mutable.ArrayBuffer[Seq[Float]](n)
+    (0 until n).foreach { i =>
+      val v: Seq[Float] = r.nextInt(12) match {
+        case 0 => Seq.fill(dim)(0.0f)                 // zero vector (mx=0 guard)
+        case 1 if vecs.nonEmpty =>                    // exact duplicate (ties)
+          vecs(r.nextInt(vecs.size))
+        case _ =>
+          // coordinates on the 1/64 grid: floats AND their double products
+          // are exactly representable, so distance ties are EXACT ties
+          Seq.fill(dim)((r.nextInt(129) - 64) / 64.0f)
+      }
+      vecs += v
+    }
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, vecs(i), orNull(r, 0.10)(r.nextInt(3)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false),
+          nullable = false),
+        StructField("label", IntegerType, nullable = true))))
+  }
+
+  /** Write all ten tables for one seed into `dir/<table>.parquet`. */
+  def write(spark: SparkSession, dir: String, seed: Long): Unit = {
+    val r = new Random(seed)
+    val nCust = 400; val nParts = 250; val nSupp = 60
+    val tables = Seq(
+      "region" -> region(spark, r),
+      "nation" -> nation(spark, r),
+      "supplier" -> supplier(spark, r, nSupp),
+      "customer" -> customer(spark, r, nCust),
+      "part" -> part(spark, r, nParts),
+      "orders" -> orders(spark, r, 1200, nCust),
+      "lineitem" -> lineitem(spark, r, 4000, 1200, nParts, nSupp),
+      "events" -> events(spark, r, 4000),
+      "documents" -> documents(spark, r, 320),
+      "embeddings" -> embeddings(spark, r, 240))
+    // single-FILE parquet per table (the fixture's exact layout — the
+    // DuckDB side of the harness reads the same path string as Spark)
+    tables.foreach { case (name, df) =>
+      val tmp = s"$dir/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val dest = new java.io.File(s"$dir/$name.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+}

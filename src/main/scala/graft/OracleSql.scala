@@ -387,13 +387,17 @@ private[graft] object OracleSql {
     * direct re-aggregate of the post-purge fact set — day < 19745 kept,
     * retention-exempt purchases kept everywhere. One specification, two
     * faces (the changePointSql convention). */
+  // NULL measures absorb as 0 (the additive-identity convention of
+  // RollupMaintain/rollupMaintainUpdates: the row still counts, the sum
+  // is unchanged), so the re-aggregate coalesces an all-NULL group to 0 —
+  // differential-fuzz-checked (r15); no-op on the NULL-free fixture
   private val purgeRollupSql: String =
     """WITH e AS (SELECT event_type,
       |    epoch_ns(ts) // 86400000000000 AS day,
       |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
       |  FROM events)
       |SELECT event_type, day, count(*)::BIGINT AS n,
-      |  sum(v)::BIGINT AS v_micros
+      |  coalesce(sum(v), 0)::BIGINT AS v_micros
       |FROM e WHERE day < 19745 OR event_type = 'purchase'
       |GROUP BY 1, 2""".stripMargin
 

@@ -16,7 +16,7 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
-  private def q(s: String): String = "\"" + s.flatMap {
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -28,7 +28,7 @@ object Verify {
 
   // Atomic-ish write: tmp file + move, so a crash mid-write never leaves a
   // truncated (unparseable) JSON where a previous good copy stood.
-  private def writeAtomic(path: String, content: String): Unit = {
+  private[graft] def writeAtomic(path: String, content: String): Unit = {
     val tmp = Paths.get(path + ".tmp")
     Files.writeString(tmp, content)
     Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)

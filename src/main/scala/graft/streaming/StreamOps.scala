@@ -800,9 +800,16 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    // NULL measures absorb as the additive identity 0 — the row still
+    // counts toward n, the sum is unchanged (the same convention
+    // RollupMaintain.applyAggDelta's sum-coalesce encodes, so the two
+    // faces stay equal on hostile data; differential-fuzz-checked r15).
+    // Without the coalesce a NULL measure kills the whole stream with
+    // NOT_NULL_ASSERT_VIOLATION at the typed boundary.
     val rows = stream
       .select(keyCol.cast("string").as("g"),
-        measureCol.cast("long").as("v"), opCol.cast("string").as("op"))
+        coalesce(measureCol.cast("long"), lit(0L)).as("v"),
+        opCol.cast("string").as("op"))
       .as[(String, Long, String)]
     rows.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
