@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss fault probe (r15, VERDICT task 2): the reliable-checkpoint
+  * knob on [[graft.operators.ConnectedComponents]] is the 100-TB durability
+  * story — "a multi-hour closure survives executor loss and recomputes
+  * nothing older than one round" — but until this main no committed run had
+  * ever actually LOST an executor. This probe stages the failure for real:
+  *
+  *  1. `reliable`: run a multi-round CC closure on `local-cluster[2,2,..]`
+  *     (separate executor JVMs, a real standalone master/worker pair in
+  *     process) with `checkpointDir` set, `kill -9` one executor JVM
+  *     mid-closure, and require the job to COMPLETE with the exact same
+  *     result checksum as an undisturbed run.
+  *  2. `local`: same closure, same kill, with the `localCheckpoint` default
+  *     — the checkpoint blocks live only in the dead executor's memory and
+  *     lineage is truncated, so the job must FAIL (the documented death
+  *     the knob exists to avoid).
+  *
+  * Both outcomes are required: a reliable run that survives proves the
+  * recovery path; a local run that dies proves the probe actually removed
+  * state a lazier fault (e.g. killing between rounds) would not touch.
+  *
+  * Usage: `runMain graft.FaultProbe [reliable|local|both]` (default both).
+  * Prints one JSON line; exits nonzero unless every staged outcome holds.
+  * Not part of the driver bench — run manually, results recorded in
+  * BENCH_NOTES.md. */
+object FaultProbe {
+
+  /** Deterministic multi-round workload: 64-node chain components (6+
+    * pointer-doubling rounds to converge) plus hub edges for shuffle mass.
+    * Entirely from `spark.range` — no fixture dependency, executors need
+    * only this repo's classes. */
+  private def edges(spark: SparkSession, n: Long): DataFrame = {
+    val chain = spark.range(n)
+      .filter(col("id") % 64 =!= 63)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // a few same-component shortcut edges (keeps components identical,
+    // adds distinct/dedup work per round)
+    val shortcuts = spark.range(n / 8)
+      .select((col("id") * 8).as("id_a"),
+        ((col("id") * 8) + pmod(hash(col("id")), lit(63)).cast("long") + 1)
+          .as("id_b"))
+      .filter(col("id_a") % 64 + (col("id_b") - col("id_a")) <= 63)
+    chain.unionAll(shortcuts)
+  }
+
+  /** Order-independent result fingerprint: (row count, sum of a per-row
+    * hash) — collected as two longs, never rows. */
+  private def checksum(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(col("node"), col("component")))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def clusterSession(name: String): SparkSession =
+    SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName(name)
+      // executors are separate JVMs: they need this repo's classes and the
+      // same JDK17 module opens the forked driver gets from build.sbt
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the probe kills executors on purpose; don't let the app give up
+      // before the replacement executor registers
+      .config("spark.task.maxFailures", "8")
+      .config("spark.stage.maxConsecutiveAttempts", "8")
+      .getOrCreate()
+
+  /** `kill -9` one CoarseGrainedExecutorBackend child after `delayMs`,
+    * from a daemon thread. Returns the killed PID via the promise. */
+  private def scheduleKill(delayMs: Long): java.util.concurrent.CompletableFuture[Long] = {
+    val killed = new java.util.concurrent.CompletableFuture[Long]()
+    val t = new Thread(() => {
+      Thread.sleep(delayMs)
+      val self = ProcessHandle.current()
+      val victim = self.descendants()
+        .filter(p => p.info().commandLine()
+          .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
+          .orElse(false))
+        .findFirst()
+      if (victim.isPresent) {
+        val pid = victim.get().pid()
+        victim.get().destroyForcibly()
+        System.err.println(s"[faultprobe] killed executor pid $pid")
+        killed.complete(pid)
+      } else {
+        System.err.println("[faultprobe] no executor process found to kill")
+        killed.complete(-1L)
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    killed
+  }
+
+  /** One staged run. Returns (completed, checksum, killedPid, note). */
+  private def stagedRun(reliable: Boolean, n: Long, killAfterMs: Long,
+      ckptDir: String): (Boolean, Option[(Long, Long)], Long, String) = {
+    val spark = clusterSession(s"graft-faultprobe-${if (reliable) "reliable" else "local"}")
+    try {
+      // make sure both executors are up before the clock starts
+      spark.range(1000).repartition(8).count()
+      val kill = scheduleKill(killAfterMs)
+      val cc = graft.operators.ConnectedComponents.connectedComponents(
+        edges(spark, n), maxIter = 40,
+        checkpointDir = if (reliable) Some(ckptDir) else None)
+      val result =
+        try { val c = checksum(cc); (true, Some(c), "completed") }
+        catch { case e: Throwable =>
+          (false, None,
+            s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)}")
+        }
+      val pid = kill.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      (result._1, result._2, pid, result._3)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("both")
+    val n = sys.env.getOrElse("GRAFT_FAULT_N", "3000000").toLong
+    val killAfterMs = sys.env.getOrElse("GRAFT_FAULT_KILL_MS", "12000").toLong
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_faultprobe_${ProcessHandle.current.pid}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+
+    // undisturbed truth: plain local[4] run, no kills, for the checksum
+    val clean = {
+      val spark = SparkSession.builder().master("local[4]")
+        .appName("graft-faultprobe-clean")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try checksum(graft.operators.ConnectedComponents.connectedComponents(
+        edges(spark, n), maxIter = 40))
+      finally spark.stop()
+    }
+    System.err.println(s"[faultprobe] clean checksum: $clean")
+
+    var reliableOk = true; var localOk = true
+    var reliableJson = "null"; var localJson = "null"
+    def j(completed: Boolean, cs: Option[(Long, Long)], pid: Long,
+        note: String, matches: Option[Boolean]) =
+      s"""{"completed": $completed, "killed_pid": $pid, "matches_clean": ${matches.map(_.toString).getOrElse("null")}, "note": ${Verify.q(note)}}"""
+
+    if (mode == "reliable" || mode == "both") {
+      val (done, cs, pid, note) =
+        stagedRun(reliable = true, n, killAfterMs, s"$base/ckpt")
+      val matches = cs.map(_ == clean)
+      reliableOk = done && pid > 0 && matches.contains(true)
+      reliableJson = j(done, cs, pid, note, matches)
+      System.err.println(s"[faultprobe] reliable: $reliableJson")
+    }
+    if (mode == "local" || mode == "both") {
+      val (done, cs, pid, note) =
+        stagedRun(reliable = false, n, killAfterMs, s"$base/unused")
+      // the DOCUMENTED death: local checkpoint blocks died with the
+      // executor, the closure must not complete
+      localOk = !done && pid > 0
+      localJson = j(done, cs, pid, note, cs.map(_ == clean))
+      System.err.println(s"[faultprobe] local: $localJson")
+    }
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ok = reliableOk && localOk
+    println(s"""{"probe":"executor_kill","n_edges_base":$n,"kill_after_ms":$killAfterMs,"clean_checksum":[${clean._1},${clean._2}],"reliable":$reliableJson,"local_checkpoint":$localJson,"ok":$ok}""")
+    if (!ok) sys.exit(1)
+  }
+}

@@ -45,8 +45,16 @@ object FuzzCheck {
       val dataDir = s"$outRoot/seed_$seed/data"
       val outDir = s"$outRoot/seed_$seed/out"
       new java.io.File(outDir).mkdirs()
-      println(s"[fuzz] seed $seed: generating corpus -> $dataDir")
-      FuzzCorpus.write(spark, dataDir, seed)
+      // GRAFT_FUZZ_REUSE=1: skip regeneration when the corpus already
+      // exists — the per-query dev loop while fixing a finding (the
+      // generator is seed-deterministic, so reuse can't change the data)
+      if (sys.env.get("GRAFT_FUZZ_REUSE").contains("1") &&
+          new java.io.File(s"$dataDir/embeddings.parquet").exists()) {
+        println(s"[fuzz] seed $seed: reusing corpus at $dataDir")
+      } else {
+        println(s"[fuzz] seed $seed: generating corpus -> $dataDir")
+        FuzzCorpus.write(spark, dataDir, seed)
+      }
       Verify.writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
 
       var ok = 0; var err = 0

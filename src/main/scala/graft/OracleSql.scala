@@ -1794,7 +1794,7 @@ private[graft] object OracleSql {
     "approx_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
         |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
         |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
@@ -1813,7 +1813,7 @@ private[graft] object OracleSql {
     "approx_distinct_hll" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h // 4398046511104 AS bucket,
         |    CASE WHEN h % 4398046511104 = 0 THEN 43
         |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
@@ -1836,7 +1836,7 @@ private[graft] object OracleSql {
     "stream_distinct_hll" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h // 4398046511104 AS bucket,
         |    CASE WHEN h % 4398046511104 = 0 THEN 43
         |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
@@ -1859,7 +1859,7 @@ private[graft] object OracleSql {
     "hll_overlap" ->
       """WITH h AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h // 4398046511104 AS bucket,
         |    CASE WHEN h % 4398046511104 = 0 THEN 43
         |      ELSE 43 - length(bin(h % 4398046511104)) END AS reg
@@ -2026,7 +2026,7 @@ private[graft] object OracleSql {
     "stream_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
         |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
         |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
@@ -2153,7 +2153,7 @@ private[graft] object OracleSql {
     "approx_overlap_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
         |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
         |s AS (SELECT event_type, list(h ORDER BY h) AS km
@@ -2182,7 +2182,7 @@ private[graft] object OracleSql {
     "approx_distinct_rollup" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
         |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
         |k AS (SELECT event_type, count(*)::BIGINT AS n_sample,
@@ -2352,7 +2352,7 @@ private[graft] object OracleSql {
       """WITH h AS (SELECT DISTINCT event_type,
         |    epoch_ns(ts) // 3600000000000 AS hour,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |tgt AS (SELECT DISTINCT event_type, hour FROM h),
         |w AS (SELECT DISTINCT t.event_type, t.hour AS bucket, s.h
         |  FROM tgt t JOIN h s ON s.event_type = t.event_type
@@ -2536,7 +2536,8 @@ private[graft] object OracleSql {
         |  FROM events WHERE event_type = 'click'),
         |purch AS (SELECT user_id, event_id AS p_event_id, epoch_ns(ts) AS p_tns,
         |    value AS p_value
-        |  FROM events WHERE event_type = 'purchase')
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL)
         |SELECT event_id, c.user_id AS user_id, p_event_id, p_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tns >= p.p_tns""".stripMargin,
@@ -2743,7 +2744,7 @@ private[graft] object OracleSql {
     // on even output bits, column 1 (p_partkey mod 64) on odd ones
     "zorder_key" -> {
       val terms = (0 until 6).flatMap { b =>
-        Seq(s"(((p_size >> $b) & 1) << ${2 * b})",
+        Seq(s"(((coalesce(p_size, 0) >> $b) & 1) << ${2 * b})",
           s"((((p_partkey % 64) >> $b) & 1) << ${2 * b + 1})")
       }
       s"SELECT p_partkey, (${terms.mkString(" | ")})::BIGINT AS z FROM part"
@@ -3950,8 +3951,14 @@ private[graft] object OracleSql {
         |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
 
+    // dedupKeys is a DEDUP, not a count-distinct: a NULL key is an
+    // observable key (dropDuplicates groups it), so the replay adds the
+    // NULL group back that count(DISTINCT) skips — the source_lang_assoc
+    // margin pattern
     "stream_dedup" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users
+      """SELECT event_type,
+        |  (count(DISTINCT user_id) + max(CASE WHEN user_id IS NULL
+        |    THEN 1 ELSE 0 END))::BIGINT AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
 
     // µs grain both sides: Spark's ts is ts_ns DIV 1000, DuckDB's TIMESTAMP
@@ -4317,7 +4324,7 @@ private[graft] object OracleSql {
     "events_attribution_position" ->
       """WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pts,
         |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase' AND value >= 0),
         |c AS (SELECT event_id AS cid, user_id, epoch_ns(ts) AS cts
         |  FROM events WHERE event_type = 'click'),
         |j AS (SELECT p.pid, p.v, c.cid,
@@ -4379,7 +4386,8 @@ private[graft] object OracleSql {
       }
       def hit0 = "min0 <= 47 AND max0 >= 32"
       def hit1 = "min1 <= 111 AND max1 >= 96"
-      s"""WITH d AS (SELECT l_partkey % 256 AS d0, l_suppkey % 256 AS d1
+      s"""WITH d AS (SELECT coalesce(l_partkey % 256, 0) AS d0,
+         |    coalesce(l_suppkey % 256, 0) AS d1
          |  FROM lineitem),
          |z AS (SELECT d0, d1, (${zterms.mkString(" | ")}) AS zv,
          |    ((d0 << 8) | d1) AS lv FROM d),
@@ -4745,7 +4753,7 @@ private[graft] object OracleSql {
     "events_attribution_decay" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) AS p_ts,
         |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase' AND value >= 0),
         |c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) AS c_ts
         |  FROM events WHERE event_type = 'click'),
         |j AS (SELECT p.p_id, p.v, c.c_id, c.c_ts, p.p_ts,

@@ -292,8 +292,12 @@ object SparkEntry {
       // multi-dimensional layout key: interleave 6 bits of p_size with 6
       // bits of (p_partkey mod 64) — pure codegen'd bit arithmetic; the
       // layout itself (range-partition + sort by this key) is spec-tested
+      // NULL dimensions are placed at cell 0 EXPLICITLY (the NULLS-FIRST
+      // analogue for a layout key): zValue itself raises on NULL by
+      // contract, so the placement decision stays visible at the call site
       val z = graft.operators.ZOrder.zValue(
-        Seq(col("p_size"), pmod(col("p_partkey"), lit(64))), bits = 6)
+        Seq(coalesce(col("p_size"), lit(0)), pmod(col("p_partkey"), lit(64))),
+        bits = 6)
       t(s, dir, "part").select(col("p_partkey"), z.as("z"))
     }),
 
@@ -2964,7 +2968,11 @@ object SparkEntry {
       // purchase (the conservation invariant the integer convention
       // buys); rolled up per position bucket
       val ev = events(s, dir)
-      val purch = ev.filter(col("event_type") === "purchase").select(
+      // restricted to the operator's documented domain (credits conserve a
+      // NON-NEGATIVE value; uShapedCredits raises otherwise) — refunds/
+      // chargebacks are a different operator, not silently-wrong credit
+      val purch = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 0).select(
         col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
         col("ts_ns").as("p_ts_ns"),
         expr("cast(floor(value * 1000000.0) as long)").as("value_micro"))
@@ -3222,8 +3230,8 @@ object SparkEntry {
       // scan (tagged-union explode), stats are 128 rows
       graft.operators.ZOrder.pruningAudit(
         t(s, dir, "lineitem"),
-        d0 = pmod(col("l_partkey"), lit(256)),
-        d1 = pmod(col("l_suppkey"), lit(256)),
+        d0 = coalesce(pmod(col("l_partkey"), lit(256)), lit(0)),
+        d1 = coalesce(pmod(col("l_suppkey"), lit(256)), lit(0)),
         bits = 8, filesLog2 = 6,
         box0 = (32L, 47L), box1 = (96L, 111L))
     }),
@@ -3291,7 +3299,9 @@ object SparkEntry {
       // Σcredit = value exactly; rolled up per age to show where credit
       // mass sits by recency (the model's own decay curve)
       val ev = events(s, dir)
-      val purch = ev.filter(col("event_type") === "purchase")
+      // same non-negative-value domain restriction as the U-shaped query
+      val purch = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 0)
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
           col("ts_ns").as("p_ts"),
           expr("cast(floor(value * 1000000.0) as long)").as("value_micro"))

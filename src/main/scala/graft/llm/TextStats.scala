@@ -312,12 +312,19 @@ object TextStats {
     val nTok = tokenCount(t).cast("long")
     val nChars = length(t).cast("long")
     val nPunct = punctCount(t).cast("long")
-    val avgLen = (nChars - nTok + 1).cast("double") / nTok
+    // divisors clamped with greatest(_, 1): boolean guards (`nTok > 0`)
+    // do NOT short-circuit the division under ANSI mode — an empty/
+    // whitespace-only document made the raw `/ nTok` throw DIVIDE_BY_ZERO
+    // (found by the r15 differential fuzz corpus). The clamped value only
+    // flows where the guard already made the flag's outcome independent
+    // of it.
+    val avgLen = (nChars - nTok + 1).cast("double") / greatest(nTok, lit(1L))
     df.withColumn("tokens_ok", nTok.between(minTokens, maxTokens))
       .withColumn("avg_len_ok",
         nTok > 0 && avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen)
       .withColumn("punct_ok",
-        nChars === 0 || nPunct.cast("double") / nChars <= maxPunctRatio)
+        nChars === 0 ||
+          nPunct.cast("double") / greatest(nChars, lit(1L)) <= maxPunctRatio)
       .withColumn("has_stopword",
         stopwordCount(t, stopwordProfiles.flatMap(_._2)) > 0)
       .withColumn("keep",

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *  - `joinType` `"left"` keeps unmatched left rows with nulls, `"inner"`
   *    drops them;
   *  - a left row with a null time matches nothing; right rows with null
-  *    times never match.
+  *    times never match;
+  *  - JOIN null semantics on keys: a NULL key never matches — not even
+  *    another NULL (the window implementation would otherwise give NULL
+  *    keys GROUP BY semantics, silently pairing null-key rows; r15
+  *    differential fuzz finding). Null-key left rows survive a left join
+  *    unmatched.
   *
   * '''Plan shape (the 100-TB design).''' A naive formulation is a range
   * join (`l.key = r.key AND r.t <= l.t`) + per-left-row argmax: Spark plans
@@ -91,7 +96,12 @@ object AsofJoin {
         lit(null).cast(tieType).as(Tie),
         lit(null).cast(rPayloadType).as(RPay)): _*)
     val rTagged = right
-      .filter(col(rightTimeCol).isNotNull)
+      // null time never matches; null KEY never matches either (join
+      // semantics, not GROUP BY — see scaladoc) so those rows can be
+      // dropped before the shuffle instead of poisoning the null-key
+      // window partition
+      .filter(col(rightTimeCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
         lCols.map { c =>
           if (keyCols.contains(c)) col(c) else lit(null).cast(lSchema(c).dataType).as(c)

@@ -50,7 +50,10 @@ object KmvOps {
     requireK(k)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
-    df.select(groupCols.map(col) :+ h.as("__graft_h"): _*)
+    // COUNT DISTINCT skips NULLs (SQL convention) — made explicit here
+    // rather than trusting the aggregator to drop the null hash
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("__graft_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
         .as("kmv_sketch"))

@@ -287,12 +287,16 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    // Option key: a NULL user_id is an ordinary group (the batch
+    // `GROUP BY` convention this fold must converge to) — a bare Long
+    // key would kill the stream with NOT_NULL_ASSERT_VIOLATION on the
+    // first NULL (r15 differential fuzz finding)
     stream.select(col("user_id").cast("long"))
-      .as[Long]
+      .as[Option[Long]]
       .groupByKey(identity)
-      .flatMapGroupsWithState[Long, (Long, Long)](
+      .flatMapGroupsWithState[Long, (Option[Long], Long)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+        (uid: Option[Long], rows: Iterator[Option[Long]], state: GroupState[Long]) =>
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           Iterator((uid, n))

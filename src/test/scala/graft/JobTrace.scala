@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway diagnostic: run one query and print every Spark job with its
+  * description/callsite, to attribute job-count budgets. Deleted after use
+  * (the round-workflow convention). */
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val (name, dir) = (args(0), args.lift(1).getOrElse("/root/testdata/sf0.01"))
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    try SparkEntry.queries(name)(spark, dir).count() catch { case _: Throwable => () }
+    val jobs = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(js.properties)
+          .map(_.getProperty("spark.job.description")).filter(_ != null)
+          .getOrElse("")
+        val cs = Option(js.properties)
+          .map(_.getProperty("callSite.short")).filter(_ != null)
+          .getOrElse("")
+        jobs.add(f"job ${js.jobId}%3d stages=${js.stageInfos.size}%2d  $cs  $d")
+      }
+    })
+    SparkEntry.queries(name)(spark, dir).count()
+    Thread.sleep(1500)
+    jobs.forEach(s => println(s))
+    println(s"TOTAL ${jobs.size} jobs")
+    spark.stop()
+  }
+}
