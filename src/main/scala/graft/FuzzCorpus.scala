@@ -31,11 +31,14 @@ import scala.util.Random
   * per seed, so any divergence the harness finds replays exactly. */
 object FuzzCorpus {
 
-  private def ts(micros: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-    t
-  }
+  // NTZ (naive) timestamps — the fixture's physical parquet type
+  // (isAdjustedToUTC=false); a tz-adjusted TimestampType here would make
+  // DuckDB render '+00' suffixes the fixture never has
+  private def ts(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 
   private val DAY_US = 86400000000L
   // epoch day ranges matching the fixture (queries parameterize on them)
@@ -175,7 +178,7 @@ object FuzzCorpus {
         StructField("o_custkey", LongType, nullable = true),
         StructField("o_orderstatus", StringType, nullable = true),
         StructField("o_totalprice", DoubleType, nullable = true),
-        StructField("o_orderdate", TimestampType, nullable = true),
+        StructField("o_orderdate", TimestampNTZType, nullable = true),
         StructField("o_orderpriority", StringType, nullable = true))))
   }
 
@@ -218,7 +221,7 @@ object FuzzCorpus {
         StructField("l_tax", DoubleType, nullable = true),
         StructField("l_returnflag", StringType, nullable = true),
         StructField("l_linestatus", StringType, nullable = true),
-        StructField("l_shipdate", TimestampType, nullable = true))))
+        StructField("l_shipdate", TimestampNTZType, nullable = true))))
   }
 
   private def events(spark: SparkSession, r: Random, n: Int) = {
@@ -252,7 +255,7 @@ object FuzzCorpus {
       spark.sparkContext.parallelize(rows, 4),
       StructType(Seq(
         StructField("event_id", LongType, nullable = false),
-        StructField("ts", TimestampType, nullable = false),
+        StructField("ts", TimestampNTZType, nullable = false),
         StructField("user_id", LongType, nullable = true),
         StructField("event_type", StringType, nullable = false),
         StructField("value", DoubleType, nullable = true),

@@ -423,7 +423,8 @@ private[graft] object OracleSql {
   private def modelAucSql(dim: Int = 64, seed: Long = 42L): String = {
     s"""${jlScoreCtes(dim, seed)},
        |r AS (SELECT label,
-       |    row_number() OVER (ORDER BY score, vec_id) AS r FROM s),
+       |    row_number() OVER (ORDER BY score, vec_id) AS r FROM s
+       |  WHERE label IS NOT NULL),
        |p AS (SELECT label, count(*)::BIGINT AS n_pos,
        |    sum(r)::HUGEINT AS rpos FROM r GROUP BY 1),
        |t AS (SELECT sum(n_pos)::BIGINT AS n FROM p)
@@ -1301,7 +1302,7 @@ private[graft] object OracleSql {
       """SELECT event_id, user_id, event_type, value, rank FROM (
         |  SELECT event_id, user_id, event_type, value,
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id)::INT AS rank
+        |      ORDER BY value NULLS FIRST, event_id)::INT AS rank
         |  FROM events) WHERE rank <= 3""".stripMargin),
 
     "skewjoin_typed" -> (
@@ -1388,7 +1389,7 @@ private[graft] object OracleSql {
 
     "events_ntile" ->
       """WITH t AS (SELECT event_type, value, ntile(4) OVER (
-        |    PARTITION BY event_type ORDER BY value, event_id) AS q
+        |    PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS q
         |  FROM events)
         |SELECT event_type, q::BIGINT AS q, count(*) AS n,
         |  min(value) AS min_v, max(value) AS max_v
@@ -1501,7 +1502,7 @@ private[graft] object OracleSql {
          |  FROM tk)
          |SELECT doc_id, (s - 1) // 32 AS chunk_id,
          |  len(toks[s:s+39])::BIGINT AS n_chunk_tokens,
-         |  array_to_string(toks[s:s+39], ' ') AS chunk_text
+         |  coalesce(array_to_string(toks[s:s+39], ' '), '') AS chunk_text
          |FROM st""".stripMargin),
 
     "text_repetition" -> (
@@ -1626,14 +1627,15 @@ private[graft] object OracleSql {
         |    THEN n_chars END) AS med FROM m GROUP BY lang),
         |d AS (SELECT doc_id, documents.lang, n_chars, med.med,
         |    abs(n_chars - med.med) AS dev
-        |  FROM documents JOIN med ON documents.lang = med.lang),
+        |  FROM documents JOIN med
+        |    ON documents.lang IS NOT DISTINCT FROM med.lang),
         |m2 AS (SELECT lang, dev,
         |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n FROM d),
         |mad AS (SELECT lang, max(CASE WHEN rn = greatest(1, ceil(n * 0.5))
         |    THEN dev END) AS mad FROM m2 GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad, d.dev
-        |FROM d JOIN mad ON d.lang = mad.lang
+        |FROM d JOIN mad ON d.lang IS NOT DISTINCT FROM mad.lang
         |WHERE d.dev > 2 * mad.mad""".stripMargin,
 
     // postings replay: the dedup_substring bounded-lateral motif gives
@@ -1900,7 +1902,7 @@ private[graft] object OracleSql {
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 - 1704067200 AS x,
         |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |a AS (SELECT event_type, count(*)::HUGEINT AS n,
         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
@@ -1963,7 +1965,7 @@ private[graft] object OracleSql {
         |    n.ts_us - r.last >= 600000000,
         |    CASE WHEN n.ts_us - r.last >= 600000000
         |      THEN n.ts_us ELSE r.last END
-        |  FROM n JOIN r ON n.user_id = r.user_id
+        |  FROM n JOIN r ON n.user_id IS NOT DISTINCT FROM r.user_id
         |    AND n.event_type = r.event_type AND n.rn = r.rn + 1)
         |SELECT user_id, event_type, event_id, ts_us FROM r WHERE kept""".stripMargin,
 
@@ -1989,7 +1991,7 @@ private[graft] object OracleSql {
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 - 1704067200 AS x,
         |    CAST(floor(value * 1000000.0) AS BIGINT) AS y
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |a AS (SELECT event_type, count(*)::HUGEINT AS n,
         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
@@ -2210,7 +2212,8 @@ private[graft] object OracleSql {
         |  FROM documents),
         |r AS (SELECT doc_id, source, row_number() OVER (
         |    PARTITION BY source ORDER BY hk, doc_id) AS rn FROM h)
-        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |SELECT doc_id, r.source AS source FROM r JOIN q
+        |  ON r.source IS NOT DISTINCT FROM q.source
         |WHERE rn <= quota""".stripMargin,
 
     "embed_project" -> embedProjectSql(),
@@ -2287,8 +2290,9 @@ private[graft] object OracleSql {
       """WITH c AS (SELECT source, count(*)::BIGINT AS n
         |  FROM documents GROUP BY 1),
         |f AS (SELECT source, n,
-        |    row_number() OVER (ORDER BY n, source) AS i,
-        |    sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS s,
+        |    row_number() OVER (ORDER BY n, source NULLS FIRST) AS i,
+        |    sum(n) OVER (ORDER BY n, source NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS s,
         |    count(*) OVER () AS g, sum(n) OVER () AS tot
         |  FROM c),
         |cap AS (SELECT max(CASE WHEN tot <= 300 THEN n
@@ -2298,7 +2302,8 @@ private[graft] object OracleSql {
         |r AS (SELECT greatest(least(300 - sum(alloc0), 300), 0)::BIGINT AS rem
         |  FROM a),
         |b AS (SELECT a.*, r.rem,
-        |    row_number() OVER (PARTITION BY (n > alloc0) ORDER BY source) AS br
+        |    row_number() OVER (PARTITION BY (n > alloc0)
+        |      ORDER BY source NULLS FIRST) AS br
         |  FROM a, r)
         |SELECT source, n, cap,
         |  (CASE WHEN n > alloc0 AND br <= rem THEN alloc0 + 1
@@ -2326,7 +2331,8 @@ private[graft] object OracleSql {
         |  FROM r GROUP BY source),
         |j AS (SELECT d.source, d.n_chars, b.p10, b.p90,
         |    least(greatest(d.n_chars, b.p10), b.p90) AS wv
-        |  FROM documents d JOIN b ON d.source = b.source
+        |  FROM documents d JOIN b
+        |    ON d.source IS NOT DISTINCT FROM b.source
         |  WHERE d.n_chars IS NOT NULL)
         |SELECT source, count(*)::BIGINT AS n,
         |  min(p10)::BIGINT AS p10, min(p90)::BIGINT AS p90,
@@ -2374,7 +2380,9 @@ private[graft] object OracleSql {
         |    user_id FROM events),
         |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
         |days AS (SELECT DISTINCT day FROM du),
-        |wau AS (SELECT d.day, count(DISTINCT du.user_id)::BIGINT AS wau
+        |wau AS (SELECT d.day, (count(DISTINCT du.user_id) +
+        |    max(CASE WHEN du.user_id IS NULL THEN 1 ELSE 0 END))::BIGINT
+        |      AS wau
         |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
         |  GROUP BY 1)
         |SELECT dau.day, dau.dau, wau.wau,
@@ -3523,7 +3531,7 @@ private[graft] object OracleSql {
         |    length(text) - length(regexp_replace(text,
         |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
         |    length(text) AS n
-        |  FROM documents),
+        |  FROM documents WHERE lang IS NOT NULL),
         |cm AS (SELECT lang AS a,
         |  CASE WHEN cjk*10 > n*3 THEN 'zh'
         |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
@@ -4030,9 +4038,11 @@ private[graft] object OracleSql {
       """WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS uv
         |  FROM embeddings WHERE vec_id % 4 <> 0),
         |s AS (SELECT vec_id AS sid, label, embedding::DOUBLE[] AS sv
-        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |  FROM embeddings WHERE vec_id % 4 = 0 AND label IS NOT NULL),
         |sc AS (SELECT u.vec_id, s.sid, s.label,
-        |    list_cosine_similarity(uv, sv) AS cos
+        |    CASE WHEN list_dot_product(uv, uv) = 0
+        |        OR list_dot_product(sv, sv) = 0 THEN 0.0
+        |      ELSE list_cosine_similarity(uv, sv) END AS cos
         |  FROM u CROSS JOIN s WHERE u.vec_id <> s.sid),
         |r AS (SELECT vec_id, sid, label, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY cos DESC, sid) AS rnk FROM sc),
@@ -4048,9 +4058,11 @@ private[graft] object OracleSql {
       """WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS uv
         |  FROM embeddings WHERE vec_id % 4 <> 0),
         |s AS (SELECT vec_id AS sid, label, embedding::DOUBLE[] AS sv
-        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |  FROM embeddings WHERE vec_id % 4 = 0 AND label IS NOT NULL),
         |sc AS (SELECT u.vec_id, s.sid, s.label,
-        |    list_cosine_similarity(uv, sv) AS cos
+        |    CASE WHEN list_dot_product(uv, uv) = 0
+        |        OR list_dot_product(sv, sv) = 0 THEN 0.0
+        |      ELSE list_cosine_similarity(uv, sv) END AS cos
         |  FROM u CROSS JOIN s WHERE u.vec_id <> s.sid),
         |r AS (SELECT vec_id, sid, label, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY cos DESC, sid) AS rnk FROM sc),
@@ -4080,7 +4092,8 @@ private[graft] object OracleSql {
     // (10⁶ div deg summed) makes the score engine-portable
     "graph_link_predict" ->
       """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
         |deg AS (SELECT p, count(*)::BIGINT AS d FROM e GROUP BY p),
         |pairs AS (SELECT a.c AS id_a, b.c AS id_b,
         |    count(*)::BIGINT AS cn,
@@ -4504,7 +4517,8 @@ private[graft] object OracleSql {
         |      AS n_b
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, event_type, n_a, n_b, abs(n_b - n_a) AS delta
-        |FROM c ORDER BY delta DESC, user_id, event_type LIMIT 25""".stripMargin,
+        |FROM c ORDER BY delta DESC, user_id NULLS FIRST, event_type
+        |LIMIT 25""".stripMargin,
 
     // threshold-sweep replay: the dedup_jaccard_exact gram pipeline at
     // the 2/5 boundary, integer twentieth-bands, reverse cumulative over
@@ -4606,9 +4620,11 @@ private[graft] object OracleSql {
         |      AS monetary_micro
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |b AS (SELECT monetary_micro,
-        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_bucket,
-        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_bucket,
-        |    ntile(5) OVER (ORDER BY monetary_micro, user_id) AS m_bucket
+        |    ntile(5) OVER (ORDER BY recency_days,
+        |      user_id NULLS FIRST) AS r_bucket,
+        |    ntile(5) OVER (ORDER BY freq, user_id NULLS FIRST) AS f_bucket,
+        |    ntile(5) OVER (ORDER BY monetary_micro NULLS FIRST,
+        |      user_id NULLS FIRST) AS m_bucket
         |  FROM u)
         |SELECT r_bucket::BIGINT AS r_bucket, f_bucket::BIGINT AS f_bucket,
         |  m_bucket::BIGINT AS m_bucket, count(*)::BIGINT AS n_users,
@@ -4910,7 +4926,7 @@ private[graft] object OracleSql {
     // fold's convergence target
     "stream_throttle" ->
       """WITH RECURSIVE e AS (SELECT
-        |    user_id::VARCHAR || ':' || event_type AS key, event_id,
+        |    concat_ws(':', user_id::VARCHAR, event_type) AS key, event_id,
         |    epoch_ns(ts) // 1000 AS ts_us FROM events),
         |n AS (SELECT *, row_number() OVER (PARTITION BY key
         |    ORDER BY ts_us, event_id) AS rn FROM e),
@@ -4921,7 +4937,8 @@ private[graft] object OracleSql {
         |  SELECT n.key, n.ts_us, n.rn, n.ts_us - r.last >= 600000000,
         |    CASE WHEN n.ts_us - r.last >= 600000000
         |      THEN n.ts_us ELSE r.last END
-        |  FROM n JOIN r ON n.key = r.key AND n.rn = r.rn + 1)
+        |  FROM n JOIN r ON n.key IS NOT DISTINCT FROM r.key
+        |    AND n.rn = r.rn + 1)
         |SELECT key, count(*)::BIGINT AS n_events,
         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
         |  max(last)::BIGINT AS last_kept_ts

@@ -273,7 +273,10 @@ object SparkEntry {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted counters — an unscoped fill would also
+        // rewrite a NULL user_id key to 0, silently merging the NULL-key
+        // group into user 0 (r15 differential fuzz finding)
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
     }),
 
     "csv_roundtrip" -> ((s, dir) => {
@@ -1000,10 +1003,22 @@ object SparkEntry {
       // so the full-corpus pair list filtered to history×history IS the
       // history-only pair list — localCheckpoint materializes the shingle
       // stage once and both legs scan the checkpointed frame
-      val allPairs = graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
-          numHashes = 32, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b")
-        .localCheckpoint()
+      // the LSH pass runs AQE-off here: the r14 bucket cap + connectivity
+      // rescue bound band-join skew ALGORITHMICALLY (no bucket exceeds
+      // maxBucketSize), so AQE's runtime skew-split has nothing left to
+      // fix on this pipeline while segmenting each internal checkpoint
+      // into ~2-4 stage-jobs (this query measured 35 jobs; the job-tax
+      // signature). Same save/restore discipline as the CC rounds.
+      val conf = s.conf
+      val savedAqe = conf.get("spark.sql.adaptive.enabled")
+      val allPairs =
+        try {
+          conf.set("spark.sql.adaptive.enabled", "false")
+          graft.llm.Dedup.minHashDedupPairs(docs, "doc_id", "text",
+              numHashes = 32, bands = 16, threshold = 0.5)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        } finally conf.set("spark.sql.adaptive.enabled", savedAqe)
       val histAssign = graft.operators.ConnectedComponents.connectedComponents(
         allPairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0))
       val newPairs = allPairs
@@ -1902,8 +1917,13 @@ object SparkEntry {
       active
         .withColumn("__next", lead(col("h"), 1).over(w))
         .groupBy("h")
+        // anonymous (NULL user_id) activity counts as active but can never
+        // be RETAINED — the window's NULL partition lumps all anonymous
+        // rows into one pseudo-user whose consecutive hours would
+        // otherwise read as false retention (r15 differential fuzz)
         .agg(count(lit(1)).as("n_active"),
-          sum(when(col("__next") === col("h") + expr("INTERVAL 1 HOUR"), 1L)
+          sum(when(col("user_id").isNotNull &&
+              col("__next") === col("h") + expr("INTERVAL 1 HOUR"), 1L)
             .otherwise(0L)).as("n_retained"))
         .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
           col("n_active"), col("n_retained"))
@@ -2717,6 +2737,9 @@ object SparkEntry {
         .unpivot(Array(col("l_returnflag")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "v")
+        // SQL UNPIVOT semantics: a NULL measure is an ABSENT cell, not a
+        // row — Spark's unpivot keeps it, so drop explicitly (r15 fuzz)
+        .filter(col("v").isNotNull)
         .groupBy("l_returnflag", "metric")
         .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
     }),
@@ -3120,15 +3143,30 @@ object SparkEntry {
         // (measured 166 exchanges); the frame is per-purchase-user
         // aggregate grain — the events_stickiness precedent
         .localCheckpoint()
-      val withR = graft.operators.GroupedRank.withGroupNtile(
-        u, Seq.empty, Seq(col("recency_days"), col("user_id")),
-        k = 5, ntileCol = "r_bucket").localCheckpoint()
-      val withF = graft.operators.GroupedRank.withGroupNtile(
-        withR, Seq.empty, Seq(col("freq"), col("user_id")),
-        k = 5, ntileCol = "f_bucket").localCheckpoint()
-      graft.operators.GroupedRank.withGroupNtile(
-        withF, Seq.empty, Seq(col("monetary_micro"), col("user_id")),
-        k = 5, ntileCol = "m_bucket")
+      // the three ntile passes run on the CHECKPOINTED per-user aggregate
+      // (thousands of rows at any SF, orders of magnitude below event
+      // grain): AQE has nothing left to adapt there, but it segments each
+      // pass's eager materialization into ~10 stage-jobs apiece (measured
+      // 40 jobs for this query; the CC-backbone job-tax signature). The
+      // passes run AQE-off — the ConnectedComponents rounds pattern —
+      // under the same save/restore discipline; the corpus-scale base
+      // build above keeps AQE.
+      val conf = s.conf
+      val savedAqe = conf.get("spark.sql.adaptive.enabled")
+      val withM =
+        try {
+          conf.set("spark.sql.adaptive.enabled", "false")
+          val r = graft.operators.GroupedRank.withGroupNtile(
+            u, Seq.empty, Seq(col("recency_days"), col("user_id")),
+            k = 5, ntileCol = "r_bucket").localCheckpoint()
+          val f = graft.operators.GroupedRank.withGroupNtile(
+            r, Seq.empty, Seq(col("freq"), col("user_id")),
+            k = 5, ntileCol = "f_bucket").localCheckpoint()
+          graft.operators.GroupedRank.withGroupNtile(
+            f, Seq.empty, Seq(col("monetary_micro"), col("user_id")),
+            k = 5, ntileCol = "m_bucket").localCheckpoint()
+        } finally conf.set("spark.sql.adaptive.enabled", savedAqe)
+      withM
         .groupBy(col("r_bucket").cast("long").as("r_bucket"),
           col("f_bucket").cast("long").as("f_bucket"),
           col("m_bucket").cast("long").as("m_bucket"))

@@ -85,7 +85,29 @@ object GraftFunctions {
           s"top_k: k must be an INT literal, got $other")
       }
       TopKAgg(child, k)
+    },
+    // r15 (VERDICT task 7): the dedup-family primitives for pure-SQL
+    // users — signature + shingle + winnow were Scala-only; each int
+    // parameter must be a literal (it shapes codegen, not row data)
+    "min_hash_sig" -> two("min_hash_sig") { (child, kExpr) =>
+      MinHashSig(child, intLit("min_hash_sig", "numHashes", kExpr))
+    },
+    "char_shingle_set" -> two("char_shingle_set") { (child, kExpr) =>
+      CharShingleSet(child, intLit("char_shingle_set", "k", kExpr))
+    },
+    "winnow_fps" -> { exprs =>
+      require(exprs.length == 3,
+        s"winnow_fps expects 3 arguments, got ${exprs.length}")
+      WinnowFingerprints(exprs(0), intLit("winnow_fps", "k", exprs(1)),
+        intLit("winnow_fps", "window", exprs(2)))
     })
+
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -367,8 +367,11 @@ object Sampling {
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: got $budget")
     val W = org.apache.spark.sql.expressions.Window
-    val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(groupCol).agg(count(lit(1)).as("n"))
+    // a NULL group key is an ordinary stratum (the sampling-family
+    // convention, same as sampleByTemperature): rows without a source
+    // still compete for budget — silently dropping them under-allocates
+    // (r15 differential fuzz finding)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
     val byN = W.orderBy(col("n"), col(groupCol))
     // row i (ascending by count): if the cap lands in segment
     // [n_{i−1}, n_i) — groups before i uncapped, i..G capped — then

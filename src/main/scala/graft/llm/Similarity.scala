@@ -661,8 +661,12 @@ object Similarity {
     require(k >= 1, s"k must be positive, got $k")
     val u = unlabeled.select(col(uIdCol).as("vec_id"), col(uVecCol).as("uv"),
       l2Norm(col(uVecCol)).as("__un"))
-    val s = seeds.select(col(sIdCol).as("__sid"), col(sVecCol).as("sv"),
-      col(sLabelCol).as("pred_label"), l2Norm(col(sVecCol)).as("__sn"))
+    // an unlabeled seed cannot teach: NULL-label seeds are dropped BEFORE
+    // the top-k, so they neither vote nor crowd labeled seeds out of the
+    // neighborhood (r15 differential fuzz finding)
+    val s = seeds.filter(col(sLabelCol).isNotNull)
+      .select(col(sIdCol).as("__sid"), col(sVecCol).as("sv"),
+        col(sLabelCol).as("pred_label"), l2Norm(col(sVecCol)).as("__sn"))
     val denom = col("__un") * col("__sn")
     val scored = u.crossJoin(broadcast(s))
       .filter(col("vec_id") =!= col("__sid")) // a seed never votes for itself

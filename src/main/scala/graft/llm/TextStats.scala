@@ -19,12 +19,18 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word unit count: alphanumeric runs + each punctuation mark
-    * counts as its own token (a cheap, deterministic proxy for a real
-    * tokenizer's token count). */
+  /** BPE-ish sub-word unit count: alphanumeric runs + each non-alnum,
+    * non-space character counts as its own token (a cheap, deterministic
+    * proxy for a real tokenizer's token count).
+    *
+    * Counted as runs + `length` of the text with `[a-zA-Z0-9 ]` removed:
+    * `length` counts CODEPOINTS, so an astral-plane character (emoji) is
+    * ONE token. The previous lookaround-split formulation walked UTF-16
+    * units and counted each surrogate half separately — off by one per
+    * astral character vs the DuckDB replay (r15 differential fuzz). */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(trim(t)) > 0))
+    size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
 
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

@@ -156,8 +156,22 @@ object ConnectedComponents {
     val pairsPlan = newPairs
       .filter(col(idA).isNotNull && col(idB).isNotNull && col(idA) =!= col(idB))
       .select(col(idA), col(idB))
+    // Skip the materialization when the caller already checkpointed: a
+    // narrow (filter/project-only) lineage over an RDD scan re-reads the
+    // caller's checkpoint blocks for both consumers anyway, and the extra
+    // eager localCheckpoint would just pay one more job + a block-set copy
+    // (the dedup_groups_incremental query hit exactly this — its pair list
+    // arrives pre-checkpointed from the shared LSH pass).
+    def narrowOverRdd(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => narrowOverRdd(f.child)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project => narrowOverRdd(pr.child)
+      case _ => false
+    }
     val pairs =
-      if (checkpointDir.isDefined) pairsPlan.checkpoint() else pairsPlan.localCheckpoint()
+      if (checkpointDir.isDefined) pairsPlan.checkpoint()
+      else if (narrowOverRdd(pairsPlan.queryExecution.optimizedPlan)) pairsPlan
+      else pairsPlan.localCheckpoint()
     val ends = pairs.select(col(idA).as("node"))
       .union(pairs.select(col(idB).as("node"))).distinct()
     val affected = assignment.join(ends, Seq("node"), "left_semi")

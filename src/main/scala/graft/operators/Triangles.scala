@@ -36,11 +36,20 @@ object Triangles {
     * canonicalized and deduplicated first). Returns one row
     * `(n_edges, n_triangles)`. */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // `canon` has FOUR consumers (degree agg, the oriented join, the
+    // closure semi-join probe, the edge count): under AQE the identical
+    // subtree's exchange is deduplicated by a reuse cache that consumers
+    // race to populate — when two stages submit before either registers,
+    // the shuffle runs TWICE and the query's job/stage/byte fingerprint
+    // flips run-to-run ([14,32] vs [15,39] at sf0.01, the only flaky
+    // fingerprint on the r14 surface). One explicit materialization makes
+    // the plan deterministic and never recomputes the canonical edge set.
     val canon = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
+      .localCheckpoint()
     // degrees from the canonical list: node-scale, map-side combined
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))

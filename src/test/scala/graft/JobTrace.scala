@@ -27,10 +27,14 @@ object JobTrace {
         val cs = Option(js.properties)
           .map(_.getProperty("callSite.short")).filter(_ != null)
           .getOrElse("")
-        jobs.add(f"job ${js.jobId}%3d stages=${js.stageInfos.size}%2d  $cs  $d")
+        val sn = js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")
+        jobs.add(f"job ${js.jobId}%3d stages=${js.stageInfos.size}%2d  $cs $d  [${sn.take(180)}]")
       }
     })
-    SparkEntry.queries(name)(spark, dir).count()
+    val out = SparkEntry.queries(name)(spark, dir)
+    out.count()
+    if (sys.env.get("GRAFT_TRACE_PLAN").contains("1"))
+      println(out.queryExecution.executedPlan.toString.take(8000))
     Thread.sleep(1500)
     jobs.forEach(s => println(s))
     println(s"TOTAL ${jobs.size} jobs")

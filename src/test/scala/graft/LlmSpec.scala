@@ -397,6 +397,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("r15: SQL forms of the dedup primitives plan identically to the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "", "aaaaa aaaaa").toDF("text")
+    df.createOrReplaceTempView("t_sqlsig")
+    val sqlForm = spark.sql(
+      """SELECT min_hash_sig(char_shingle_set(text, 5), 8) AS sig,
+        |       winnow_fps(text, 5, 4) AS fp
+        |FROM t_sqlsig""".stripMargin)
+    val colForm = df.select(
+      graft.functions.MinHashSig.minHashSig(
+        graft.functions.CharShingleSet.charShingleSet(col("text"), 5), 8)
+        .as("sig"),
+      graft.functions.WinnowFingerprints.winnowFingerprints(col("text"), 5, 4)
+        .as("fp"))
+    // same canonicalized optimized plan => the SQL surface is the SAME
+    // operator, not a lookalike (the VERDICT task-7 contract)
+    assert(sqlForm.queryExecution.optimizedPlan.canonicalized ==
+      colForm.queryExecution.optimizedPlan.canonicalized)
+    assert(sqlForm.collect().map(_.toString).toSeq ==
+      colForm.collect().map(_.toString).toSeq)
+    // shape parameters must be literals (they size codegen, not row data)
+    intercept[Exception] {
+      spark.sql("SELECT min_hash_sig(array('a'), length(text)) FROM t_sqlsig")
+        .collect()
+    }
+  }
+
   test("cosineSim is 1 for identical, 0 for orthogonal vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
