@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// local-cluster mode (FaultProbe): the in-process Worker builds executor
+// launch commands via the launcher, which needs the Scala version that
+// spark-class normally exports; without it ExecutorRunner dies in
+// getScalaVersion ("Cannot find any build directories").
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"

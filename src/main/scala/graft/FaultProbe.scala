@@ -49,10 +49,11 @@ object FaultProbe {
 
   /** Order-independent result fingerprint: (row count, sum of a per-row
     * hash) — collected as two longs, never rows. */
-  private def checksum(df: DataFrame): (Long, Long) = {
+  private def checksum(df: DataFrame): (Long, String) = {
+    // decimal sum: 3M+ signed 64-bit hashes overflow a long under ANSI
     val r = df.agg(count(lit(1)),
-      sum(xxhash64(col("node"), col("component")))).head()
-    (r.getLong(0), r.getLong(1))
+      sum(xxhash64(col("node"), col("component")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
   }
 
   private val addOpens = Seq(
@@ -89,20 +90,29 @@ object FaultProbe {
     val killed = new java.util.concurrent.CompletableFuture[Long]()
     val t = new Thread(() => {
       Thread.sleep(delayMs)
-      val self = ProcessHandle.current()
-      val victim = self.descendants()
-        .filter(p => p.info().commandLine()
-          .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
-          .orElse(false))
-        .findFirst()
-      if (victim.isPresent) {
-        val pid = victim.get().pid()
-        victim.get().destroyForcibly()
-        System.err.println(s"[faultprobe] killed executor pid $pid")
-        killed.complete(pid)
-      } else {
-        System.err.println("[faultprobe] no executor process found to kill")
-        killed.complete(-1L)
+      // /proc scan rather than ProcessHandle.descendants(): the JDK's
+      // commandLine() comes back empty for the executor JVMs' multi-KB
+      // classpath command lines, which made the handle-based filter blind
+      val victims = new java.io.File("/proc").listFiles()
+        .filter(f => f.getName.forall(_.isDigit))
+        .flatMap { f =>
+          try {
+            val cmd = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")))
+            if (cmd.contains("CoarseGrainedExecutorBackend"))
+              Some(f.getName.toLong)
+            else None
+          } catch { case _: Throwable => None }
+        }
+      victims.headOption match {
+        case Some(pid) =>
+          ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+          System.err.println(s"[faultprobe] killed executor pid $pid " +
+            s"(of ${victims.length} executors)")
+          killed.complete(pid)
+        case None =>
+          System.err.println("[faultprobe] no executor process found to kill")
+          killed.complete(-1L)
       }
     })
     t.setDaemon(true)
@@ -112,17 +122,21 @@ object FaultProbe {
 
   /** One staged run. Returns (completed, checksum, killedPid, note). */
   private def stagedRun(reliable: Boolean, n: Long, killAfterMs: Long,
-      ckptDir: String): (Boolean, Option[(Long, Long)], Long, String) = {
+      ckptDir: String): (Boolean, Option[(Long, String)], Long, String) = {
     val spark = clusterSession(s"graft-faultprobe-${if (reliable) "reliable" else "local"}")
     try {
       // make sure both executors are up before the clock starts
       spark.range(1000).repartition(8).count()
       val kill = scheduleKill(killAfterMs)
-      val cc = graft.operators.ConnectedComponents.connectedComponents(
-        edges(spark, n), maxIter = 40,
-        checkpointDir = if (reliable) Some(ckptDir) else None)
+      // CC construction is EAGER (the closure's rounds run inside it), so
+      // it must sit inside the same catch as the final action
       val result =
-        try { val c = checksum(cc); (true, Some(c), "completed") }
+        try {
+          val cc = graft.operators.ConnectedComponents.connectedComponents(
+            edges(spark, n), maxIter = 40,
+            checkpointDir = if (reliable) Some(ckptDir) else None)
+          val c = checksum(cc); (true, Some(c), "completed")
+        }
         catch { case e: Throwable =>
           (false, None,
             s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)}")
@@ -155,7 +169,7 @@ object FaultProbe {
 
     var reliableOk = true; var localOk = true
     var reliableJson = "null"; var localJson = "null"
-    def j(completed: Boolean, cs: Option[(Long, Long)], pid: Long,
+    def j(completed: Boolean, cs: Option[(Long, String)], pid: Long,
         note: String, matches: Option[Boolean]) =
       s"""{"completed": $completed, "killed_pid": $pid, "matches_clean": ${matches.map(_.toString).getOrElse("null")}, "note": ${Verify.q(note)}}"""
 
@@ -179,7 +193,7 @@ object FaultProbe {
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val ok = reliableOk && localOk
-    println(s"""{"probe":"executor_kill","n_edges_base":$n,"kill_after_ms":$killAfterMs,"clean_checksum":[${clean._1},${clean._2}],"reliable":$reliableJson,"local_checkpoint":$localJson,"ok":$ok}""")
+    println(s"""{"probe":"executor_kill","n_edges_base":$n,"kill_after_ms":$killAfterMs,"clean_checksum":[${clean._1},"${clean._2}"],"reliable":$reliableJson,"local_checkpoint":$localJson,"ok":$ok}""")
     if (!ok) sys.exit(1)
   }
 }
