@@ -67,7 +67,12 @@ object ScaleProbeGS {
         (col("id") * 20 - pmod(col("id") * 20, lit(1048576L)) +
           pmod(xxhash64(col("id")), lit(16L))).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val edges = chain.unionAll(hubs)
+    // (i, i+2) shortcuts on the first 100 nodes of each chain close
+    // (i, i+1, i+2) triangles — the triangle leg needs actual triangles
+    val closers = spark.range(edgeScale)
+      .filter(col("id") % 1024 < 100)
+      .select(col("id").as("id_a"), (col("id") + 2).as("id_b"))
+    val edges = chain.unionAll(hubs).unionAll(closers)
     val nEdges = edges.count()
     println(s"PROBE graph: $nEdges edges, 1024-node chains + 16-hub regions")
 
@@ -158,9 +163,8 @@ object ScaleProbeGS {
     stateOf(
       StreamOps.skewedIntervalJoin(purch, clicks, Seq("user_id"),
         "0 SECOND", "1 HOUR",
-        hotKeySource = spark.read.parquet(evPath).select("user_id"))
-        .groupBy("user_id").agg(count(lit(1)).as("n_pairs")),
-      "probe_intervaljoin", "complete")
+        hotKeySource = spark.read.parquet(evPath).select("user_id")),
+      "probe_intervaljoin", "append")
 
     spark.stop()
   }
