@@ -2969,7 +2969,7 @@ private[graft] object OracleSql {
         |    any_value(a.sz) AS sza, any_value(b.sz) AS szb
         |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
-        |WHERE icnt::DOUBLE / (sza + szb - icnt) >= 0.3""".stripMargin,
+        |WHERE icnt * 10 >= (sza + szb - icnt) * 3""".stripMargin,
 
     // bipartite exact-Jaccard over the fresh/hist split — the LSH index is
     // a transparent accelerator, like the bloom prefilter

@@ -764,8 +764,20 @@ object SparkEntry {
     }),
 
     "dedup_ngram" -> ((s, dir) => {
-      graft.llm.Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      // word-3-gram Jaccard near-dup at rational threshold 3/10 — the
+      // EXACT prefix-filtered AllPairs operator, not LSH: at t = 0.3 a
+      // 16-band/32-hash minhash misses a boundary pair with probability
+      // (1 - t²)^16 ≈ 22%, and the r15 seed-2 fuzz corpus caught exactly
+      // such a miss at J = 1/3. LSH owns the ≥ 0.5 regime
+      // (dedup_minhash, where the boundary miss rate is ≤ 1% and
+      // documented); the low-threshold regime needs the deterministic
+      // operator to honor an all-pairs oracle.
+      graft.llm.Dedup.exactJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        tNum = 3, tDen = 10, ngram = 3)
+        .withColumn("jaccard",
+          col("n_intersect").cast("double") / col("n_union"))
+        .select("id_a", "id_b", "jaccard")
     }),
 
     "dedup_index_probe" -> ((s, dir) => {

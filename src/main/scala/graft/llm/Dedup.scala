@@ -225,7 +225,18 @@ object Dedup {
     * Dataflow: shingle+sign each doc once → explode band keys → self-join on
     * (band index, band key) → distinct pairs → verify. The band join is an
     * equi-join on a high-cardinality key — i.e. a `skewJoin`-compatible
-    * shuffle, not a cross join; at 100 TB the bucket sizes stay O(dups). */
+    * shuffle, not a cross join; at 100 TB the bucket sizes stay O(dups).
+    *
+    * '''Recall model (r15).''' Every emitted pair is exact-verified
+    * (precision 1), but candidate RECALL is probabilistic: a true pair at
+    * Jaccard J is missed with probability `(1 − J^(numHashes/bands))^bands`
+    * — at the default 16 bands of 2 that is ~1% at J = 0.5, 0.08% at
+    * J = 0.6, vanishing above. Use this operator at thresholds ≥ 0.5
+    * where the boundary-miss rate is a documented trade for the
+    * banded-join scale path; at LOW thresholds (≤ ~0.4) the miss rate is
+    * material (≈22% at J = 0.3 — the r15 fuzz harness caught a real one)
+    * and the deterministic [[exactJaccardJoin]] prefix-filter family is
+    * the right operator. */
   def minHashDedupPairs(
       df: DataFrame,
       idCol: String,

@@ -2,9 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway diagnostic: run one query and print every Spark job with its
-  * description/callsite, to attribute job-count budgets. Deleted after use
-  * (the round-workflow convention). */
+/** Job-attribution diagnostic (kept, not throwaway — it earned its place
+  * in the r15 job-tax sweep and the triangle-fingerprint bisect): run one
+  * query after a warm-up pass and print every Spark job with its stage
+  * names, to attribute job-count budgets to pipeline phases.
+  * `GRAFT_TRACE_PLAN=1` additionally prints the final adaptive executed
+  * plan — the tool that separated "AQE exchange-reuse race" from "join
+  * strategy flip" when a fingerprint moves.
+  *
+  * Usage: `sbt "Test/runMain graft.JobTrace <query> [sfDir]"` */
 object JobTrace {
   def main(args: Array[String]): Unit = {
     val (name, dir) = (args(0), args.lift(1).getOrElse("/root/testdata/sf0.01"))
