@@ -3165,9 +3165,15 @@ object SparkEntry {
       // build above keeps AQE.
       val conf = s.conf
       val savedAqe = conf.get("spark.sql.adaptive.enabled")
+      val savedParts = conf.get("spark.sql.shuffle.partitions")
       val withM =
         try {
           conf.set("spark.sql.adaptive.enabled", "false")
+          // replicate AQE's partition coalescing explicitly (the CC-rounds
+          // discipline): the frames are per-purchase-user grain — a few
+          // thousand rows at any SF — so the session's full partition
+          // count is pure per-task overhead here
+          conf.set("spark.sql.shuffle.partitions", "4")
           val r = graft.operators.GroupedRank.withGroupNtile(
             u, Seq.empty, Seq(col("recency_days"), col("user_id")),
             k = 5, ntileCol = "r_bucket").localCheckpoint()
@@ -3177,7 +3183,10 @@ object SparkEntry {
           graft.operators.GroupedRank.withGroupNtile(
             f, Seq.empty, Seq(col("monetary_micro"), col("user_id")),
             k = 5, ntileCol = "m_bucket").localCheckpoint()
-        } finally conf.set("spark.sql.adaptive.enabled", savedAqe)
+        } finally {
+          conf.set("spark.sql.adaptive.enabled", savedAqe)
+          conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
       withM
         .groupBy(col("r_bucket").cast("long").as("r_bucket"),
           col("f_bucket").cast("long").as("f_bucket"),
