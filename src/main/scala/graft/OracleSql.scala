@@ -107,7 +107,7 @@ private[graft] object OracleSql {
        |  FROM qb JOIN cb USING (table_id, bucket)
        |  WHERE neighbor_id <> query_id),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
-       |    list_cosine_similarity(qv, cv) AS cos
+       |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
        |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -537,7 +537,7 @@ private[graft] object OracleSql {
        |  FROM qp JOIN cb USING (bucket)
        |  WHERE neighbor_id <> query_id),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
-       |    list_cosine_similarity(qv, cv) AS cos
+       |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
        |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -575,7 +575,7 @@ private[graft] object OracleSql {
   private def annIvfSql(nCells: Int = 16, nProbe: Int = 4, k: Int = 3): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nCells),
-       |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, cv) AS cos
+       |cs AS (SELECT e.vec_id, cid, (CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(v, cv) END) AS cos
        |  FROM e CROSS JOIN cent),
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, row_number() OVER (
@@ -585,12 +585,12 @@ private[graft] object OracleSql {
        |qp AS (SELECT query_id, cid AS cell FROM (
        |  SELECT query_id, cid, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
-       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+       |  FROM (SELECT query_id, cid, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
        |    FROM q CROSS JOIN cent))
        |  WHERE rn <= $nProbe),
        |cand AS (SELECT query_id, vec_id AS neighbor_id
        |  FROM qp JOIN cell USING (cell) WHERE vec_id <> query_id),
-       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS cos
+       |s AS (SELECT query_id, neighbor_id, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(v, v) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, v) END) AS cos
        |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -610,7 +610,7 @@ private[graft] object OracleSql {
       val p = s"cent${t - 1}"
       s"""a$t AS (SELECT vec_id, cid AS cell, v FROM (
          |  SELECT e.vec_id, c.cid, e.v, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    ORDER BY (CASE WHEN list_dot_product(e.v, e.v) = 0 OR list_dot_product(c.cv, c.cv) = 0 THEN 0.0 ELSE list_cosine_similarity(e.v, c.cv) END) DESC, c.cid) AS rn
          |  FROM e CROSS JOIN $p c) WHERE rn = 1),
          |u$t AS (SELECT cell, i, sum(CAST(floor(v[i] * 16777216.0) AS BIGINT)) AS qs,
          |    count(*) AS n
@@ -627,17 +627,17 @@ private[graft] object OracleSql {
        |$iterCtes,
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    ORDER BY (CASE WHEN list_dot_product(e.v, e.v) = 0 OR list_dot_product(c.cv, c.cv) = 0 THEN 0.0 ELSE list_cosine_similarity(e.v, c.cv) END) DESC, c.cid) AS rn
        |  FROM e CROSS JOIN $fc c) WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
        |qp AS (SELECT query_id, cid AS cell FROM (
        |  SELECT query_id, cid, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
-       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+       |  FROM (SELECT query_id, cid, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
        |    FROM q CROSS JOIN $fc)) WHERE rn <= $nProbe),
        |cand AS (SELECT query_id, vec_id AS neighbor_id
        |  FROM qp JOIN cell USING (cell) WHERE vec_id <> query_id),
-       |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS cos
+       |s AS (SELECT query_id, neighbor_id, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(v, v) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, v) END) AS cos
        |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -730,7 +730,7 @@ private[graft] object OracleSql {
        |cb AS (SELECT vec_id::INT AS code, v AS cv FROM e WHERE vec_id < $codebookSize),
        |cent AS (SELECT vec_id AS cid, v AS ctv FROM e WHERE vec_id < $nCells),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
-       |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, ctv) AS cos
+       |cs AS (SELECT e.vec_id, cid, (CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(ctv, ctv) = 0 THEN 0.0 ELSE list_cosine_similarity(v, ctv) END) AS cos
        |  FROM e CROSS JOIN cent),
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, row_number() OVER (
@@ -739,7 +739,7 @@ private[graft] object OracleSql {
        |qp AS (SELECT query_id, cid AS cell FROM (
        |  SELECT query_id, cid, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
-       |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, ctv) AS cos
+       |  FROM (SELECT query_id, cid, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(ctv, ctv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, ctv) END) AS cos
        |    FROM q CROSS JOIN cent))
        |  WHERE rn <= $nProbe),
        |$dCtes,
@@ -1661,7 +1661,7 @@ private[graft] object OracleSql {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
         |  WHERE vec_id = 0),
         |cs AS (SELECT vec_id AS item_id,
-        |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, embedding::DOUBLE[]) END) AS cos
         |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
         |dense AS (SELECT item_id, row_number() OVER (
         |    ORDER BY cos DESC, item_id) AS rank FROM cs),
@@ -1747,7 +1747,7 @@ private[graft] object OracleSql {
     "semdedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-        |cs AS (SELECT e.vec_id, cid, list_cosine_similarity(v, cv) AS cos
+        |cs AS (SELECT e.vec_id, cid, (CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(v, cv) END) AS cos
         |  FROM e CROSS JOIN cent),
         |asg AS (SELECT vec_id, cid AS cluster, cos AS cent_cos FROM (
         |  SELECT vec_id, cid, cos, row_number() OVER (
@@ -1758,7 +1758,7 @@ private[graft] object OracleSql {
         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |  JOIN e ea ON ea.vec_id = a.vec_id
         |  JOIN e eb ON eb.vec_id = b.vec_id
-        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45),
+        |  WHERE (CASE WHEN list_dot_product(ea.v, ea.v) = 0 OR list_dot_product(eb.v, eb.v) = 0 THEN 0.0 ELSE list_cosine_similarity(ea.v, eb.v) END) >= 0.45),
         |dropped AS (SELECT DISTINCT CASE WHEN (ca, id_a) > (cb, id_b)
         |  THEN id_a ELSE id_b END AS vec_id FROM p)
         |SELECT vec_id, cluster,
@@ -1772,7 +1772,7 @@ private[graft] object OracleSql {
         |ev AS (SELECT v FROM e WHERE label = 0),
         |tr AS (SELECT vec_id, v, label FROM e WHERE label <> 0),
         |flagged AS (SELECT DISTINCT tr.vec_id
-        |  FROM tr JOIN ev ON list_cosine_similarity(tr.v, ev.v) >= 0.4)
+        |  FROM tr JOIN ev ON (CASE WHEN list_dot_product(tr.v, tr.v) = 0 OR list_dot_product(ev.v, ev.v) = 0 THEN 0.0 ELSE list_cosine_similarity(tr.v, ev.v) END) >= 0.4)
         |SELECT label, count(*) AS n_vecs, sum(vec_id)::BIGINT AS sum_ids
         |FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
         |GROUP BY label""".stripMargin,
@@ -2477,7 +2477,7 @@ private[graft] object OracleSql {
          |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 20),
          |xs AS (SELECT query_id, vec_id AS neighbor_id,
-         |    list_cosine_similarity(qv, v) AS cos
+         |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(v, v) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, v) END) AS cos
          |  FROM q2 CROSS JOIN e2 WHERE vec_id <> query_id),
          |xr AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (
@@ -2500,7 +2500,7 @@ private[graft] object OracleSql {
         |s AS (SELECT query_id, q.label, e.vec_id AS nid, e.label AS nlabel,
         |    CASE WHEN list_inner_product(qv, qv) = 0
         |           OR list_inner_product(v, v) = 0 THEN 0.0
-        |         ELSE list_cosine_similarity(qv, v) END AS cos
+        |         ELSE (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(v, v) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, v) END) END AS cos
         |  FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
         |r AS (SELECT query_id, label, nid, nlabel, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rank FROM s)
@@ -3099,7 +3099,7 @@ private[graft] object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+        |WHERE (CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END) >= 0.45""".stripMargin,
 
     // drop-policy replay: a doc survives iff it is not the id_b of any
     // exact-Jaccard pair — same predicate as the dedup_minhash oracle
@@ -3622,7 +3622,7 @@ private[graft] object OracleSql {
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
         |  FROM embeddings),
         |s AS (SELECT query_id, neighbor_id,
-        |    list_cosine_similarity(qv, cv) AS cos
+        |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
         |  FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -3634,7 +3634,7 @@ private[graft] object OracleSql {
     "knn_graph" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-        |    list_cosine_similarity(a.v, b.v) AS cos
+        |    (CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END) AS cos
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
         |r AS (SELECT qid, nid, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s),
@@ -3650,7 +3650,7 @@ private[graft] object OracleSql {
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
         |    label AS cl FROM embeddings),
         |s AS (SELECT query_id, neighbor_id,
-        |    list_cosine_similarity(qv, cv) AS cos
+        |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
         |  FROM q CROSS JOIN c
         |  WHERE neighbor_id <> query_id AND cl IS DISTINCT FROM ql),
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
@@ -4905,17 +4905,17 @@ private[graft] object OracleSql {
         |cent AS (SELECT vec_id AS cid, v AS cv FROM h ORDER BY vec_id LIMIT 16),
         |cell AS (SELECT vec_id, cid AS cell FROM (
         |  SELECT h.vec_id, cid, row_number() OVER (PARTITION BY h.vec_id
-        |    ORDER BY list_cosine_similarity(h.v, cv) DESC, cid) AS rn
+        |    ORDER BY (CASE WHEN list_dot_product(h.v, h.v) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(h.v, cv) END) DESC, cid) AS rn
         |  FROM h CROSS JOIN cent) WHERE rn = 1),
         |qp AS (SELECT query_id, cid AS cell FROM (
         |  SELECT query_id, cid, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
-        |  FROM (SELECT query_id, cid, list_cosine_similarity(qv, cv) AS cos
+        |  FROM (SELECT query_id, cid, (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, cv) END) AS cos
         |    FROM q CROSS JOIN cent)) WHERE rn <= 4),
         |cand AS (SELECT query_id, vec_id AS neighbor_id
         |  FROM qp JOIN cell USING (cell)),
         |s AS (SELECT query_id, neighbor_id,
-        |    list_cosine_similarity(qv, v) AS cos
+        |    (CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(v, v) = 0 THEN 0.0 ELSE list_cosine_similarity(qv, v) END) AS cos
         |  FROM cand JOIN q USING (query_id) JOIN e ON vec_id = neighbor_id),
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
@@ -5066,7 +5066,7 @@ private[graft] object OracleSql {
     "graph_clustering_coeff" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-        |    list_cosine_similarity(a.v, b.v) AS cos
+        |    (CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END) AS cos
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
         |r AS (SELECT qid, nid, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s),
