@@ -93,7 +93,11 @@ object Bench {
     // shuffles correctly count once). Spill means executor memory pressure —
     // any nonzero value at bench scale is a red flag the watch rule reads.
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-    val ioBytes = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    // keyed per STAGE (latest completed attempt wins, put-replace): a stage
+    // resubmitted after a fetch failure fires onStageCompleted once per
+    // attempt, and an additive per-group merge would count it twice —
+    // per-stage last-write-wins makes retried stages count exactly once
+    val stageIo = new java.util.concurrent.ConcurrentHashMap[Integer, (String, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
@@ -108,12 +112,19 @@ object Bench {
         val g = stageGroup.get(sc.stageInfo.stageId)
         val tm = sc.stageInfo.taskMetrics
         if (g != null && tm != null)
-          ioBytes.merge(g, (tm.shuffleReadMetrics.totalBytesRead,
-            tm.shuffleWriteMetrics.bytesWritten,
-            tm.memoryBytesSpilled + tm.diskBytesSpilled),
-            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+          stageIo.put(sc.stageInfo.stageId,
+            (g, tm.shuffleReadMetrics.totalBytesRead,
+              tm.shuffleWriteMetrics.bytesWritten,
+              tm.memoryBytesSpilled + tm.diskBytesSpilled))
       }
     })
+    def ioForGroup(g: String): (Long, Long, Long) = {
+      var r = 0L; var w = 0L; var sp = 0L
+      stageIo.values.forEach { v =>
+        if (v._1 == g) { r += v._2; w += v._3; sp += v._4 }
+      }
+      (r, w, sp)
+    }
     val timings = (1 to iters).map { it =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -172,7 +183,7 @@ object Bench {
     // (same steady-state convention as plan_jobs_stages). Full line /
     // BENCH_LAST.json only.
     val ioJson = queries.map { case (name, _) =>
-      val (r, w, sp) = ioBytes.getOrDefault(s"graftbench:$name#$iters", (0L, 0L, 0L))
+      val (r, w, sp) = ioForGroup(s"graftbench:$name#$iters")
       "\"" + name + "\":[" + r + "," + w + "," + sp + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

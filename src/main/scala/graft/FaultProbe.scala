@@ -84,6 +84,32 @@ object FaultProbe {
       .config("spark.stage.maxConsecutiveAttempts", "8")
       .getOrCreate()
 
+  /** Parent pid from `/proc/<pid>/stat` field 4 — the comm field (2) can
+    * contain spaces/parens, so parse from AFTER the last ')'. */
+  private def ppidOf(pid: Long): Option[Long] =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/stat")))
+      val rest = stat.substring(stat.lastIndexOf(')') + 1).trim.split("\\s+")
+      Some(rest(1).toLong) // fields after comm: state, PPID, ...
+    } catch { case _: Throwable => None }
+
+  /** Is `pid` a descendant of THIS JVM? Walks the /proc ppid chain (the
+    * executor JVMs are grandchildren via the standalone worker). */
+  private def isOurDescendant(pid: Long): Boolean = {
+    val self = ProcessHandle.current.pid
+    var cur = pid
+    var hops = 0
+    while (cur > 1 && hops < 32) {
+      if (cur == self) return true
+      ppidOf(cur) match {
+        case Some(p) => cur = p; hops += 1
+        case None => return false
+      }
+    }
+    false
+  }
+
   /** `kill -9` one CoarseGrainedExecutorBackend child after `delayMs`,
     * from a daemon thread. Returns the killed PID via the promise. */
   private def scheduleKill(delayMs: Long): java.util.concurrent.CompletableFuture[Long] = {
@@ -92,14 +118,18 @@ object FaultProbe {
       Thread.sleep(delayMs)
       // /proc scan rather than ProcessHandle.descendants(): the JDK's
       // commandLine() comes back empty for the executor JVMs' multi-KB
-      // classpath command lines, which made the handle-based filter blind
+      // classpath command lines, which made the handle-based filter blind.
+      // Victims are restricted to DESCENDANTS of this JVM (ppid chain): an
+      // unrelated Spark app's executors on the same host must never be
+      // killed (and would misgrade the staged outcome here).
       val victims = new java.io.File("/proc").listFiles()
         .filter(f => f.getName.forall(_.isDigit))
         .flatMap { f =>
           try {
             val cmd = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")))
-            if (cmd.contains("CoarseGrainedExecutorBackend"))
+            if (cmd.contains("CoarseGrainedExecutorBackend") &&
+                isOurDescendant(f.getName.toLong))
               Some(f.getName.toLong)
             else None
           } catch { case _: Throwable => None }

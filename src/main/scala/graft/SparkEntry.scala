@@ -4005,11 +4005,15 @@ object SparkEntry {
         .unionAll(slice(_.filter(col("day") >= 19745L &&
           col("event_type") === "purchase"), "I"))
       // the composite key is '|'-delimited; a delimiter inside event_type
-      // would silently split wrong on decode, so fail loudly instead of
-      // trusting the current {view,click,purchase,signup,error} set
+      // would silently split wrong on decode, and a NULL event_type would
+      // null-propagate through concat and collapse every (NULL, day) group
+      // into one NULL key — fail loudly on both instead of trusting the
+      // current non-null {view,click,purchase,signup,error} set
       val checked = live.withColumn("event_type",
-        when(expr("instr(event_type, '|') > 0"),
-          expr("raise_error('event_type contains the | key delimiter')"))
+        when(col("event_type").isNull,
+          expr("raise_error('event_type is NULL: the | composite key cannot encode it')"))
+          .when(expr("instr(event_type, '|') > 0"),
+            expr("raise_error('event_type contains the | key delimiter')"))
           .otherwise(col("event_type")))
       val mem = StreamOps.runToMemory(s,
         StreamOps.rollupMaintainUpdates(checked,

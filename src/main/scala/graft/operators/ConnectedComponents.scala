@@ -161,9 +161,15 @@ object ConnectedComponents {
     // caller's checkpoint blocks for both consumers anyway, and the extra
     // eager localCheckpoint would just pay one more job + a block-set copy
     // (the dedup_groups_incremental query hit exactly this — its pair list
-    // arrives pre-checkpointed from the shared LSH pass).
+    // arrives pre-checkpointed from the shared LSH pass). Plan shape alone
+    // is NOT enough: `createDataFrame` over an arbitrary (expensive,
+    // non-persisted) RDD is also a LogicalRDD scan — require the scanned
+    // RDD to actually hold materialized state (checkpointed or persisted)
+    // before trusting it to serve both consumers.
     def narrowOverRdd(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.isCheckpointed ||
+          r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => narrowOverRdd(f.child)
       case pr: org.apache.spark.sql.catalyst.plans.logical.Project => narrowOverRdd(pr.child)
       case _ => false

@@ -31,25 +31,44 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Count triangles in the undirected graph given by an edge list (any
-    * orientation, duplicates and self-loops tolerated — edges are
-    * canonicalized and deduplicated first). Returns one row
-    * `(n_edges, n_triangles)`. */
-  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // `canon` has FOUR consumers (degree agg, the oriented join, the
-    // closure semi-join probe, the edge count): under AQE the identical
-    // subtree's exchange is deduplicated by a reuse cache that consumers
-    // race to populate — when two stages submit before either registers,
-    // the shuffle runs TWICE and the query's job/stage/byte fingerprint
-    // flips run-to-run ([14,32] vs [15,39] at sf0.01, the only flaky
-    // fingerprint on the r14 surface). One explicit materialization makes
-    // the plan deterministic and never recomputes the canonical edge set.
+  /** The canonical (a < b, deduped) edge set, materialized ONCE. It has
+    * four consumers (degree agg, the oriented join, the closure semi-join
+    * probe, the edge count / member explode): under AQE the identical
+    * subtree's exchange is deduplicated by a reuse cache that consumers
+    * race to populate — when two stages submit before either registers,
+    * the shuffle runs TWICE and the query's job/stage/byte fingerprint
+    * flips run-to-run ([14,32] vs [15,39] at sf0.01, the only flaky
+    * fingerprint on the r14 surface). One explicit materialization makes
+    * the plan deterministic and never recomputes the canonical edge set.
+    *
+    * `checkpointDir = None` (default): `localCheckpoint` — fast,
+    * memory-only blocks, an executor loss kills the query (the FaultProbe
+    * death mode). `Some(dir)`: RELIABLE `checkpoint` to the cluster store,
+    * same opt-in contract as [[ConnectedComponents.connectedComponents]],
+    * for long closures on real clusters. */
+  private def canonEdges(edges: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String]): DataFrame = {
     val canon = edges
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
-      .localCheckpoint()
+    checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        canon.checkpoint()
+      case None => canon.localCheckpoint()
+    }
+  }
+
+  /** Count triangles in the undirected graph given by an edge list (any
+    * orientation, duplicates and self-loops tolerated — edges are
+    * canonicalized and deduplicated first). Returns one row
+    * `(n_edges, n_triangles)`. Set `checkpointDir` to survive executor
+    * loss on a real cluster (see [[canonEdges]]). */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val canon = canonEdges(edges, aCol, bCol, checkpointDir)
     // degrees from the canonical list: node-scale, map-side combined
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
@@ -89,15 +108,9 @@ object Triangles {
     * `(node, deg, n_triangles, coeff_ppm)` for every node of the
     * canonical edge list. */
   def clusteringCoefficients(
-      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val canon = edges
-      .filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .distinct()
-      // the canonical edge set feeds degrees, orientation, the closure
-      // semi-join, AND the member explode — materialize it once
-      .localCheckpoint()
+      edges: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val canon = canonEdges(edges, aCol, bCol, checkpointDir)
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
