@@ -25,6 +25,25 @@ only = args
 # printed in FUZZCHECK.json so the omission is visible, never silent.
 EXPECTED_SKIP = {}
 
+# Loud, spec'd CONTRACT REJECTIONS (r16 degenerate profile): on a corpus
+# that violates an operator's documented minimum-input contract, the
+# operator must fail with its own require() message — which the harness
+# counts as a pass-by-rejection, recorded per seed in FUZZCHECK.json.
+# The (query, message-substring) pair must BOTH match: an unexpected error
+# on these queries still fails the run.
+EXPECTED_REJECT = {
+    # PQ training needs codebookSize seed vectors (Similarity.pqCodebooks)
+    "ann_pq": "vectors, need",
+    "ann_ivfpq": "vectors, need",
+    "ann_pq_trained": "vectors, need",
+    # k-means training needs nCells distinct seeds (Similarity.trainIvf)
+    "ann_ivf_trained": "seeds",
+    # an IVF index over an EMPTY historical corpus has no centroids
+    "ann_index_probe": "corpus is empty",
+    # personalized PageRank requires >=1 seed node present in the graph
+    "graph_ppr": "no seed is present in the graph",
+}
+
 here = os.path.dirname(os.path.abspath(__file__))
 seed_dirs = sorted(glob.glob(os.path.join(out_root, "seed_*")))
 if not seed_dirs:
@@ -37,6 +56,11 @@ for sd in seed_dirs:
     meta = json.load(open(os.path.join(out_dir, "fuzz_meta.json")))
     spark_errs = {k: v for k, v in meta.get("failed", {}).items()
                   if k not in EXPECTED_SKIP and (not only or k in only)}
+    # split spark-side errors into documented contract rejections vs real
+    # failures: a rejection must match its registered message substring
+    rejects = {k: v[:180] for k, v in spark_errs.items()
+               if k in EXPECTED_REJECT and EXPECTED_REJECT[k] in v}
+    spark_errs = {k: v for k, v in spark_errs.items() if k not in rejects}
     cmd = [sys.executable, os.path.join(here, "compare.py"), data_dir,
            out_dir] + only
     p = subprocess.run(cmd, capture_output=True, text=True)
@@ -45,7 +69,7 @@ for sd in seed_dirs:
         if ": " not in line or line.startswith("--"):
             continue
         name, status = line.split(": ", 1)
-        if name in EXPECTED_SKIP:
+        if name in EXPECTED_SKIP or name in rejects:
             continue
         if status.startswith("MATCH"):
             match += 1
@@ -54,9 +78,11 @@ for sd in seed_dirs:
     for k, v in spark_errs.items():
         fails.setdefault(k, f"SPARK ERROR {v[:180]}")
     summary["seeds"][seed] = {
-        "match": match, "fail": len(fails), "failures": fails}
+        "match": match, "fail": len(fails), "failures": fails,
+        "contract_rejects": rejects}
     summary["total_fail"] += len(fails)
-    print(f"seed {seed}: {match} MATCH, {len(fails)} FAIL")
+    print(f"seed {seed}: {match} MATCH, {len(rejects)} contract-reject, "
+          f"{len(fails)} FAIL")
     for k, v in sorted(fails.items()):
         print(f"  FAIL {k}: {v}")
 

@@ -336,9 +336,236 @@ object FuzzCorpus {
         StructField("label", IntegerType, nullable = true))))
   }
 
-  /** Write all ten tables for one seed into `dir/<table>.parquet`. */
+  // ————————————————————— degenerate profile (r16) —————————————————————
+  // The hostile profile above attacks VALUE conventions (NULLs, ties,
+  // unicode); this one attacks CARDINALITY conventions the generators
+  // above exclude by construction: zero-row tables, single-row tables,
+  // single-group tables, all-one-value columns (the min(nr,nc)<2 /
+  // zero-variance guards), groups of size exactly k for the k-anonymity
+  // boundary (k=25 in kanonymity_audit), NULL `documents.text`, all-zero
+  // and all-identical embedding corpora. Selected by a NEGATIVE seed in
+  // [[write]]; per-table variants rotate with |seed| so two degenerate
+  // seeds cover different corners.
+
+  private def degSupplier(spark: SparkSession, r: Random, v: Int) = v % 3 match {
+    case 0 => supplier(spark, r, 0)   // zero-row dimension
+    case 1 => supplier(spark, r, 1)   // single row
+    case _ =>                         // all-one-value columns
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 40).map(i => Row(i.toLong, "Supplier#X", 7, 100.0)), 1),
+        StructType(Seq(
+          StructField("s_suppkey", LongType, nullable = false),
+          StructField("s_name", StringType, nullable = true),
+          StructField("s_nationkey", IntegerType, nullable = true),
+          StructField("s_acctbal", DoubleType, nullable = true))))
+  }
+
+  /** Engineered k-anonymity boundary: (nation, segment) groups of size
+    * exactly 25 (== k), 24 (k-1), 26 (k+1), and 1 — plus a constant-balance
+    * group (l-diversity = 1), a NULL-QI group, and a NULL-band group. */
+  private def degCustomer(spark: SparkSession, r: Random) = {
+    val groups = Seq(
+      // (nationkey, segment, size, balance mode)  bal: 0=constant 1=varied
+      (Some(1), Some("BUILDING"), 25, 0),
+      (Some(1), Some("MACHINERY"), 24, 1),
+      (Some(2), Some("BUILDING"), 26, 1),
+      (Some(3), Some("FURNITURE"), 1, 1),
+      (None, Some("HOUSEHOLD"), 25, 1),   // NULL QI column, size == k
+      (Some(4), None, 3, 2))              // NULL segment + NULL balances
+    var id = -1L
+    val rows = groups.flatMap { case (nat, seg, size, balMode) =>
+      (0 until size).map { _ =>
+        id += 1
+        val bal: Any = balMode match {
+          case 0 => 1500.0                 // one band for the whole group
+          case 1 => money2(r, -1000, 9000)
+          case _ => null
+        }
+        Row(id, f"Customer#$id%09d", nat.map(Int.box).orNull, bal, seg.orNull)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("c_custkey", LongType, nullable = false),
+        StructField("c_name", StringType, nullable = true),
+        StructField("c_nationkey", IntegerType, nullable = true),
+        StructField("c_acctbal", DoubleType, nullable = true),
+        StructField("c_mktsegment", StringType, nullable = true))))
+  }
+
+  private def degPart(spark: SparkSession, r: Random, v: Int) = v % 3 match {
+    case 0 => part(spark, r, 1)
+    case 1 => part(spark, r, 0)
+    case _ =>                         // constant brand/type/size
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 50).map(i =>
+            Row(i.toLong, "same widget", "Brand#9", "STANDARD", 10,
+              money2(r, 100, 2000))), 1),
+        StructType(Seq(
+          StructField("p_partkey", LongType, nullable = false),
+          StructField("p_name", StringType, nullable = true),
+          StructField("p_brand", StringType, nullable = true),
+          StructField("p_type", StringType, nullable = true),
+          StructField("p_size", IntegerType, nullable = true),
+          StructField("p_retailprice", DoubleType, nullable = true))))
+  }
+
+  private def degOrders(spark: SparkSession, r: Random, v: Int, nCust: Int) =
+    v % 3 match {
+      case 0 => orders(spark, r, 0, nCust)
+      case 1 => orders(spark, r, 1, math.max(nCust, 1))
+      case _ =>                        // single hot customer: one group
+        val day0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+        val rows = (0 until 300).map { i =>
+          Row(i.toLong, 0L, "O", money2(r, 100, 5000),
+            ts(dateUs(day0 + r.nextInt(2000), r.nextLong(DAY_US))), "2-HIGH")
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("o_orderkey", LongType, nullable = false),
+            StructField("o_custkey", LongType, nullable = true),
+            StructField("o_orderstatus", StringType, nullable = true),
+            StructField("o_totalprice", DoubleType, nullable = true),
+            StructField("o_orderdate", TimestampNTZType, nullable = true),
+            StructField("o_orderpriority", StringType, nullable = true))))
+    }
+
+  private def degLineitem(spark: SparkSession, r: Random, v: Int,
+      nParts: Int, nSupp: Int) = v % 3 match {
+    case 0 => lineitem(spark, r, 1, 1, math.max(nParts, 1), math.max(nSupp, 1))
+    case 1 => lineitem(spark, r, 0, 0, math.max(nParts, 1), math.max(nSupp, 1))
+    case _ =>
+      // single (returnflag, linestatus) group, CONSTANT quantity and
+      // discount: zero-variance corr/stddev paths, one-group aggregates
+      val day0 = java.time.LocalDate.of(1995, 6, 1).toEpochDay
+      val rows = (0 until 400).map { i =>
+        Row(i.toLong / 4, (i % math.max(nParts, 8)).toLong,
+          (i % math.max(nSupp, 4)).toLong, (i % 4) + 1,
+          5.0, money2(r, 100, 100000), 0.05, 0.02, "N", "O",
+          ts(dateUs(day0 + r.nextInt(400), r.nextLong(DAY_US))))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(
+          StructField("l_orderkey", LongType, nullable = false),
+          StructField("l_partkey", LongType, nullable = true),
+          StructField("l_suppkey", LongType, nullable = true),
+          StructField("l_linenumber", IntegerType, nullable = false),
+          StructField("l_quantity", DoubleType, nullable = true),
+          StructField("l_extendedprice", DoubleType, nullable = true),
+          StructField("l_discount", DoubleType, nullable = true),
+          StructField("l_tax", DoubleType, nullable = true),
+          StructField("l_returnflag", StringType, nullable = true),
+          StructField("l_linestatus", StringType, nullable = true),
+          StructField("l_shipdate", TimestampNTZType, nullable = true))))
+  }
+
+  private def degEvents(spark: SparkSession, r: Random, v: Int) = v % 3 match {
+    case 0 => events(spark, r, 0)       // zero-row stream source
+    case 1 => events(spark, r, 1)       // single event
+    case _ =>
+      // one event_type, one user, every event at the SAME instant per day:
+      // total timestamp ties, single-group folds, zero-range windows
+      val rows = (0 until 500).map { i =>
+        Row(i.toLong, ts(dateUs(EVENT_DAY0 + (i % EVENT_DAYS), 43200000000L)),
+          7L, "view", 10.0, """{"k": 1}""")
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(
+          StructField("event_id", LongType, nullable = false),
+          StructField("ts", TimestampNTZType, nullable = false),
+          StructField("user_id", LongType, nullable = true),
+          StructField("event_type", StringType, nullable = false),
+          StructField("value", DoubleType, nullable = true),
+          StructField("props", StringType, nullable = true))))
+  }
+
+  /** NULL text (the last unfuzzed blind spot — the fixture generator
+    * guarantees non-null), empty text, single-token docs, and per-variant:
+    * an all-identical corpus (one dup family spanning every row) or a
+    * single-document corpus. `n_chars` is NULL exactly when text is. */
+  private def degDocuments(spark: SparkSession, r: Random, v: Int) = {
+    val texts: Seq[Any] = v % 3 match {
+      case 0 => Seq.fill(60)("the same exact boilerplate paragraph again")
+      case 1 => Seq(sentence(r, 12))    // single document
+      case _ =>
+        (0 until 80).map { i =>
+          i % 8 match {
+            case 0 => null              // NULL text
+            case 1 => ""                // empty
+            case 2 => "word"            // single token
+            case 3 => " \t "            // whitespace
+            case _ => sentence(r, 3 + r.nextInt(20))
+          }
+        }
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      Row(i.toLong, t,
+        if (i % 5 == 4) null else "en", // near-constant lang
+        "src0",                          // CONSTANT source column
+        if (t == null) null
+        else Long.box(t.asInstanceOf[String]
+          .codePointCount(0, t.asInstanceOf[String].length).toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true),
+        StructField("lang", StringType, nullable = true),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))))
+  }
+
+  private def degEmbeddings(spark: SparkSession, r: Random, v: Int,
+      dim: Int = 64) = {
+    val vecs: Seq[Seq[Float]] = v % 3 match {
+      case 0 => Seq.fill(50)(Seq.fill(dim)(0.0f))          // ALL zero vectors
+      case 1 => Seq(Seq.fill(dim)(1.0f / 8))               // single vector
+      case _ =>                                            // all identical
+        Seq.fill(60)(Seq.tabulate(dim)(i => (i % 5 - 2) / 64.0f))
+    }
+    val rows = vecs.zipWithIndex.map { case (vv, i) =>
+      Row(i.toLong, vv, if (v % 3 == 2) Int.box(1) else Int.box(i % 2))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false),
+          nullable = false),
+        StructField("label", IntegerType, nullable = true))))
+  }
+
+  /** Write all ten tables for one seed into `dir/<table>.parquet`.
+    * Seed ≥ 0: the hostile VALUE profile (NULLs, ties, unicode, skew).
+    * Seed < 0: the DEGENERATE CARDINALITY profile — per-table variants
+    * rotate with |seed| (|seed| and |seed|+1 and |seed|+2 together cover
+    * every variant of every table). */
   def write(spark: SparkSession, dir: String, seed: Long): Unit = {
     val r = new Random(seed)
+    if (seed < 0) {
+      val v = (-seed).toInt
+      val nCust = 104 // degCustomer row count (fixed group design)
+      val tables = Seq(
+        "region" -> region(spark, r),
+        "nation" -> nation(spark, r),
+        "supplier" -> degSupplier(spark, r, v),
+        "customer" -> degCustomer(spark, r),
+        "part" -> degPart(spark, r, v + 1),
+        "orders" -> degOrders(spark, r, v + 2, nCust),
+        "lineitem" -> degLineitem(spark, r, v, 250, 60),
+        "events" -> degEvents(spark, r, v + 1),
+        "documents" -> degDocuments(spark, r, v + 2),
+        "embeddings" -> degEmbeddings(spark, r, v))
+      writeTables(dir, tables)
+      return
+    }
     val nCust = 400; val nParts = 250; val nSupp = 60
     val tables = Seq(
       "region" -> region(spark, r),
@@ -351,8 +578,13 @@ object FuzzCorpus {
       "events" -> events(spark, r, 4000),
       "documents" -> documents(spark, r, 320),
       "embeddings" -> embeddings(spark, r, 240))
-    // single-FILE parquet per table (the fixture's exact layout — the
-    // DuckDB side of the harness reads the same path string as Spark)
+    writeTables(dir, tables)
+  }
+
+  // single-FILE parquet per table (the fixture's exact layout — the
+  // DuckDB side of the harness reads the same path string as Spark)
+  private def writeTables(dir: String,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
     tables.foreach { case (name, df) =>
       val tmp = s"$dir/__tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -365,5 +597,4 @@ object FuzzCorpus {
       java.nio.file.Files.move(part.toPath, dest.toPath)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
-  }
 }

@@ -860,8 +860,11 @@ private[graft] object OracleSql {
        |s AS (SELECT doc_id,
        |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
        |  FROM tok, w GROUP BY doc_id)
-       |SELECT tk.doc_id, coalesce(s.total, 0) / 1000000.0 AS score,
-       |  coalesce(s.total, 0) > 0 AS keep
+       |SELECT tk.doc_id,
+       |  CASE WHEN tk.toks IS NULL THEN NULL
+       |    ELSE coalesce(s.total, 0) / 1000000.0 END AS score,
+       |  CASE WHEN tk.toks IS NULL THEN NULL
+       |    ELSE coalesce(s.total, 0) > 0 END AS keep
        |FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id""".stripMargin
   }
 
@@ -947,7 +950,9 @@ private[graft] object OracleSql {
        |s AS (SELECT doc_id,
        |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
        |  FROM tok, w GROUP BY doc_id),
-       |micro AS (SELECT tk.doc_id, coalesce(s.total, 0)::BIGINT AS micro
+       |micro AS (SELECT tk.doc_id,
+       |    CASE WHEN tk.toks IS NULL THEN NULL
+       |      ELSE coalesce(s.total, 0) END::BIGINT AS micro
        |  FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id),
        |f AS (SELECT doc_id,
        |  length(text)::BIGINT AS nc,
@@ -1213,7 +1218,7 @@ private[graft] object OracleSql {
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(trim(text), '\s+'),
         |      t -> len(t) > 0))::BIGINT AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT greatest((sum(w)::BIGINT + 7) // 8, 1)::BIGINT AS budget FROM t),
         |c AS (
         |  SELECT doc_id, w,
@@ -1274,8 +1279,10 @@ private[graft] object OracleSql {
         |        % 1000000, doc_id)::INT AS sample_rank
         |  FROM documents) WHERE sample_rank <= 15""".stripMargin),
 
-    // md5-fingerprint change detection ≡ direct text equality; union arms
-    // replay the four SCD2 transitions by position
+    // md5-fingerprint change detection ≡ direct text equality — but the
+    // fingerprint maps NULL to a sentinel, so the replay must be NULL-SAFE
+    // (IS [NOT] DISTINCT FROM): a NULL-text doc present unchanged on both
+    // sides passes through, NULL→value is a real change (degenerate pin)
     "scd2_merge" -> (
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |cur AS (SELECT doc_id, text FROM docs WHERE doc_id % 17 <> 0),
@@ -1290,13 +1297,16 @@ private[graft] object OracleSql {
         |SELECT * FROM past
         |UNION ALL
         |SELECT h_id, h_text, 1::BIGINT, NULL::BIGINT, TRUE FROM j
-        |  WHERE h_id IS NOT NULL AND s_id IS NOT NULL AND h_text = s_text
+        |  WHERE h_id IS NOT NULL AND s_id IS NOT NULL
+        |    AND h_text IS NOT DISTINCT FROM s_text
         |UNION ALL
         |SELECT h_id, h_text, 1::BIGINT, 2::BIGINT, FALSE FROM j
-        |  WHERE h_id IS NOT NULL AND (s_id IS NULL OR h_text <> s_text)
+        |  WHERE h_id IS NOT NULL
+        |    AND (s_id IS NULL OR h_text IS DISTINCT FROM s_text)
         |UNION ALL
         |SELECT s_id, s_text, 2::BIGINT, NULL::BIGINT, TRUE FROM j
-        |  WHERE s_id IS NOT NULL AND (h_id IS NULL OR h_text <> s_text)""".stripMargin),
+        |  WHERE s_id IS NOT NULL
+        |    AND (h_id IS NULL OR h_text IS DISTINCT FROM s_text)""".stripMargin),
 
     "events_grouped_topk" -> (
       """SELECT event_id, user_id, event_type, value, rank FROM (
@@ -1502,13 +1512,18 @@ private[graft] object OracleSql {
          |  FROM tk)
          |SELECT doc_id, (s - 1) // 32 AS chunk_id,
          |  len(toks[s:s+39])::BIGINT AS n_chunk_tokens,
-         |  coalesce(array_to_string(toks[s:s+39], ' '), '') AS chunk_text
+         |  CASE WHEN toks IS NULL THEN NULL
+         |    ELSE coalesce(array_to_string(toks[s:s+39], ' '), '')
+         |  END AS chunk_text
          |FROM st""".stripMargin),
 
+    // coalesce(toks, []) pins the tokenizer's NULL-text convention: the
+    // Spark side's tokens() yields an empty token list for NULL text, so
+    // repetition features are (0, 0, 0.0), not NULL (degenerate-profile pin)
     "text_repetition" -> (
       s"""WITH tk AS (SELECT doc_id,
-         |    list_filter(string_split_regex($normSql, '\\s+'),
-         |      t -> len(t) > 0) AS toks
+         |    coalesce(list_filter(string_split_regex($normSql, '\\s+'),
+         |      t -> len(t) > 0), []) AS toks
          |  FROM documents WHERE doc_id < 50),
          |g AS (SELECT doc_id,
          |  [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
@@ -1533,10 +1548,15 @@ private[graft] object OracleSql {
          |    count(*)::BIGINT AS n_distinct,
          |    sum(k * (k - 1))::BIGINT AS coll
          |  FROM cnt GROUP BY doc_id)
-         |SELECT nd.doc_id, coalesce(agg.n_cp, 0)::BIGINT AS n_cp,
-         |  coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct,
-         |  coalesce(agg.coll, 0)::BIGINT AS coll,
-         |  CASE WHEN coalesce(agg.n_cp, 0) < 2 THEN 0
+         |SELECT nd.doc_id,
+         |  CASE WHEN nd.t IS NULL THEN NULL
+         |    ELSE coalesce(agg.n_cp, 0) END::BIGINT AS n_cp,
+         |  CASE WHEN nd.t IS NULL THEN NULL
+         |    ELSE coalesce(agg.n_distinct, 0) END::BIGINT AS n_distinct,
+         |  CASE WHEN nd.t IS NULL THEN NULL
+         |    ELSE coalesce(agg.coll, 0) END::BIGINT AS coll,
+         |  CASE WHEN nd.t IS NULL THEN NULL
+         |    WHEN coalesce(agg.n_cp, 0) < 2 THEN 0
          |    ELSE agg.coll * 1000000 // (agg.n_cp * (agg.n_cp - 1))
          |  END::BIGINT AS simpson_ppm
          |FROM nd LEFT JOIN agg ON nd.doc_id = agg.doc_id""".stripMargin),
@@ -1617,12 +1637,14 @@ private[graft] object OracleSql {
         |SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
 
     // both medians are discrete order statistics (the events_quantiles
-    // motif), so the whole |x−med| > 2·MAD rule is exact long arithmetic
+    // motif), so the whole |x−med| > 2·MAD rule is exact long arithmetic;
+    // medians are over NON-NULL values only (Quantiles.groupQuantiles
+    // filters NULLs before ranking — degenerate-profile pin)
     "outlier_mad" ->
       """WITH m AS (SELECT lang, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents),
+        |  FROM documents WHERE n_chars IS NOT NULL),
         |med AS (SELECT lang, max(CASE WHEN rn = greatest(1, ceil(n * 0.5))
         |    THEN n_chars END) AS med FROM m GROUP BY lang),
         |d AS (SELECT doc_id, documents.lang, n_chars, med.med,
@@ -1631,7 +1653,8 @@ private[graft] object OracleSql {
         |    ON documents.lang IS NOT DISTINCT FROM med.lang),
         |m2 AS (SELECT lang, dev,
         |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d WHERE dev IS NOT NULL),
         |mad AS (SELECT lang, max(CASE WHEN rn = greatest(1, ceil(n * 0.5))
         |    THEN dev END) AS mad FROM m2 GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad, d.dev
@@ -2040,11 +2063,12 @@ private[graft] object OracleSql {
         |    END AS est_distinct
         |FROM k""".stripMargin,
 
-    // (rank−1)·1e6 div max(n−1,1) — integer percentile replay
+    // (rank−1)·1e6 div max(n−1,1) — integer percentile replay; NULLS FIRST
+    // pins Spark's ASC NULL order (DuckDB defaults to NULLS LAST)
     "quality_pct_rank" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY n_chars, doc_id) AS rn,
+        |      ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)
         |SELECT doc_id, source, n_chars,
@@ -2485,9 +2509,10 @@ private[graft] object OracleSql {
          |  FROM xs) WHERE rank <= 3),
          |hits AS (SELECT query_id, count(*)::BIGINT AS n_hits
          |  FROM ivf JOIN xr USING (query_id, neighbor_id) GROUP BY 1)
-         |SELECT q2.query_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+         |SELECT qx.query_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
          |  (coalesce(hits.n_hits, 0) * 1000000 // 3)::BIGINT AS recall_ppm
-         |FROM q2 LEFT JOIN hits USING (query_id)""".stripMargin,
+         |FROM (SELECT DISTINCT query_id FROM xr) qx
+         |LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // MRR replay: full cosine ranking (same ORDER BY cos DESC, id total
     // order as ann_bruteforce), min rank among same-label neighbors,
@@ -2693,15 +2718,22 @@ private[graft] object OracleSql {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
+    // HAVING count(*) > 0 pins Spark's EMPTY-INPUT convention: Spark's
+    // Expand+aggregate emits 0 rows over an empty relation while standard
+    // SQL (DuckDB) emits the () grand-total row with n_rows=0. On any
+    // non-empty input every grouping-set row aggregates >= 1 source row,
+    // so the guard is a no-op there (degenerate fuzz profile, r16).
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin,
 
     "q1_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin,
 
     // standard SQL multiset semantics in both engines: EXCEPT ALL
     // subtracts multiplicities, INTERSECT ALL takes the minimum
@@ -2723,7 +2755,8 @@ private[graft] object OracleSql {
         |  grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid,
         |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS
-        |  ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+        |  ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |HAVING count(*) > 0""".stripMargin,
 
     // numeric RANGE frame over the µs axis — 3600000000 preceding
     "events_rolling_range" ->
@@ -3078,7 +3111,7 @@ private[graft] object OracleSql {
       s"""WITH d AS (SELECT doc_id, n_chars,
          |    len(list_filter(string_split_regex($normSql, '\\s+'),
          |      t -> len(t) > 0))::BIGINT AS n_tokens
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r AS (SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
          |  FROM d),
          |c AS (SELECT doc_id, n_chars, n_tokens,
@@ -3692,7 +3725,7 @@ private[graft] object OracleSql {
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(trim(text), '\s+'),
         |      t -> len(t) > 0))::BIGINT AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, w,
         |    sum(w) OVER (ORDER BY doc_id

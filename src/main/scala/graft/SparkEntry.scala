@@ -866,7 +866,10 @@ object SparkEntry {
       // token-budget corpus selection: best documents by (quality score,
       // id) until 20k tokens — global-rank + distributed prefix sum, no
       // single-task sort or window anywhere in the plan
+      // NULL-text docs carry no token count and cannot enter a token
+      // budget — excluded here and in the oracle (degenerate-profile pin)
       val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .withColumn("n_tokens",
           size(graft.llm.TextStats.tokens(
             graft.llm.TextStats.normalizeText(col("text")))).cast("long"))
@@ -1673,8 +1676,10 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => {
       // context-length packing: docs in doc_id order cut into 2048-token
       // chunks via the distributed two-phase prefix sum (no global window)
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // NULL-text docs have no token count → not packable (oracle-pinned)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.llm.SequencePack.packSequences(docs, "doc_id", "n_tokens", budget = 2048)
         .groupBy("chunk_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
@@ -2814,8 +2819,10 @@ object SparkEntry {
       // token-balanced export sharding: cut the corpus in doc_id order
       // into 8 contiguous shards of near-equal token mass (distributed
       // prefix sum, no global window), then report the per-shard balance
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // NULL-text docs have no token count → not shardable (oracle-pinned)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.llm.SequencePack.shardByTokens(docs, "doc_id", "n_tokens", nShards = 8)
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))

@@ -21,7 +21,9 @@ object Chunker {
     * Chunks start at token offsets 1, 1+step, 1+2·step, … while the start
     * is ≤ max(n_tokens − overlap, 1), where `step = chunkTokens − overlap`;
     * the final chunk may be short. An empty document yields one empty
-    * chunk (chunk_id 0) — documents never vanish silently. */
+    * chunk (chunk_id 0), and a NULL document one chunk row with NULL
+    * tokens/text (NULL stays distinguishable from empty) — documents
+    * never vanish silently. */
   def chunkDocuments(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 40, overlap: Int = 8): DataFrame = {

@@ -61,8 +61,12 @@ object Multimodal {
   case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Long,
-      checksum: Long,
+      // None/null = MISSING BLOB (a NULL payload column — dead object-store
+      // keys are routine at corpus scale): the row survives with its id and
+      // declared kind so the gap is auditable, the content-derived stats
+      // are NULL (same convention as SQL's octet_length(NULL))
+      n_bytes: Option[Long],
+      checksum: Option[Long],
       // byte-hash stand-in features; a real model head would emit e.g. CLIP
       // embeddings here (see decodeImageStats for the real-decode path)
       feature: Array[Float])
@@ -946,12 +950,15 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map { r =>
-        MediaFeatures(
-          media_id = r.media_id,
-          kind = r.meta.kind,
-          n_bytes = r.content.length.toLong,
-          checksum = checksum(r.content),
-          feature = byteHashFeature(r.content, dims))
+        if (r.content == null)
+          MediaFeatures(r.media_id, r.meta.kind, None, None, null)
+        else
+          MediaFeatures(
+            media_id = r.media_id,
+            kind = r.meta.kind,
+            n_bytes = Some(r.content.length.toLong),
+            checksum = Some(checksum(r.content)),
+            feature = byteHashFeature(r.content, dims))
       }
     }
   }

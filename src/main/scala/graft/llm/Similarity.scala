@@ -238,14 +238,21 @@ object Similarity {
     * sampled-centroid convention as a reusable piece (O(nCells) collect,
     * independent of corpus size). */
   def seedCentroids(corpus: DataFrame, cIdCol: String, cVecCol: String,
-      nCells: Int): Seq[(Long, Seq[Double])] =
-    corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+      nCells: Int): Seq[(Long, Seq[Double])] = {
+    val cents = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
       .orderBy(col(cIdCol))
       .limit(nCells)
       .collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toSeq)
       .toSeq
+    // fewer than nCells seeds degrades gracefully (fewer cells), but ZERO
+    // would silently build array() centroid literals that fail analysis
+    // with an unrelated-looking VOID error — reject loudly instead
+    require(cents.nonEmpty,
+      "seedCentroids: corpus is empty, an IVF index needs at least one seed vector")
+    cents
+  }
 
   // per-centroid score structs; struct(cos, -cid) makes array_max resolve
   // ties toward the LOWEST centroid id (same rule as the oracle's
