@@ -16,7 +16,9 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # sliced tables (micro-batch fuzz leg) are DIRECTORIES of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 timing = os.environ.get("GRAFT_TIMING") == "1"

@@ -176,12 +176,172 @@ object FaultProbe {
     } finally spark.stop()
   }
 
+  // ———————————————————— streaming mode (r16, task 3) ————————————————————
+  // The batch probe above proves the CC closure's reliable-checkpoint story;
+  // this stages the STREAMING one: a flatMapGroupsWithState fold (the
+  // richest per-group state on the surface — latenessUpdates' 9-counter
+  // tuple) running on local-cluster with task.maxFailures=1, an executor
+  // kill -9 mid-micro-batch killing the QUERY, then a fresh query started
+  // from the same HDFSBackedStateStore checkpoint — whose converged state
+  // must equal an undisturbed run byte-for-byte. The sink is a foreachBatch
+  // parquet write keyed by batchId with overwrite, so the recovery re-run
+  // of the uncommitted batch is idempotent.
+
+  /** 20 mtime-staggered slice files of (g, arr, ts): arrival-ordered ids,
+    * event times jittered ±100 min against arrival — the fold counts the
+    * disorder; 8 groups × `n`/8 rows of state updates. */
+  private def writeSlicedStream(spark: SparkSession, dir: String, n: Int,
+      slices: Int): Unit = {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to n).map { i =>
+      org.apache.spark.sql.Row(s"g${i % 8}", i.toLong,
+        i.toLong * 12000000000L + (rnd.nextInt(41) - 20) * 30000000000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("arr",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    new java.io.File(dir).mkdirs()
+    val mtime0 = System.currentTimeMillis() - slices * 4000L
+    rows.grouped(math.max(n / slices, 1)).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = s"$dir/__tmp_$i"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toSeq, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for slice $i"))
+      val dest = new java.io.File(dir, f"slice_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime0 + i * 2000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  /** Start the lateness fold over the sliced source, one file per trigger,
+    * checkpointed at `ckpt`, each batch's update rows parquet'd to
+    * `sink/batch_<id>` (overwrite = recovery-idempotent). Returns when the
+    * source is drained or the query dies; (completed, note). */
+  private def runLatenessQuery(spark: SparkSession, srcDir: String,
+      ckpt: String, sink: String): (Boolean, String) = {
+    val stream = spark.readStream
+      .schema("g STRING, arr BIGINT, ts BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.StreamOps.latenessUpdates(stream, "g", "arr", "ts")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$sink/batch_$id")
+      }
+      .start()
+    try { q.processAllAvailable(); (true, "drained") }
+    catch { case e: Throwable =>
+      (false, Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString.take(200))
+    }
+    finally { try q.stop() catch { case _: Throwable => () } }
+  }
+
+  /** Converged per-group state from the batch-keyed sink: max-update_seq
+    * row per group, rendered as one sorted string. */
+  private def convergedState(spark: SparkSession, sink: String): String = {
+    val all = spark.read.parquet(s"$sink/batch_*")
+    val rest = all.columns.filterNot(Set("g", "update_seq")).map(col)
+    all.groupBy("g").agg(max(struct(col("update_seq") +: rest: _*)).as("f"))
+      .select(col("g"), col("f.*"))
+      .collect()
+      .map(_.toString)
+      .sorted
+      .mkString("|")
+  }
+
+  private def streamingProbe(base: String, killAfterMs: Long): Boolean = {
+    val src = s"$base/stream_src"
+    // clean truth on a plain local session
+    val clean = {
+      val spark = SparkSession.builder().master("local[4]")
+        .appName("graft-faultprobe-stream-clean")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        writeSlicedStream(spark, src, 40000, 20)
+        val (ok, note) = runLatenessQuery(spark, src, s"$base/ckpt_clean", s"$base/sink_clean")
+        require(ok, s"clean streaming run failed: $note")
+        convergedState(spark, s"$base/sink_clean")
+      } finally spark.stop()
+    }
+    System.err.println(s"[faultprobe] stream clean state: ${clean.take(120)}...")
+
+    // disturbed run: local-cluster, NO task retries — the kill must fail
+    // the query mid-batch; then a fresh query resumes from the checkpoint
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-faultprobe-streaming")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.task.maxFailures", "1")
+      .getOrCreate()
+    try {
+      spark.range(1000).repartition(8).count() // both executors up
+      val kill = scheduleKill(killAfterMs)
+      val (completedFirst, note1) =
+        runLatenessQuery(spark, src, s"$base/ckpt_kill", s"$base/sink_kill")
+      val pid = kill.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      System.err.println(
+        s"[faultprobe] stream first leg: completed=$completedFirst pid=$pid note=$note1")
+      // the staged outcome: the kill landed AND the query died mid-stream
+      if (pid <= 0 || completedFirst) {
+        System.err.println("[faultprobe] stream: kill missed the query window — stage again")
+        return false
+      }
+      // restart from the SAME checkpoint: must drain and converge to clean
+      val (completedResume, note2) =
+        runLatenessQuery(spark, src, s"$base/ckpt_kill", s"$base/sink_kill")
+      System.err.println(s"[faultprobe] stream resume: completed=$completedResume note=$note2")
+      if (!completedResume) return false
+      val resumed = convergedState(spark, s"$base/sink_kill")
+      val matches = resumed == clean
+      System.err.println(s"[faultprobe] stream resume matches clean: $matches")
+      matches
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
     val n = sys.env.getOrElse("GRAFT_FAULT_N", "3000000").toLong
     val killAfterMs = sys.env.getOrElse("GRAFT_FAULT_KILL_MS", "12000").toLong
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_faultprobe_${ProcessHandle.current.pid}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+
+    if (mode == "streaming") {
+      // kill timing is inherently racy (the query must be mid-batch when
+      // the executor dies) — stage up to 3 attempts, each on a fresh base
+      val killMs = sys.env.getOrElse("GRAFT_FAULT_STREAM_KILL_MS", "8000").toLong
+      var ok = false
+      var attempt = 0
+      while (!ok && attempt < 3) {
+        attempt += 1
+        val b = s"$base/stream_$attempt"
+        try ok = streamingProbe(b, killMs)
+        catch { case e: Throwable =>
+          System.err.println(s"[faultprobe] streaming attempt $attempt error: ${e.getMessage}")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      println(s"""{"probe":"streaming_executor_kill","attempts":$attempt,"kill_after_ms":$killMs,"ok":$ok}""")
+      if (!ok) sys.exit(1)
+      return
+    }
 
     // undisturbed truth: plain local[4] run, no kills, for the checksum
     val clean = {

@@ -48,13 +48,30 @@ object FuzzCheck {
       // GRAFT_FUZZ_REUSE=1: skip regeneration when the corpus already
       // exists — the per-query dev loop while fixing a finding (the
       // generator is seed-deterministic, so reuse can't change the data)
+      // GRAFT_FUZZ_SLICE=K (r16, VERDICT task 2): after generating the
+      // corpus, reshape events/documents into K mtime-ordered micro-batch
+      // slice files and cap the file stream source at one file per
+      // trigger — every stream_* query then replays through K hostile
+      // batch boundaries while the DuckDB oracle reads the same rows
+      val slices = sys.env.get("GRAFT_FUZZ_SLICE").map(_.toInt)
+      // a reused corpus must match the requested shape: sliced runs need
+      // events.parquet to be the slice DIRECTORY, unsliced runs the file
+      def shapeMatches = new java.io.File(s"$dataDir/events.parquet")
+        .isDirectory == slices.isDefined
       if (sys.env.get("GRAFT_FUZZ_REUSE").contains("1") &&
-          new java.io.File(s"$dataDir/embeddings.parquet").exists()) {
+          new java.io.File(s"$dataDir/embeddings.parquet").exists() &&
+          shapeMatches) {
         println(s"[fuzz] seed $seed: reusing corpus at $dataDir")
       } else {
         println(s"[fuzz] seed $seed: generating corpus -> $dataDir")
         FuzzCorpus.write(spark, dataDir, seed)
+        slices.foreach { k =>
+          println(s"[fuzz] seed $seed: reslicing events/documents into $k micro-batches")
+          FuzzCorpus.resliceForStreaming(spark, dataDir, seed, k)
+        }
       }
+      slices.foreach(_ =>
+        spark.conf.set("graft.stream.maxFilesPerTrigger", "1"))
       Verify.writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
 
       var ok = 0; var err = 0
@@ -77,7 +94,7 @@ object FuzzCheck {
         .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
         .mkString("{", ",", "}")
       Verify.writeAtomic(s"$outDir/fuzz_meta.json",
-        s"""{"seed": $seed, "ok": $ok, "err": $err, "failed": $failJson}""")
+        s"""{"seed": $seed, "sliced": ${slices.getOrElse(0)}, "ok": $ok, "err": $err, "failed": $failJson}""")
       println(s"[fuzz] seed $seed: $ok ok, $err spark-side errors")
     }
     spark.stop()

@@ -542,6 +542,113 @@ object FuzzCorpus {
         StructField("label", IntegerType, nullable = true))))
   }
 
+  // ———————————————— micro-batch slicing profile (r16) ————————————————
+  // The batch fuzz profiles replay every query over ONE micro-batch; this
+  // reshapes a written corpus so the 20 stream_* queries run through
+  // HOSTILE multi-batch boundaries instead (VERDICT r15 task 2), while the
+  // batch surface and the DuckDB oracle read the identical row multiset.
+
+  /** Hostile but arrival-plausible events: ids are the arrival order
+    * (latenessUpdates' cross-batch contract), event time tracks arrival
+    * with ±25 min jitter — bounded strictly under every stream query's
+    * 1-hour watermark, so a slicing cut at ANY id boundary delivers late
+    * rows the watermark must still accept, never rows it may drop (the
+    * fixture's day-striped ts pattern would violate that: id order there
+    * jumps 29 days backward). Values/users/props keep the full hostile
+    * treatment (NULLs, skew, ties, unicode). */
+  private def eventsStreamShaped(spark: SparkSession, r: Random, n: Int) = {
+    val types = Seq("view", "click", "purchase", "signup", "error",
+      "päuse🛑")
+    val props = Seq.tabulate(8)(i => s"""{"k": ${i * 7 - 3}}""") ++
+      Seq("{}", """{"k": null}""")
+    val spanUs = EVENT_DAYS.toLong * DAY_US
+    val rows = (0 until n).map { i =>
+      val base = dateUs(EVENT_DAY0, 0) + i.toLong * spanUs / n
+      val jitterUs = r.nextLong(3000000000L) - 1500000000L // ±25 min
+      val user = if (r.nextDouble() < 0.5) r.nextInt(30).toLong
+                 else r.nextLong(400L)
+      val v = r.nextInt(5) match {
+        case 0 => money2(r, -100, 1000)
+        case 1 => r.nextInt(2000000).toDouble / 1000000.0
+        case 2 => 0.0
+        case 3 => -money2(r, 0, 500)
+        case _ => money2(r, 0, 999999)
+      }
+      Row(i.toLong,
+        ts(math.max(dateUs(EVENT_DAY0, 0), base + jitterUs)),
+        orNull(r, 0.06)(user),
+        types(r.nextInt(types.size)),
+        orNull(r, 0.06)(v),
+        orNull(r, 0.08)(props(r.nextInt(props.size))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("ts", TimestampNTZType, nullable = false),
+        StructField("user_id", LongType, nullable = true),
+        StructField("event_type", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = true),
+        StructField("props", StringType, nullable = true))))
+  }
+
+  /** Replace `dir/<table>.parquet` (single file) with a DIRECTORY of `k`
+    * slice files: rows sorted by `idCol`, cut at seeded random boundaries,
+    * row order SHUFFLED within each slice, slice files mtime-staggered so
+    * the file stream source (with maxFilesPerTrigger=1) replays them as
+    * ordered micro-batches. Batch readers and the DuckDB oracle glob the
+    * directory — same row multiset, different delivery. */
+  private def sliceTableFile(spark: SparkSession, dir: String, table: String,
+      idCol: String, k: Int, r: Random): Unit = {
+    val file = new java.io.File(s"$dir/$table.parquet")
+    require(file.isFile, s"sliceTableFile: $file is not a single-file table")
+    val df = spark.read.parquet(file.toString)
+    val schema = df.schema
+    val rows = df.collect()
+      .sortBy(_.getAs[Long](idCol))
+    // k-1 distinct interior cut points → k non-empty contiguous ranges
+    val cuts = (Seq(0, rows.length) ++
+      Seq.fill(k - 1)(1 + r.nextInt(math.max(rows.length - 1, 1))))
+      .distinct.sorted
+    val slices = cuts.zip(cuts.tail).map { case (a, b) =>
+      r.shuffle(rows.slice(a, b).toSeq)
+    }
+    require(file.delete(), s"sliceTableFile: could not remove $file")
+    val outDir = new java.io.File(s"$dir/$table.parquet")
+    require(outDir.mkdir(), s"sliceTableFile: could not mkdir $outDir")
+    val mtime0 = System.currentTimeMillis() - slices.length * 4000L
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val tmp = s"$dir/__tmp_slice_$table"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $table slice $i"))
+      val dest = new java.io.File(outDir, f"slice_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime0 + i * 2000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  /** Reshape a written corpus for the micro-batch-slicing fuzz leg:
+    * regenerate `events` stream-shaped (see [[eventsStreamShaped]]) and
+    * slice it plus `documents` (the stream_cdc_apply source) into `k`
+    * mtime-ordered micro-batch files each. Run queries with
+    * `graft.stream.maxFilesPerTrigger=1`. */
+  def resliceForStreaming(spark: SparkSession, dir: String, seed: Long,
+      k: Int): Unit = {
+    val r = new Random(seed * 7919L + 13L)
+    val ev = new java.io.File(s"$dir/events.parquet")
+    if (ev.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(ev)
+    else if (ev.exists()) ev.delete()
+    writeTables(dir, Seq("events" -> eventsStreamShaped(spark, r, 4000)))
+    sliceTableFile(spark, dir, "events", "event_id", k, r)
+    sliceTableFile(spark, dir, "documents", "doc_id", k, r)
+  }
+
   /** Write all ten tables for one seed into `dir/<table>.parquet`.
     * Seed ≥ 0: the hostile VALUE profile (NULLs, ties, unicode, skew).
     * Seed < 0: the DEGENERATE CARDINALITY profile — per-table variants

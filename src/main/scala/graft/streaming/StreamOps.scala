@@ -50,7 +50,14 @@ object StreamOps {
         d.toString
       } else path
     val fileSchema = spark.read.parquet(dir).schema
-    spark.readStream.schema(fileSchema).parquet(dir)
+    val reader = spark.readStream.schema(fileSchema)
+    // harness knob (session conf, unset in production): cap files per
+    // micro-batch so a pre-sliced directory replays as a REAL multi-batch
+    // stream — the micro-batch-slicing fuzz leg sets it to 1 to drive
+    // every stream query through hostile batch boundaries
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foreach(v => reader.option("maxFilesPerTrigger", v))
+    reader.parquet(dir)
   }
 
   /** Tumbling-window counts per event type (with watermark so the query is
