@@ -16,6 +16,11 @@ object Dedup {
 
   import TextStats.normalizeText
 
+  // sequence for the exact-join candidate-mass observation names (a plan
+  // may legally contain several exact joins; observation names must be
+  // unique within one plan)
+  private val candSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Exact dedup keeping a deterministic representative per key (smallest
     * `tieBreaker`). `dropDuplicates` keeps an *arbitrary* row — fine for
     * pipelines, useless for reproducible tests.
@@ -1105,6 +1110,13 @@ object Dedup {
       .filter(least(col("__sa"), col("__sb")) * tDen >=
         greatest(col("__sa"), col("__sb")) * tNum)
       .select("id_a", "id_b").distinct()
+      // candidate mass IS the capacity metric of AllPairs (verification
+      // cost is linear in it): observed for free as a CollectMetrics on
+      // the existing execution — ScaleProbeJaccard (and any ops listener)
+      // reads it via QueryExecutionListener.observedMetrics. Name is
+      // sequence-unique: two exact joins may share one query plan.
+      .observe(s"graft_exact_jaccard_${candSeq.incrementAndGet()}",
+        count(lit(1)).as("n_candidates"))
     cand
       .join(docs.select(col("id").as("id_a"), col("__lex").as("__la")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("__lex").as("__lb")), Seq("id_b"))
