@@ -100,7 +100,15 @@ object GraftFunctions {
         s"winnow_fps expects 3 arguments, got ${exprs.length}")
       WinnowFingerprints(exprs(0), intLit("winnow_fps", "k", exprs(1)),
         intLit("winnow_fps", "window", exprs(2)))
-    })
+    },
+    // r16 (VERDICT task 6): sketch-TABLE merge aggregates — pure-SQL
+    // re-aggregation of persisted sketches (kmv_merge over array<long>
+    // sketches, cms_merge over serialized CMS blobs). k is a literal for
+    // the same buffer-sizing reason as kmv_kmins.
+    "kmv_merge" -> two("kmv_merge") { (child, kExpr) =>
+      KmvMergeAgg(child, intLit("kmv_merge", "k", kExpr))
+    },
+    "cms_merge" -> one("cms_merge")(CmsMergeAgg(_)))
 
   private def intLit(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
