@@ -5,6 +5,14 @@ with compare.py, and write a one-line SELFCHECK_r{N}.json summary
 (git SHA, counts, wall time) so the repo itself records the round's
 correctness even if the driver's channel zeroes.
 
+r16 (VERDICT task 8): the close now also runs a ROTATED FUZZ LEG — one
+hostile-value seed (= ROUND), one degenerate-cardinality seed
+(= -(ROUND mod 3 + 1)), and one micro-batch-sliced seed (= 100 + ROUND),
+each over the full query surface, refreshing FUZZCHECK.json at the close
+SHA — so convention regressions can't land between evidence rounds.
+Skip (dev loops only) with GRAFT_SKIP_FUZZ=1; the witness records the
+skip so it can't masquerade as a fuzz-clean close.
+
 Usage: selfcheck.py ROUND [SF_DIR] [OUT_DIR]
 """
 import json
@@ -93,9 +101,43 @@ for doc, pat in [("README.md", r"exposes (\d+) named queries"),
     if not m or int(m.group(1)) != n_oracle:
         sys.exit(f"{doc} query count {m.group(1) if m else '<missing>'} "
                  f"!= gated surface {n_oracle}; update the doc")
+# ——————————— rotated fuzz leg (r16, VERDICT task 8) ———————————
+fuzz = {"skipped": True}
+if not fail and os.environ.get("GRAFT_SKIP_FUZZ") != "1":
+    fuzz_root = "/tmp/graft_close_fuzz"
+    subprocess.run(["rm", "-rf", fuzz_root])
+    hostile, degen, sliced = round_no, -(round_no % 3 + 1), 100 + round_no
+    t2 = time.time()
+    env = {**os.environ,
+           "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "16")}
+    r1 = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.FuzzCheck {fuzz_root} "
+         f"{hostile},{degen}"],
+        cwd=repo, env=env, capture_output=True, text=True)
+    r2 = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.FuzzCheck {fuzz_root} {sliced}"],
+        cwd=repo, env={**env, "GRAFT_FUZZ_SLICE": "8"},
+        capture_output=True, text=True)
+    if r1.returncode != 0 or r2.returncode != 0:
+        print(r1.stdout[-3000:], r1.stderr[-2000:],
+              r2.stdout[-3000:], r2.stderr[-2000:])
+        sys.exit("fuzz leg: FuzzCheck run failed")
+    fz = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fuzzcheck.py"),
+         fuzz_root, "--write-json", os.path.join(repo, "FUZZCHECK.json")],
+        capture_output=True, text=True)
+    print(fz.stdout)
+    fuzz = {"skipped": False,
+            "seeds": [hostile, degen, sliced],
+            "rc": fz.returncode,
+            "fuzz_s": round(time.time() - t2, 1)}
+    if fz.returncode != 0:
+        fail.append(f"fuzz_leg(seeds={hostile},{degen},{sliced})")
+
 summary = {
     "round": round_no,
     "git_sha": sha,
+    "fuzz": fuzz,
     "sf_dir": sf_dir,
     "n_queries": len(lines),
     "n_match": len(match),
