@@ -37,11 +37,15 @@ def load(path):
     raise SystemExit(f"{path}: no full bench line with plan_jobs_stages found")
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
-    old, new = load(args[0]), load(args[1])
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_json = argv[i + 1]
+        del argv[i:i + 2]  # remove the flag AND its value from positionals
+    if len(argv) != 2:
+        raise SystemExit("usage: benchdiff.py OLD_JSON NEW_JSON [--json OUT]")
+    old, new = load(argv[0]), load(argv[1])
     oq, nq = old["queries"], new["queries"]
     of, nf = old["plan_jobs_stages"], new["plan_jobs_stages"]
     ob, nb = old.get("shuffle_rw_spill_bytes", {}), new.get("shuffle_rw_spill_bytes", {})
@@ -71,6 +75,7 @@ def main():
     ratios = {q: nq[q] / oq[q] for q in shared if oq[q] > 0}
     total_old = sum(oq[q] for q in shared)
     total_new = sum(nq[q] for q in shared)
+    total_ratio = total_new / total_old if total_old > 0 else float("nan")
     med = statistics.median(ratios.values()) if ratios else float("nan")
 
     def attribution(q):
@@ -87,14 +92,14 @@ def main():
                           if oq[q] - nq[q] > 0.5 and r < 0.77),
                          key=lambda kv: kv[1])[:10]
 
-    print(f"== benchdiff: {args[0]} -> {args[1]} ==")
+    print(f"== benchdiff: {argv[0]} -> {argv[1]} ==")
     print(f"queries: {len(shared)} shared, {len(added)} added, {len(removed)} removed")
     if added:
         print(f"  added:   {', '.join(added)}")
     if removed:
         print(f"  removed: {', '.join(removed)}")
     print(f"total (shared): {total_old:.1f}s -> {total_new:.1f}s  "
-          f"ratio {total_new / total_old:.3f}   median per-query ratio {med:.3f}")
+          f"ratio {total_ratio:.3f}   median per-query ratio {med:.3f}")
     print(f"\nfingerprint moves (PLAN changes): {len(fp_moves)}")
     for q, m in sorted(fp_moves.items()):
         print(f"  {q}: {m['old']} -> {m['new']}  "
@@ -120,7 +125,7 @@ def main():
 
     if out_json:
         with open(out_json, "w") as f:
-            json.dump({"total_ratio": total_new / total_old,
+            json.dump({"total_ratio": total_ratio,
                        "median_ratio": med,
                        "added": added, "removed": removed,
                        "fingerprint_moves": fp_moves,

@@ -57,9 +57,15 @@ for sd in seed_dirs:
     spark_errs = {k: v for k, v in meta.get("failed", {}).items()
                   if k not in EXPECTED_SKIP and (not only or k in only)}
     # split spark-side errors into documented contract rejections vs real
-    # failures: a rejection must match its registered message substring
+    # failures: a rejection must match its registered message substring AND
+    # occur on a DEGENERATE corpus (negative seed) — only those corpora
+    # violate minimum-input contracts by design; the same error on a
+    # hostile/sliced seed means an operator wrongly rejected valid input
+    # and must fail the gate
+    degenerate = int(seed) < 0
     rejects = {k: v[:180] for k, v in spark_errs.items()
-               if k in EXPECTED_REJECT and EXPECTED_REJECT[k] in v}
+               if degenerate and k in EXPECTED_REJECT
+               and EXPECTED_REJECT[k] in v}
     spark_errs = {k: v for k, v in spark_errs.items() if k not in rejects}
     cmd = [sys.executable, os.path.join(here, "compare.py"), data_dir,
            out_dir] + only

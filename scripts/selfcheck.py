@@ -110,6 +110,9 @@ if not fail and os.environ.get("GRAFT_SKIP_FUZZ") != "1":
     t2 = time.time()
     env = {**os.environ,
            "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "16")}
+    # the hostile/degenerate legs must run in their attested UNSLICED
+    # shape even if a dev loop left GRAFT_FUZZ_SLICE exported
+    env.pop("GRAFT_FUZZ_SLICE", None)
     r1 = subprocess.run(
         ["sbt", "-batch", f"runMain graft.FuzzCheck {fuzz_root} "
          f"{hostile},{degen}"],

@@ -95,8 +95,14 @@ object Bench {
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
     // keyed per STAGE (latest completed attempt wins, put-replace): a stage
     // resubmitted after a fetch failure fires onStageCompleted once per
-    // attempt, and an additive per-group merge would count it twice —
-    // per-stage last-write-wins makes retried stages count exactly once
+    // attempt, and an additive per-group merge would double-count the
+    // tasks both attempts ran. Last-write-wins is a bounded approximation,
+    // not exact: a PARTIAL retry (attempt 2 re-runs only missing tasks)
+    // reports only attempt-2 task metrics, undercounting the stage — exact
+    // attribution would need task-level accounting. At bench scale (one
+    // JVM, no fetch failures observed across 15 rounds) attempts beyond 0
+    // simply don't occur; the guard exists so a future multi-attempt run
+    // biases LOW instead of double-counting.
     val stageIo = new java.util.concurrent.ConcurrentHashMap[Integer, (String, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {

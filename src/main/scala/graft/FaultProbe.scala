@@ -205,20 +205,8 @@ object FaultProbe {
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.LongType, nullable = false)))
     new java.io.File(dir).mkdirs()
-    val mtime0 = System.currentTimeMillis() - slices * 4000L
-    rows.grouped(math.max(n / slices, 1)).zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = s"$dir/__tmp_$i"
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(chunk.toSeq, 1), schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for slice $i"))
-      val dest = new java.io.File(dir, f"slice_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime0 + i * 2000L)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
+    FuzzCorpus.writeSliceFiles(spark, new java.io.File(dir), schema,
+      rows.grouped(math.max(n / slices, 1)).map(_.toSeq).toSeq)
   }
 
   /** Start the lateness fold over the sliced source, one file per trigger,

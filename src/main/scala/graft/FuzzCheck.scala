@@ -55,9 +55,11 @@ object FuzzCheck {
       // batch boundaries while the DuckDB oracle reads the same rows
       val slices = sys.env.get("GRAFT_FUZZ_SLICE").map(_.toInt)
       // a reused corpus must match the requested shape: sliced runs need
-      // events.parquet to be the slice DIRECTORY, unsliced runs the file
-      def shapeMatches = new java.io.File(s"$dataDir/events.parquet")
-        .isDirectory == slices.isDefined
+      // BOTH sliced tables (events AND documents — an interrupted reslice
+      // can leave just events done) as slice DIRECTORIES, unsliced runs
+      // need single files
+      def shapeMatches = Seq("events", "documents").forall(t =>
+        new java.io.File(s"$dataDir/$t.parquet").isDirectory == slices.isDefined)
       if (sys.env.get("GRAFT_FUZZ_REUSE").contains("1") &&
           new java.io.File(s"$dataDir/embeddings.parquet").exists() &&
           shapeMatches) {

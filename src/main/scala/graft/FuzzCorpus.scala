@@ -592,12 +592,37 @@ object FuzzCorpus {
         StructField("props", StringType, nullable = true))))
   }
 
+  /** Write `slices` as mtime-staggered `slice_%03d.parquet` files inside
+    * `outDir` so the file stream source (with maxFilesPerTrigger=1)
+    * replays them as ORDERED micro-batches. Shared by the fuzz slicer and
+    * [[graft.FaultProbe]]'s streaming workload — one implementation of
+    * the stagger/naming mechanics, so the two can't drift. */
+  private[graft] def writeSliceFiles(spark: SparkSession,
+      outDir: java.io.File, schema: StructType,
+      slices: Seq[Seq[Row]]): Unit = {
+    val mtime0 = System.currentTimeMillis() - slices.length * 4000L
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val tmp = new java.io.File(outDir.getParentFile,
+        s"__tmp_slice_${outDir.getName}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(slice, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for ${outDir.getName} slice $i"))
+      val dest = new java.io.File(outDir, f"slice_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime0 + i * 2000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   /** Replace `dir/<table>.parquet` (single file) with a DIRECTORY of `k`
     * slice files: rows sorted by `idCol`, cut at seeded random boundaries,
-    * row order SHUFFLED within each slice, slice files mtime-staggered so
-    * the file stream source (with maxFilesPerTrigger=1) replays them as
-    * ordered micro-batches. Batch readers and the DuckDB oracle glob the
-    * directory — same row multiset, different delivery. */
+    * row order SHUFFLED within each slice, written via [[writeSliceFiles]].
+    * Batch readers and the DuckDB oracle glob the directory — same row
+    * multiset, different delivery. */
   private def sliceTableFile(spark: SparkSession, dir: String, table: String,
       idCol: String, k: Int, r: Random): Unit = {
     val file = new java.io.File(s"$dir/$table.parquet")
@@ -616,21 +641,7 @@ object FuzzCorpus {
     require(file.delete(), s"sliceTableFile: could not remove $file")
     val outDir = new java.io.File(s"$dir/$table.parquet")
     require(outDir.mkdir(), s"sliceTableFile: could not mkdir $outDir")
-    val mtime0 = System.currentTimeMillis() - slices.length * 4000L
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val tmp = s"$dir/__tmp_slice_$table"
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(slice, 1), schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for $table slice $i"))
-      val dest = new java.io.File(outDir, f"slice_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime0 + i * 2000L)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
+    writeSliceFiles(spark, outDir, schema, slices)
   }
 
   /** Reshape a written corpus for the micro-batch-slicing fuzz leg:

@@ -30,18 +30,24 @@ object ScaleProbeJaccard {
   /** Deterministic Zipfian corpus, generated distributively (no driver
     * rows): word w(d, p) = floor(V^u) with u = hash(seed(d), p)/2²⁰ —
     * log-uniform over [1, V] ⇒ P(rank r) ∝ 1/r. Docs in a dup family
-    * (25%) share their base doc's words except one salted position, so
-    * family pairs sit at Jaccard ≈ (L−2)/(L+2)…1 — mass for both
-    * thresholds to find. */
+    * (25%) share their base doc's length and words except one salted
+    * position, so family pairs sit at high trigram Jaccard (≈ (L−5)/(L+1)
+    * for a one-word edit, or 1 when both members salt to the same word) —
+    * mass for both thresholds to find. */
   private def corpus(spark: SparkSession, nDocs: Long, vocab: Int): DataFrame =
     spark.range(nDocs)
       .select(col("id").as("doc_id"),
         // family structure: ids ≡ 0..3 (mod 16) form a 4-doc family on
         // base id−(id%4); everyone else derives from their own id
         when(pmod(col("id"), lit(16L)) < 4, col("id") - pmod(col("id"), lit(4L)))
-          .otherwise(col("id")).as("__seed"),
-        (lit(30) + pmod(xxhash64(col("id"), lit(5L)), lit(51L))).cast("int")
-          .as("__len"))
+          .otherwise(col("id")).as("__seed"))
+      // length derives from __seed, NOT doc_id: family members must share
+      // their length so the one-salted-word design puts family pairs at
+      // trigram Jaccard ≈ (L−5)/(L+3) — independent lengths would scatter
+      // most of them below t=0.5 and the probe would measure a different
+      // corpus than documented
+      .withColumn("__len",
+        (lit(30) + pmod(xxhash64(col("__seed"), lit(5L)), lit(51L))).cast("int"))
       .select(col("doc_id"),
         concat_ws(" ", transform(
           sequence(lit(1), col("__len")),

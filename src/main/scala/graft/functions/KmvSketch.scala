@@ -32,6 +32,27 @@ final class KMinSet(val k: Int) extends Serializable {
   }
 }
 
+/** Shared wire format for KMinSet aggregation buffers — one codec for
+  * both [[KmvSketchAgg]] and [[KmvMergeAgg]], so the partial-aggregate
+  * exchange format can never diverge between the build and merge sides. */
+private[functions] object KMinSetCodec {
+  def serialize(buffer: KMinSet): Array[Byte] = {
+    val arr = buffer.toSortedArray
+    val bb = ByteBuffer.allocate(4 + 8 * arr.length)
+    bb.putInt(arr.length)
+    arr.foreach(bb.putLong)
+    bb.array()
+  }
+  def deserialize(bytes: Array[Byte], k: Int): KMinSet = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new KMinSet(k)
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+}
+
 /** One-pass per-group KMV sketch as a native `TypedImperativeAggregate`:
   * `kmv_kmins(hash, k)` yields the ascending array of the group's k
   * smallest distinct hash values.
@@ -70,22 +91,11 @@ case class KmvSketchAgg(
   override def eval(buffer: KMinSet): Any =
     new GenericArrayData(buffer.toSortedArray)
 
-  override def serialize(buffer: KMinSet): Array[Byte] = {
-    val arr = buffer.toSortedArray
-    val bb = ByteBuffer.allocate(4 + 8 * arr.length)
-    bb.putInt(arr.length)
-    arr.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buffer: KMinSet): Array[Byte] =
+    KMinSetCodec.serialize(buffer)
 
-  override def deserialize(bytes: Array[Byte]): KMinSet = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new KMinSet(k)
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): KMinSet =
+    KMinSetCodec.deserialize(bytes, k)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

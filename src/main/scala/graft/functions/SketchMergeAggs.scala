@@ -31,6 +31,16 @@ import org.apache.spark.util.sketch.CountMinSketch
   * Both are the sketches' own monoids (k-min of union; cellwise sum), so
   * the merged sketch is IDENTICAL to sketching the raw union — the
   * property the SketchSqlSpec rollup specs pin against the direct path.
+  *
+  * SAME-PARAMETER CONTRACT. `cms_merge` enforces shape compatibility for
+  * free (the blobs carry depth/width/seed; mergeInPlace throws on a
+  * mismatch). `kmv_merge`'s compatibility is NOT verifiable from the
+  * arrays alone: merging sketches built with a SMALLER k than the merge
+  * k yields a well-shaped but WRONG sketch (positions beyond the input k
+  * are not the true k-mins of the union — an input array shorter than k
+  * is indistinguishable from a legitimately small group). Callers must
+  * merge with k ≤ the build-time k; persist k beside the sketch column
+  * (the approx_distinct_rollup convention) so the reader can check.
   * (HLL needs no new function: this library's HLL form is the row-grain
   * `(bucket, reg)` register table, whose merge is plain
   * `max(reg) GROUP BY bucket` SQL; corr moment tables re-aggregate with
@@ -66,22 +76,11 @@ case class KmvMergeAgg(
   override def eval(buffer: KMinSet): Any =
     new GenericArrayData(buffer.toSortedArray)
 
-  override def serialize(buffer: KMinSet): Array[Byte] = {
-    val arr = buffer.toSortedArray
-    val bb = ByteBuffer.allocate(4 + 8 * arr.length)
-    bb.putInt(arr.length)
-    arr.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buffer: KMinSet): Array[Byte] =
+    KMinSetCodec.serialize(buffer)
 
-  override def deserialize(bytes: Array[Byte]): KMinSet = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new KMinSet(k)
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): KMinSet =
+    KMinSetCodec.deserialize(bytes, k)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
