@@ -83,6 +83,10 @@ def main():
             return "PLAN (fingerprint moved)"
         if q in byte_moves and abs(byte_moves[q]["pct"]) > 10:
             return f"BYTES ({byte_moves[q]['pct']:+.1f}% shuffle rw)"
+        # when one record predates the bytes field, byte_moves is empty BY
+        # CONSTRUCTION — never claim "bytes stable" we didn't measure
+        if not bytes_comparable:
+            return "ENVIRONMENT (fingerprint stable; bytes not measured)"
         return "ENVIRONMENT (fingerprint + bytes stable)"
 
     movers = sorted(((q, r) for q, r in ratios.items()

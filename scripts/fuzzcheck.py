@@ -70,12 +70,34 @@ for sd in seed_dirs:
     cmd = [sys.executable, os.path.join(here, "compare.py"), data_dir,
            out_dir] + only
     p = subprocess.run(cmd, capture_output=True, text=True)
+    # integrity gate (r17, ADVICE): compare.py exits 0 (all match) or 1
+    # (fails counted) — anything else is a CRASH mid-run (e.g. a corrupt
+    # Spark result parquet read outside its try), and parsing the truncated
+    # stdout would count zero FAILs and green-light an incomplete run.
+    # selfcheck.py's main leg guards this; the fuzz leg gets parity here.
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    gated = {q for q in oracle
+             if (not only or q in only) and q not in EXPECTED_SKIP}
     match, fails = 0, {}
+    verdicts = {}
     for line in p.stdout.splitlines():
         if ": " not in line or line.startswith("--"):
             continue
         name, status = line.split(": ", 1)
-        if name in EXPECTED_SKIP or name in rejects:
+        if name in oracle:
+            verdicts[name] = status
+    if p.returncode not in (0, 1):
+        fails["__harness__"] = (f"compare.py crashed rc={p.returncode}: "
+                                + p.stderr.strip()[-300:])
+    # every gated query must print exactly one verdict line (rejected
+    # queries print NO SPARK OUTPUT) — a missing line means a truncated run
+    missing = sorted(gated - set(verdicts))
+    if missing:
+        fails["__coverage__"] = (f"{len(missing)} gated queries have no "
+                                 f"verdict line (truncated compare run?): "
+                                 + ", ".join(missing[:10]))
+    for name, status in verdicts.items():
+        if name not in gated or name in rejects:
             continue
         if status.startswith("MATCH"):
             match += 1
@@ -83,6 +105,8 @@ for sd in seed_dirs:
             fails[name] = status[:200]
     for k, v in spark_errs.items():
         fails.setdefault(k, f"SPARK ERROR {v[:180]}")
+    assert match + len([f for f in fails if f in gated]) + len(rejects) \
+        + len(missing) >= len(gated), "verdict accounting lost a query"
     summary["seeds"][seed] = {
         "match": match, "fail": len(fails), "failures": fails,
         "contract_rejects": rejects}

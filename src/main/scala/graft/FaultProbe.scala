@@ -95,13 +95,17 @@ object FaultProbe {
     } catch { case _: Throwable => None }
 
   /** Is `pid` a descendant of THIS JVM? Walks the /proc ppid chain (the
-    * executor JVMs are grandchildren via the standalone worker). */
+    * executor JVMs are grandchildren via the standalone worker). The
+    * `cur == self` test runs BEFORE the pid-1 cutoff: in a container this
+    * driver JVM often IS pid 1, and a `cur > 1` loop guard would classify
+    * every executor as foreign and leave the probe with no victims. */
   private def isOurDescendant(pid: Long): Boolean = {
     val self = ProcessHandle.current.pid
     var cur = pid
     var hops = 0
-    while (cur > 1 && hops < 32) {
+    while (cur >= 1 && hops < 32) {
       if (cur == self) return true
+      if (cur == 1) return false
       ppidOf(cur) match {
         case Some(p) => cur = p; hops += 1
         case None => return false

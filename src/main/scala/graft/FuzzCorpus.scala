@@ -613,7 +613,11 @@ object FuzzCorpus {
         .getOrElse(sys.error(s"no part file for ${outDir.getName} slice $i"))
       val dest = new java.io.File(outDir, f"slice_$i%03d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime0 + i * 2000L)
+      // the mtime stagger IS the micro-batch order contract (the file
+      // stream source sorts by mtime); a filesystem that rejects the
+      // update must fail the slicing leg loudly, not replay out of order
+      require(dest.setLastModified(mtime0 + i * 2000L),
+        s"could not stagger mtime for $dest — slice order would be undefined")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }
   }

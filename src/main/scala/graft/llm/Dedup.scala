@@ -1110,11 +1110,14 @@ object Dedup {
       .filter(least(col("__sa"), col("__sb")) * tDen >=
         greatest(col("__sa"), col("__sb")) * tNum)
       .select("id_a", "id_b").distinct()
-      // candidate mass IS the capacity metric of AllPairs (verification
-      // cost is linear in it): observed for free as a CollectMetrics on
-      // the existing execution — ScaleProbeJaccard (and any ops listener)
-      // reads it via QueryExecutionListener.observedMetrics. Name is
-      // sequence-unique: two exact joins may share one query plan.
+      // candidate mass AFTER the distinct: the DISTINCT candidate-pair
+      // count, i.e. the verified-join input that verification cost is
+      // linear in — NOT the raw pre-distinct enumeration (a pair generated
+      // by several shared prefix tokens counts once here). Observed for
+      // free as a CollectMetrics on the existing execution —
+      // ScaleProbeJaccard (and any ops listener) reads it via
+      // QueryExecutionListener.observedMetrics. Name is sequence-unique:
+      // two exact joins may share one query plan.
       .observe(s"graft_exact_jaccard_${candSeq.incrementAndGet()}",
         count(lit(1)).as("n_candidates"))
     cand
