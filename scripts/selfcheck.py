@@ -7,11 +7,14 @@ correctness even if the driver's channel zeroes.
 
 r16 (VERDICT task 8): the close now also runs a ROTATED FUZZ LEG — one
 hostile-value seed (= ROUND), one degenerate-cardinality seed
-(= -(ROUND mod 3 + 1)), and one micro-batch-sliced seed (= 100 + ROUND),
-each over the full query surface, refreshing FUZZCHECK.json at the close
-SHA — so convention regressions can't land between evidence rounds.
-Skip (dev loops only) with GRAFT_SKIP_FUZZ=1; the witness records the
-skip so it can't masquerade as a fuzz-clean close.
+(= -(ROUND mod 3 + 1)), one micro-batch-sliced seed (= 100 + ROUND), and
+(r17) one bad-key ingest seed (= -(100 + ROUND): NULL / duplicate
+primary keys; keyed operators must reject loudly via the strict
+KeyContract gate, everything else must still oracle-match), each over
+the full query surface, refreshing FUZZCHECK.json at the close SHA — so
+convention regressions can't land between evidence rounds. Skip (dev
+loops only) with GRAFT_SKIP_FUZZ=1; the witness records the skip so it
+can't masquerade as a fuzz-clean close.
 
 Usage: selfcheck.py ROUND [SF_DIR] [OUT_DIR]
 """
@@ -107,6 +110,7 @@ if not fail and os.environ.get("GRAFT_SKIP_FUZZ") != "1":
     fuzz_root = "/tmp/graft_close_fuzz"
     subprocess.run(["rm", "-rf", fuzz_root])
     hostile, degen, sliced = round_no, -(round_no % 3 + 1), 100 + round_no
+    badkey = -(100 + round_no)
     t2 = time.time()
     env = {**os.environ,
            "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "16")}
@@ -115,7 +119,7 @@ if not fail and os.environ.get("GRAFT_SKIP_FUZZ") != "1":
     env.pop("GRAFT_FUZZ_SLICE", None)
     r1 = subprocess.run(
         ["sbt", "-batch", f"runMain graft.FuzzCheck {fuzz_root} "
-         f"{hostile},{degen}"],
+         f"{hostile},{degen},{badkey}"],
         cwd=repo, env=env, capture_output=True, text=True)
     r2 = subprocess.run(
         ["sbt", "-batch", f"runMain graft.FuzzCheck {fuzz_root} {sliced}"],
@@ -131,11 +135,11 @@ if not fail and os.environ.get("GRAFT_SKIP_FUZZ") != "1":
         capture_output=True, text=True)
     print(fz.stdout)
     fuzz = {"skipped": False,
-            "seeds": [hostile, degen, sliced],
+            "seeds": [hostile, degen, badkey, sliced],
             "rc": fz.returncode,
             "fuzz_s": round(time.time() - t2, 1)}
     if fz.returncode != 0:
-        fail.append(f"fuzz_leg(seeds={hostile},{degen},{sliced})")
+        fail.append(f"fuzz_leg(seeds={hostile},{degen},{badkey},{sliced})")
 
 summary = {
     "round": round_no,

@@ -76,61 +76,20 @@ object Bench {
     // entire query family can throw instantly while the bench prints
     // plausible sub-0.1 s timings — this channel closes that trap.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Per-query Spark job/stage counts (VERDICT r13 task 3): wall time on
-    // the driver host is noisy (documented 3-4× family drift with zero code
-    // change), but job and stage counts are DETERMINISTIC plan properties —
-    // a driver-vs-solo bench delta with unchanged counts is environment, a
-    // moved count is a plan change. Counted via a listener keyed on a
-    // per-(query, iteration) job group (survives any spark.ui.retained*
-    // eviction, unlike statusTracker); the sweep between queries runs
-    // OUTSIDE the group so its unpersist jobs don't pollute the counts.
-    val planCounts = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
-    // Per-query shuffle/spill BYTES (VERDICT r14 task 6): jobs/stages
-    // fingerprint plan SHAPE; bytes are the 100-TB COST. Shuffle read/write
-    // comes from each completed stage's aggregated task metrics, attributed
-    // to the owning query through a stageId -> job-group map built at job
-    // start (stages skipped via exchange reuse never complete, so reused
-    // shuffles correctly count once). Spill means executor memory pressure —
-    // any nonzero value at bench scale is a red flag the watch rule reads.
-    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-    // keyed per STAGE (latest completed attempt wins, put-replace): a stage
-    // resubmitted after a fetch failure fires onStageCompleted once per
-    // attempt, and an additive per-group merge would double-count the
-    // tasks both attempts ran. Last-write-wins is a bounded approximation,
-    // not exact: a PARTIAL retry (attempt 2 re-runs only missing tasks)
-    // reports only attempt-2 task metrics, undercounting the stage — exact
-    // attribution would need task-level accounting. At bench scale (one
-    // JVM, no fetch failures observed across 15 rounds) attempts beyond 0
-    // simply don't occur; the guard exists so a future multi-attempt run
-    // biases LOW instead of double-counting.
-    val stageIo = new java.util.concurrent.ConcurrentHashMap[Integer, (String, Long, Long, Long)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
-        if (g != null && g.startsWith("graftbench:")) {
-          planCounts.merge(g, (1, js.stageInfos.size),
-            (a, b) => (a._1 + b._1, a._2 + b._2))
-          js.stageInfos.foreach(si => stageGroup.put(si.stageId, g))
-        }
-      }
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val g = stageGroup.get(sc.stageInfo.stageId)
-        val tm = sc.stageInfo.taskMetrics
-        if (g != null && tm != null)
-          stageIo.put(sc.stageInfo.stageId,
-            (g, tm.shuffleReadMetrics.totalBytesRead,
-              tm.shuffleWriteMetrics.bytesWritten,
-              tm.memoryBytesSpilled + tm.diskBytesSpilled))
-      }
-    })
-    def ioForGroup(g: String): (Long, Long, Long) = {
-      var r = 0L; var w = 0L; var sp = 0L
-      stageIo.values.forEach { v =>
-        if (v._1 == g) { r += v._2; w += v._3; sp += v._4 }
-      }
-      (r, w, sp)
-    }
+    // Per-query plan fingerprints (jobs/stages) + EXACT task-grain
+    // shuffle/spill bytes — see [[QueryIoListener]] (r17 task 4 replaced
+    // the per-stage last-attempt-wins byte accounting, which undercounted
+    // partial stage retries, with task-level sums that are exact under
+    // every attempt structure; BenchIoSpec replays the retry shapes).
+    // Keyed on a per-(query, iteration) job group (survives any
+    // spark.ui.retained* eviction, unlike statusTracker); the sweep
+    // between queries runs OUTSIDE the group so its unpersist jobs don't
+    // pollute the counts. Spill means executor memory pressure — any
+    // nonzero value at bench scale is a red flag the watch rule reads.
+    val ioListener = new QueryIoListener
+    val planCounts = ioListener.planCounts
+    spark.sparkContext.addSparkListener(ioListener)
+    def ioForGroup(g: String): (Long, Long, Long) = ioListener.ioForGroup(g)
     val timings = (1 to iters).map { it =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

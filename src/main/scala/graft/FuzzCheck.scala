@@ -74,6 +74,12 @@ object FuzzCheck {
       }
       slices.foreach(_ =>
         spark.conf.set("graft.stream.maxFilesPerTrigger", "1"))
+      // bad-key seeds (≤ -100) run the key-dependent queries through the
+      // strict primary-key gate: the contract says they must fail LOUDLY
+      // on NULL/duplicate ids (KeyContract), and fuzzcheck.py counts each
+      // registered loud rejection as a pass-by-rejection — any other
+      // error, and any silent divergence on the unchecked queries, fails
+      spark.conf.set("graft.keycheck", if (seed <= -100) "strict" else "off")
       Verify.writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
 
       var ok = 0; var err = 0

@@ -24,9 +24,11 @@ import scala.util.Random
   *    duplicates (so the dedup family has real work), zero vectors and
   *    duplicate embeddings (distance ties, the mx=0 quantize guard).
   *
-  * PRIMARY keys stay non-null and unique — that is the documented contract
-  * of every keyed operator (deterministic tie-breaks need a total order);
-  * everything else is fair game. Generation is driver-side by design: a
+  * PRIMARY keys stay non-null and unique in the hostile and degenerate
+  * profiles — that is the documented contract of every keyed operator
+  * (deterministic tie-breaks need a total order). The r17 BAD-KEY profile
+  * (seed ≤ -100) attacks exactly that invariant on purpose, because a real
+  * ingest will: see [[corruptKeys]]. Generation is driver-side by design: a
   * few thousand rows per table, seeded `scala.util.Random`, written once
   * per seed, so any divergence the harness finds replays exactly. */
 object FuzzCorpus {
@@ -542,6 +544,45 @@ object FuzzCorpus {
         StructField("label", IntegerType, nullable = true))))
   }
 
+  // ———————————————————— bad-key ingest profile (r17) ————————————————————
+  // Primary keys are the ONE invariant every profile above preserves —
+  // "PRIMARY keys stay non-null and unique" is each keyed operator's
+  // documented contract. A real 100-TB ingest WILL violate it (upstream
+  // retries re-deliver rows; a malformed extract NULLs an id), and the
+  // worst failure is silent: nondeterministic tie-breaks or quiet
+  // mis-dedup no green gate ever sees. Seeds ≤ -100 select this profile:
+  // the hostile VALUE corpus for base seed (|seed|-100), with
+  // doc_id/vec_id/event_id then corrupted three ways — NULL ids,
+  // duplicated ids with DIFFERENT content (the id no longer identifies a
+  // row), and full-row duplicates (the retry-ingest shape). Every keyed
+  // operator must either compute defined, oracle-matched output over this
+  // corpus or reject loudly with a rejection registered in
+  // scripts/fuzzcheck.py's BADKEY_REJECT.
+
+  private def corruptKeys(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, idCol: String, r: Random,
+      nNull: Int, nDupDiff: Int, nDupRow: Int) = {
+    val schema = StructType(df.schema.map(f =>
+      if (f.name == idCol) f.copy(nullable = true) else f))
+    val idIdx = schema.fieldIndex(idCol)
+    val rows = scala.collection.mutable.ArrayBuffer(df.collect().toSeq: _*)
+    def setId(row: Row, id: Any): Row = Row.fromSeq(row.toSeq.updated(idIdx, id))
+    // full-row duplicates first (they clone pristine ids)
+    (0 until nDupRow).foreach(_ => rows += rows(r.nextInt(rows.size)))
+    // same id, different content: victim keeps its columns, takes donor's id
+    (0 until nDupDiff).foreach { _ =>
+      val v = r.nextInt(rows.size); val d = r.nextInt(rows.size)
+      rows(v) = setId(rows(v), rows(d).get(idIdx))
+    }
+    (0 until nNull).foreach { _ =>
+      val v = r.nextInt(rows.size)
+      rows(v) = setId(rows(v), null)
+    }
+    val shuffled = r.shuffle(rows.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(shuffled, df.rdd.getNumPartitions), schema)
+  }
+
   // ———————————————— micro-batch slicing profile (r16) ————————————————
   // The batch fuzz profiles replay every query over ONE micro-batch; this
   // reshapes a written corpus so the 20 stream_* queries run through
@@ -666,11 +707,34 @@ object FuzzCorpus {
 
   /** Write all ten tables for one seed into `dir/<table>.parquet`.
     * Seed ≥ 0: the hostile VALUE profile (NULLs, ties, unicode, skew).
-    * Seed < 0: the DEGENERATE CARDINALITY profile — per-table variants
-    * rotate with |seed| (|seed| and |seed|+1 and |seed|+2 together cover
-    * every variant of every table). */
+    * Seed in [-99, -1]: the DEGENERATE CARDINALITY profile — per-table
+    * variants rotate with |seed| (|seed| and |seed|+1 and |seed|+2
+    * together cover every variant of every table).
+    * Seed ≤ -100: the BAD-KEY INGEST profile — the hostile corpus for
+    * base seed |seed|-100, with documents/embeddings/events primary keys
+    * corrupted (NULL, duplicate-id-different-content, full-row dupes). */
   def write(spark: SparkSession, dir: String, seed: Long): Unit = {
     val r = new Random(seed)
+    if (seed <= -100) {
+      val base = new Random(-seed - 100)
+      val nCust = 400; val nParts = 250; val nSupp = 60
+      val tables = Seq(
+        "region" -> region(spark, base),
+        "nation" -> nation(spark, base),
+        "supplier" -> supplier(spark, base, nSupp),
+        "customer" -> customer(spark, base, nCust),
+        "part" -> part(spark, base, nParts),
+        "orders" -> orders(spark, base, 1200, nCust),
+        "lineitem" -> lineitem(spark, base, 4000, 1200, nParts, nSupp),
+        "events" -> corruptKeys(spark, events(spark, base, 4000),
+          "event_id", r, nNull = 80, nDupDiff = 120, nDupRow = 60),
+        "documents" -> corruptKeys(spark, documents(spark, base, 320),
+          "doc_id", r, nNull = 8, nDupDiff = 12, nDupRow = 6),
+        "embeddings" -> corruptKeys(spark, embeddings(spark, base, 240),
+          "vec_id", r, nNull = 6, nDupDiff = 9, nDupRow = 5))
+      writeTables(dir, tables)
+      return
+    }
     if (seed < 0) {
       val v = (-seed).toInt
       val nCust = 104 // degCustomer row count (fixed group design)

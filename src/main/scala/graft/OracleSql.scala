@@ -847,7 +847,12 @@ private[graft] object OracleSql {
 
   /** Generated oracle for `quality_model_score`: the same weight list as a
     * SQL literal, the portable md5 token hash, and an exact INTEGER sum
-    * per doc (order-independent) divided once — bit-identical scores. */
+    * per doc (order-independent) divided once — bit-identical scores.
+    * JOIN-FREE by design (r17): a doc's score is a pure function of its
+    * text, so it's computed with per-row list expressions — the earlier
+    * unnest + GROUP BY doc_id + join-back form fans out under duplicate
+    * ids and drops NULL ids, which the bad-key fuzz family exposes; the
+    * Spark side is a per-row map and must stay matchable there. */
   private def qualityModelSql: String = {
     val wl = qualityModelWeights.mkString("[", ", ", "]")
     val d = qualityModelWeights.size
@@ -856,16 +861,17 @@ private[graft] object OracleSql {
        |    list_filter(string_split_regex($normSql, '\\s+'),
        |      t -> len(t) > 0) AS toks
        |  FROM documents),
-       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-       |s AS (SELECT doc_id,
-       |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
-       |  FROM tok, w GROUP BY doc_id)
-       |SELECT tk.doc_id,
-       |  CASE WHEN tk.toks IS NULL THEN NULL
-       |    ELSE coalesce(s.total, 0) / 1000000.0 END AS score,
-       |  CASE WHEN tk.toks IS NULL THEN NULL
-       |    ELSE coalesce(s.total, 0) > 0 END AS keep
-       |FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id""".stripMargin
+       |s AS (SELECT doc_id, toks,
+       |    list_sum(list_transform(toks,
+       |      t -> wl[(('0x' || substr(md5(t), 1, 15))::BIGINT % $d)::INT + 1]))
+       |      AS total
+       |  FROM tk, w)
+       |SELECT doc_id,
+       |  CASE WHEN toks IS NULL THEN NULL
+       |    ELSE coalesce(total, 0) / 1000000.0 END AS score,
+       |  CASE WHEN toks IS NULL THEN NULL
+       |    ELSE coalesce(total, 0) > 0 END AS keep
+       |FROM s""".stripMargin
   }
 
   /** Generated oracle for `dedup_quality_bias`: the exact-Jaccard pair
@@ -934,44 +940,42 @@ private[graft] object OracleSql {
     * the same `stopwordProfiles` the engine uses, and every ratio is the
     * identical IEEE division of exact integer counts. */
   /** Generated oracle for `model_calibration`: the [[qualityModelSql]]
-    * integer micro total (no division) joined to the [[gopherSql]] keep
-    * verdict at doc grain, binned on shifted integer edges. */
+    * integer micro total (no division) and the [[gopherSql]] keep verdict
+    * computed in ONE row scan (no doc_id join — r17: the doc-grain join
+    * form fans out under duplicate ids and drops NULL ids; both values
+    * are pure per-row functions of `text`), binned on shifted integer
+    * edges. */
   private def calibrationSql: String = {
     val wl = qualityModelWeights.mkString("[", ", ", "]")
     val d = qualityModelWeights.size
     val sw = graft.llm.TextStats.stopwordProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
     s"""WITH w AS (SELECT $wl::BIGINT[] AS wl),
-       |tk AS (SELECT doc_id,
+       |base AS (SELECT text,
        |    list_filter(string_split_regex($normSql, '\\s+'),
        |      t -> len(t) > 0) AS toks
        |  FROM documents),
-       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-       |s AS (SELECT doc_id,
-       |    sum(wl[(('0x' || substr(md5(tok), 1, 15))::BIGINT % $d)::INT + 1]) AS total
-       |  FROM tok, w GROUP BY doc_id),
-       |micro AS (SELECT tk.doc_id,
-       |    CASE WHEN tk.toks IS NULL THEN NULL
-       |      ELSE coalesce(s.total, 0) END::BIGINT AS micro
-       |  FROM tk LEFT JOIN s ON tk.doc_id = s.doc_id),
-       |f AS (SELECT doc_id,
+       |m AS (SELECT text,
+       |    CASE WHEN toks IS NULL THEN NULL
+       |      ELSE coalesce(list_sum(list_transform(toks,
+       |        t -> wl[(('0x' || substr(md5(t), 1, 15))::BIGINT % $d)::INT + 1])), 0)
+       |    END::BIGINT AS micro
+       |  FROM base, w),
+       |f AS (SELECT micro,
        |  length(text)::BIGINT AS nc,
        |  len(list_filter(string_split_regex(trim(text), '\\s+'),
        |    t -> len(t) > 0))::BIGINT AS nt,
        |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS np,
        |  len(list_filter(string_split_regex(lower(text), '\\s+'),
        |    t -> t IN ($sw)))::BIGINT AS nsw
-       |  FROM documents),
-       |r AS (SELECT doc_id,
-       |  (nt BETWEEN 30 AND 80)
-       |    AND (nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
-       |      AND (nc - nt + 1) / nt::DOUBLE <= 5.0)
-       |    AND (nc = 0 OR np::DOUBLE / nc <= 0.1)
-       |    AND nsw > 0 AS keep
-       |  FROM f),
-       |b AS (SELECT (m.micro + 10000000000) // 2000000 AS bin,
-       |    CASE WHEN r.keep THEN 1 ELSE 0 END AS k
-       |  FROM micro m JOIN r ON m.doc_id = r.doc_id)
+       |  FROM m),
+       |b AS (SELECT (micro + 10000000000) // 2000000 AS bin,
+       |    CASE WHEN (nt BETWEEN 30 AND 80)
+       |      AND (nt > 0 AND (nc - nt + 1) / nt::DOUBLE >= 3.0
+       |        AND (nc - nt + 1) / nt::DOUBLE <= 5.0)
+       |      AND (nc = 0 OR np::DOUBLE / nc <= 0.1)
+       |      AND nsw > 0 THEN 1 ELSE 0 END AS k
+       |  FROM f)
        |SELECT (bin * 2000000 - 10000000000)::BIGINT AS bin_lo_micro,
        |  count(*) AS n_docs, sum(k)::BIGINT AS n_keep,
        |  ((sum(k) * 1000000) // count(*))::BIGINT AS keep_ppm
@@ -1538,28 +1542,31 @@ private[graft] object OracleSql {
     // per-char histogram ground truth for the one-pass expression: DuckDB
     // rebuilds the histogram by exploding characters (the very plan shape
     // the Spark side exists to avoid)
+    // JOIN-FREE per-row form (r17): the char histogram is a pure function
+    // of the text, computed with list_aggregate('histogram') per row — the
+    // earlier GROUP BY doc_id + join-back fans out under duplicate ids and
+    // drops NULL ids (bad-key fuzz family); the Spark side is one per-row
+    // codegen'd pass and must stay matchable there
     "char_diversity" -> (
       s"""WITH nd AS (SELECT doc_id, $normSql AS t FROM documents),
-         |cnt AS (SELECT doc_id, c, count(*)::BIGINT AS k
-         |  FROM (SELECT doc_id, unnest([t[i:i] FOR i IN range(1, len(t)+1)]) AS c
-         |        FROM nd)
-         |  GROUP BY doc_id, c),
-         |agg AS (SELECT doc_id, sum(k)::BIGINT AS n_cp,
-         |    count(*)::BIGINT AS n_distinct,
-         |    sum(k * (k - 1))::BIGINT AS coll
-         |  FROM cnt GROUP BY doc_id)
-         |SELECT nd.doc_id,
-         |  CASE WHEN nd.t IS NULL THEN NULL
-         |    ELSE coalesce(agg.n_cp, 0) END::BIGINT AS n_cp,
-         |  CASE WHEN nd.t IS NULL THEN NULL
-         |    ELSE coalesce(agg.n_distinct, 0) END::BIGINT AS n_distinct,
-         |  CASE WHEN nd.t IS NULL THEN NULL
-         |    ELSE coalesce(agg.coll, 0) END::BIGINT AS coll,
-         |  CASE WHEN nd.t IS NULL THEN NULL
-         |    WHEN coalesce(agg.n_cp, 0) < 2 THEN 0
-         |    ELSE agg.coll * 1000000 // (agg.n_cp * (agg.n_cp - 1))
+         |h AS (SELECT doc_id, t,
+         |  map_values(list_aggregate([t[i:i] FOR i IN range(1, len(t)+1)],
+         |    'histogram')) AS ks
+         |  FROM nd)
+         |SELECT doc_id,
+         |  CASE WHEN t IS NULL THEN NULL
+         |    ELSE coalesce(list_sum(ks), 0) END::BIGINT AS n_cp,
+         |  CASE WHEN t IS NULL THEN NULL
+         |    ELSE coalesce(len(ks), 0) END::BIGINT AS n_distinct,
+         |  CASE WHEN t IS NULL THEN NULL
+         |    ELSE coalesce(list_sum(list_transform(ks, k -> k * (k - 1))), 0)
+         |  END::BIGINT AS coll,
+         |  CASE WHEN t IS NULL THEN NULL
+         |    WHEN coalesce(list_sum(ks), 0) < 2 THEN 0
+         |    ELSE (list_sum(list_transform(ks, k -> k * (k - 1))) * 1000000)
+         |      // (list_sum(ks) * (list_sum(ks) - 1))
          |  END::BIGINT AS simpson_ppm
-         |FROM nd LEFT JOIN agg ON nd.doc_id = agg.doc_id""".stripMargin),
+         |FROM h""".stripMargin),
 
     // clipped-multiset ROUGE-2 ground truth — per-side gram counts,
     // least() clip, integer ppm ratios, all replayed in DuckDB
@@ -4291,6 +4298,22 @@ private[graft] object OracleSql {
         |  FROM (SELECT count(*) AS n, count(DISTINCT o_orderstatus) AS d
         |    FROM orders GROUP BY o_custkey)) v
         |  CROSS JOIN t""".stripMargin,
+
+    "key_contract_audit" ->
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+        "events" -> "event_id").map { case (tab, key) =>
+        s"""SELECT '$tab' AS table_name, 'not_null($key)' AS constraint,
+           |  v.violations, t.total, v.violations = 0 AS passed
+           |FROM (SELECT count(*) FILTER ($key IS NULL)::BIGINT
+           |  AS violations FROM $tab) v
+           |CROSS JOIN (SELECT count(*)::BIGINT AS total FROM $tab) t
+           |UNION ALL
+           |SELECT '$tab', 'unique($key)', v.violations, t.total,
+           |  v.violations = 0
+           |FROM (SELECT coalesce(sum(n - 1), 0)::BIGINT AS violations
+           |  FROM (SELECT count(*) AS n FROM $tab GROUP BY $key)) v
+           |CROSS JOIN (SELECT count(*)::BIGINT AS total FROM $tab) t""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "decontaminate_fuzzy" ->
       """WITH toks AS (

@@ -18,6 +18,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // primary keys of the id-keyed tables — the bad-key fuzz family
+  // (FuzzCorpus seeds ≤ -100) corrupts exactly these three columns
+  private val pkOf = Map("documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "event_id")
+
+  /** [[t]] + the opt-in primary-key gate ([[graft.sources.KeyContract]]):
+    * queries whose SEMANTICS need the key contract (dedup tie-breaks, pair
+    * enumeration, pack/shard order, id-hash splits, ANN ids, arrival
+    * folds) read through here — a no-op by default (identical plan), and
+    * under `graft.keycheck=strict` a bad ingest (NULL / duplicate ids)
+    * fails loudly instead of silently mis-deduping. Queries whose output
+    * is well-defined under duplicate keys keep using [[t]] — the bad-key
+    * fuzz leg verifies THEM against the oracle unchecked. */
+  private def tk(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.KeyContract.checked(t(spark, dir, name), pkOf(name))
+
   /** events with BOTH a nanos-long `ts_ns` (exact — matches DuckDB's
     * `epoch_ns(ts)` bit-for-bit) and a microsecond timestamp `ts`,
     * whichever physical type the fixture carries:
@@ -29,6 +45,21 @@ object SparkEntry {
     *    timestamp; `ts_ns` is exactly `unix_micros·1000` = `epoch_ns`. */
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.sources.EventTime.withTsNs(t(spark, dir, "events"))
+
+  /** [[events]] through the primary-key gate ([[tk]]): for event queries
+    * whose semantics need `event_id` as a total order (asof/range ties,
+    * attribution order, top-k tie-breaks). */
+  private def eventsK(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventTime.withTsNs(tk(spark, dir, "events"))
+
+  /** Strict-mode key gate for the STREAMING events source: a streaming
+    * frame can't be aggregated at plan time, so the contract check runs
+    * eagerly on a batch read of the same files, then hands the path to
+    * the stream reader. No-op (and no batch job) outside strict mode. */
+  private def eventsPathK(spark: SparkSession, dir: String): String = {
+    graft.sources.KeyContract.checked(t(spark, dir, "events"), "event_id")
+    s"$dir/events.parquet"
+  }
 
   /** Flagship: skew join lineitem ⋈ orders + aggregate. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,7 +95,7 @@ object SparkEntry {
     * assortativity shape, 9 after). */
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     graft.llm.Dedup.minHashDedupPairs(
-      t(s, dir, "documents"), "doc_id", "text",
+      tk(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").localCheckpoint()
 
@@ -564,7 +595,7 @@ object SparkEntry {
       // with its in-source length percentile (ppm), then one global
       // threshold works; range-partitioned rank, no per-source sort task
       graft.operators.GroupedRank.withGroupPercentile(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        tk(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("source"), Seq(col("n_chars"), col("doc_id")))
     }),
 
@@ -589,7 +620,7 @@ object SparkEntry {
       // shuffle inside each source — reproducible epoch order, no
       // single-task sort anywhere
       graft.llm.Sampling.interleaveSources(
-        t(s, dir, "documents").select("doc_id", "source"),
+        tk(s, dir, "documents").select("doc_id", "source"),
         "doc_id", "source", Seq("src0", "src1", "src2", "src3"), salt = ":7")
     }),
 
@@ -654,7 +685,7 @@ object SparkEntry {
     }),
 
     "dedup_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
         .withColumn("__norm", graft.llm.TextStats.normalizeText(col("text")))
       graft.llm.Dedup.exactDedup(docs, Seq("__norm"), "doc_id")
         .groupBy("lang")
@@ -666,7 +697,7 @@ object SparkEntry {
       // and the observed near-dups sit at j>=0.8 (miss prob ~1e-7) — so the
       // LSH recall is exact on this data and the exact-Jaccard oracle holds.
       graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
@@ -686,7 +717,7 @@ object SparkEntry {
       // per-source duplication accounting: how much of each source is
       // involved in ≥1 near-dup pair — the number that says whether a
       // source's row count can be trusted before dedup
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       // localCheckpoint: the id_a and id_b union legs would otherwise each
       // re-run the whole LSH pair pipeline (pruning breaks reuse); the
       // pair set is output-scale, the right thing to materialize
@@ -709,7 +740,7 @@ object SparkEntry {
       // syndication/mirroring you must dedup BEFORE mixing quotas trust
       // per-source counts). Pairs from the LSH path; two broadcast-able
       // doc→source lookups, never a second corpus pass
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
       val src = docs.select(col("doc_id"), col("source"))
@@ -773,7 +804,7 @@ object SparkEntry {
       // documented); the low-threshold regime needs the deterministic
       // operator to honor an all-pairs oracle.
       graft.llm.Dedup.exactJaccardJoin(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         tNum = 3, tDen = 10, ngram = 3)
         .withColumn("jaccard",
           col("n_intersect").cast("double") / col("n_union"))
@@ -785,7 +816,7 @@ object SparkEntry {
       // index (signed once, oversized buckets dropped at build), the other
       // 20% probes it as the "daily fresh slice" — pairs verified with the
       // exact shingle Jaccard against the index's stored sets
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val path = scratchPath("mhidx")
       graft.llm.Dedup.writeMinHashIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
@@ -798,7 +829,7 @@ object SparkEntry {
       // repeated-passage removal: every 20-token block kept only at its
       // first corpus occurrence, documents rebuilt from surviving blocks
       graft.llm.Dedup.dropDuplicateParagraphs(
-        t(s, dir, "documents"), "doc_id", "text")
+        tk(s, dir, "documents"), "doc_id", "text")
     }),
 
     "boilerplate_strip" -> ((s, dir) => {
@@ -806,7 +837,7 @@ object SparkEntry {
       // prepended to every third document (synthetic corpus has no real
       // chrome), then every 5-token block present in > 10% of documents is
       // stripped from ALL documents — the CCNet/RefinedWeb cleaning step
-      val aug = t(s, dir, "documents").withColumn("text",
+      val aug = tk(s, dir, "documents").withColumn("text",
         when(col("doc_id") % 3 === 0,
           concat(lit("subscribe to our newsletter today "), col("text")))
           .otherwise(col("text")))
@@ -887,7 +918,7 @@ object SparkEntry {
         concat(col("doc_id").cast("string"), lit(":42"))), 1, 15), 16, 10)
         .cast("long")
       graft.operators.GroupedRank.withGroupRank(
-        t(s, dir, "documents").withColumn("__shuffle_key", key),
+        tk(s, dir, "documents").withColumn("__shuffle_key", key),
         Seq(), Seq(col("__shuffle_key"), col("doc_id")), "shuffle_rank")
         .select(col("doc_id"), col("shuffle_rank"))
     }),
@@ -896,7 +927,7 @@ object SparkEntry {
       // corpus-level near-dedup: the surviving documents, aggregated per
       // lang so the oracle compares a stable shape
       graft.llm.Dedup.dropNearDuplicates(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
@@ -906,7 +937,7 @@ object SparkEntry {
       // transitive apply: one surviving representative per duplicate
       // CLUSTER (vs dedup_apply's pairwise id_b-drop policy)
       graft.llm.Dedup.dropNearDuplicatesTransitive(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
@@ -917,7 +948,7 @@ object SparkEntry {
       // components (edit distance is not transitive; chains of ≤4-edit
       // steps form the variant family) → keep min-id per cluster
       graft.llm.Dedup.dropEditDuplicates(
-        t(s, dir, "documents"), "doc_id", "text", maxDist = 4)
+        tk(s, dir, "documents"), "doc_id", "text", maxDist = 4)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
     }),
@@ -940,7 +971,7 @@ object SparkEntry {
       // priority-aware transitive apply: each duplicate cluster keeps its
       // LONGEST member (ties to the smaller id) — keep-the-best-copy
       // canonicalization, vs dedup_apply_cc's smallest-id representative
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
       graft.llm.Dedup.dropNearDuplicatesByPriority(
@@ -954,7 +985,7 @@ object SparkEntry {
       // connected components (large-star/small-star); component = smallest
       // doc id reachable through any chain of near-dup pairs
       val pairs = graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
       graft.operators.ConnectedComponents.connectedComponents(pairs)
@@ -967,7 +998,7 @@ object SparkEntry {
       // boilerplate-driven mega-cluster before the apply pass destroys a
       // corpus; two map-side-combined aggregates over the CC assignment
       val pairs = graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
       graft.operators.ConnectedComponents.connectedComponents(pairs)
@@ -984,7 +1015,7 @@ object SparkEntry {
       // near-dup-sized — localCheckpointed once for its two consumers (CC
       // edges + the quality rollup), per the bounded-frame checkpoint rule
       val pairs = graft.llm.Dedup.minHashDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .withColumn("j_ppm", floor(col("jaccard") * 1000000).cast("long"))
         .select("id_a", "id_b", "j_ppm")
@@ -1012,7 +1043,7 @@ object SparkEntry {
       // pairs touching them, folded in WITHOUT re-clustering history.
       // The fold must reproduce the batch clustering exactly, so the
       // oracle is the same full transitive closure as dedup_groups
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       // ONE shingle→minhash→band pass feeds both legs (the dedup_index_probe
       // single-lineage motif): signatures and band collisions are per-doc,
       // so the full-corpus pair list filtered to history×history IS the
@@ -1045,7 +1076,7 @@ object SparkEntry {
 
     "winnow_neardup" -> ((s, dir) => {
       graft.llm.Dedup.winnowDedupPairs(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        tk(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
     }),
 
     "dedup_substring" -> ((s, dir) => {
@@ -1063,7 +1094,7 @@ object SparkEntry {
       // text rides into the hash compare, so a one-token slip anywhere in
       // the strip or the ordered rebuild breaks it
       graft.llm.Dedup.stripDuplicatedSpans(
-        t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
+        tk(s, dir, "documents"), "doc_id", "text", windowTokens = 8)
     }),
 
     "text_subword" -> ((s, dir) => {
@@ -1111,7 +1142,7 @@ object SparkEntry {
       // kills min-id's systematic bias toward the oldest crawl (ids encode
       // ingest order in real corpora); same CC backbone, same election
       // aggregate, different priority
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
       graft.llm.Dedup.dropNearDuplicatesByPriority(
@@ -1171,7 +1202,7 @@ object SparkEntry {
       // src0 plays the benchmark suite: flag training docs (all other
       // sources) sharing any 8-token n-gram with it. Eval grams broadcast;
       // the training side never shuffles before the contamination filter.
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       graft.llm.Decontaminate.contaminatedDocs(
         docs.filter(col("source") =!= "src0"), "doc_id", "text",
         docs.filter(col("source") === "src0"), "text", n = 8)
@@ -1269,7 +1300,7 @@ object SparkEntry {
       // between consecutive doc pairs (even = reference, odd = candidate),
       // exact integer counts + ppm ratios — per-(pair, gram) equi-join,
       // no windows, never corpus-quadratic
-      val d = t(s, dir, "documents")
+      val d = tk(s, dir, "documents")
       val pairs = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("pair_id"), col("text").as("ref_text"))
         .join(d.filter(col("doc_id") % 2 === 1)
@@ -1344,7 +1375,7 @@ object SparkEntry {
       // (perceptual similarity isn't transitive; chains form the variant
       // family) → keep min-id per cluster; survivors audited per (w, h)
       // pattern shape — the image twin of dedup_apply_cc
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val pairs = graft.llm.Multimodal
         .imageNearDupPairs(s, docs, maxHamming = 3)
         .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
@@ -1365,7 +1396,7 @@ object SparkEntry {
       // hamming ≤ 3 shares a band) → exact bit_count verify — the image
       // twin of the MinHash-LSH text path, never all-pairs
       graft.llm.Multimodal.imageNearDupPairs(
-        s, t(s, dir, "documents"), maxHamming = 3)
+        s, tk(s, dir, "documents"), maxHamming = 3)
     }),
 
     "canary_positions" -> ((s, dir) => {
@@ -1424,7 +1455,7 @@ object SparkEntry {
     }),
 
     "batch_by_length" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
         .withColumn("n_tokens",
           size(graft.llm.TextStats.tokens(
             graft.llm.TextStats.normalizeText(col("text")))).cast("long"))
@@ -1455,7 +1486,7 @@ object SparkEntry {
       // nearer-to-centroid member of each pair dropped; seed centroids (ivf
       // convention) keep the whole pipeline exactly SQL-replayable
       graft.llm.SemDedup.semDedupFlags(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
+        tk(s, dir, "embeddings"), "vec_id", "embedding",
         nClusters = 16, threshold = 0.45)
         .select(col("id").as("vec_id"), col("cluster"), col("kept"))
     }),
@@ -1463,7 +1494,7 @@ object SparkEntry {
     "decontaminate_semantic" -> ((s, dir) => {
       // paraphrase-level decontamination: label-0 vectors act as the eval
       // benchmark; training vectors within 0.4 cosine of any of them drop
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       graft.llm.Decontaminate.dropSemanticContaminated(
         emb.filter(col("label") =!= 0), "vec_id", "embedding",
         emb.filter(col("label") === 0), "embedding", threshold = 0.4)
@@ -1484,13 +1515,13 @@ object SparkEntry {
       // α=1/2 temperature sampling: per-source quotas ∝ √n_s rebalance the
       // corpus toward tail sources; membership is the per-source hash rank
       graft.llm.Sampling.sampleByTemperature(
-        t(s, dir, "documents"), "doc_id", "source",
+        tk(s, dir, "documents"), "doc_id", "source",
         totalTarget = 300, salt = "temp")
         .select("doc_id", "source")
     }),
 
     "ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       graft.llm.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 3)
@@ -1501,7 +1532,7 @@ object SparkEntry {
       // the ANN acceptance gate: per-query recall@3 of the IVF index
       // against exact brute force, in exact ppm integers — the metric that
       // decides whether nProbe/nCells ship
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
       graft.llm.Similarity.recallAtK(
         graft.llm.Similarity.ivfTopK(
@@ -1525,7 +1556,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => {
       // the production composition: IVF prunes which vectors are scored,
       // PQ codes bound what the scan reads — FAISS's IVFx,PQy shape
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       graft.llm.Similarity.ivfPqTopK(
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 3)
@@ -1534,7 +1565,7 @@ object SparkEntry {
     }),
 
     "ann_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       graft.llm.Similarity.pqTopK(
         emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 3)
@@ -1546,7 +1577,7 @@ object SparkEntry {
       // PQ ADC scan on k-means-TRAINED codebooks (per-subspace L2 Lloyd's,
       // 1 iteration) — the quantized-mean update keeps training exactly
       // SQL-replayable; see annPqTrainedSql
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val cbs = graft.llm.KMeans.fitCodebooks(
         emb, "vec_id", "embedding",
         numSubspaces = 8, codebookSize = 16, iters = 1, dim = 64)
@@ -1561,7 +1592,7 @@ object SparkEntry {
       // IVF probing on k-means-TRAINED centroids (2 Lloyd's iterations from
       // the first-16 seed set) instead of the raw seed vectors — the
       // quantized-mean update makes training exactly replayable in SQL
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val cents = graft.llm.KMeans.fit(
         emb, "vec_id", "embedding", nCells = 16, iters = 2, dim = 64)
       graft.llm.Similarity.ivfTopK(
@@ -1576,7 +1607,7 @@ object SparkEntry {
       // recent click within a 7-day window (the as-of union-window plan —
       // one shuffle of |purchases|+|clicks|, no range join), rolled up per
       // purchase day with exact micro-unit value mass
-      val ev = events(s, dir)
+      val ev = eventsK(s, dir)
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -1614,7 +1645,7 @@ object SparkEntry {
       // forward direction + inner gating: each click paired with the
       // user's NEXT purchase at or after it (ties to the greatest id) —
       // exercises the other half of the as-of contract
-      val ev = events(s, dir)
+      val ev = eventsK(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_ns"))
       val purch = ev.filter(col("event_type") === "purchase")
@@ -1632,7 +1663,7 @@ object SparkEntry {
       // purchase. Bin-bucketed equi-join (one bin per point), never a
       // nested-loop range join; purchases with no clicks kept via left join.
       val hourNs = 3600L * 1000 * 1000 * 1000
-      val ev = events(s, dir)
+      val ev = eventsK(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"), col("ts_ns").as("c_ts_ns"))
@@ -1662,7 +1693,7 @@ object SparkEntry {
       // train/val/test assignment where near-dup CLUSTERS share a split
       // (a near-copy of a training doc in eval silently inflates scores);
       // split key = connected-component representative, hash-banded
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       val pairs = graft.llm.Dedup.minHashDedupPairs(
         docs, "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
@@ -1677,7 +1708,7 @@ object SparkEntry {
       // context-length packing: docs in doc_id order cut into 2048-token
       // chunks via the distributed two-phase prefix sum (no global window)
       // NULL-text docs have no token count → not packable (oracle-pinned)
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val docs = tk(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
           graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.llm.SequencePack.packSequences(docs, "doc_id", "n_tokens", budget = 2048)
@@ -1686,7 +1717,7 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      graft.llm.Multimodal.documentMediaFeatures(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentMediaFeatures(s, tk(s, dir, "documents"))
         .select("media_id", "kind", "n_bytes")
     }),
 
@@ -1695,7 +1726,7 @@ object SparkEntry {
       // then ImageIO decodes actual pixels back out; the oracle replays the
       // generating formula with a lateral range join — so a decoder bug
       // (wrong pixels, wrong dims) breaks the hash. Shuffle-free narrow maps.
-      graft.llm.Multimodal.documentImageStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentImageStats(s, tk(s, dir, "documents"))
     }),
 
     "multimodal_tiff" -> ((s, dir) => {
@@ -1704,7 +1735,7 @@ object SparkEntry {
       // generating formula, decoded back to actual pixels through the same
       // format-agnostic ImageIO path as multimodal_decode — shrinking the
       // opaque-codec stand-in to formats with genuinely no JDK decoder
-      graft.llm.Multimodal.documentTiffStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentTiffStats(s, tk(s, dir, "documents"))
     }),
 
     "multimodal_jpeg" -> ((s, dir) => {
@@ -1715,7 +1746,7 @@ object SparkEntry {
       // so the codec demonstrably runs lossy; JpegSpec pins that floor).
       // max_abs_dev is the real measurement — not SQL-replayable, dropped
       // from the oracle-gated projection.
-      graft.llm.Multimodal.documentJpegStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentJpegStats(s, tk(s, dir, "documents"))
         .select("media_id", "width", "height", "n_pixels", "within_tol")
     }),
 
@@ -1726,7 +1757,7 @@ object SparkEntry {
       // the sample formula with a lateral range join — wrong samples, a
       // wrong header, or an off-by-one in the zero-crossing scan breaks the
       // hash. Shuffle-free narrow maps, same batch shape as the image path.
-      graft.llm.Multimodal.documentAudioStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentAudioStats(s, tk(s, dir, "documents"))
     }),
 
     "multimodal_video" -> ((s, dir) => {
@@ -1736,7 +1767,7 @@ object SparkEntry {
       // ImageReader decodes every SAMPLED frame's actual pixels — the
       // frame-sample shape of a production video featurizer, with the
       // oracle replaying frame/pixel sums from the generating formula.
-      graft.llm.Multimodal.documentVideoStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentVideoStats(s, tk(s, dir, "documents"))
     }),
 
     "multimodal_gzip" -> ((s, dir) => {
@@ -1747,7 +1778,7 @@ object SparkEntry {
       // wrong bytes anywhere in the inflate break the hash. Compressed
       // size is deliberately NOT in the contract (encoder output is
       // implementation-defined; only the decompressed stream is canonical)
-      graft.llm.Multimodal.documentGzipStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentGzipStats(s, tk(s, dir, "documents"))
     }),
 
     "multimodal_zip" -> ((s, dir) => {
@@ -1758,7 +1789,7 @@ object SparkEntry {
       // member (a flatMap). The oracle replays member names and the token
       // formula arithmetically; a wrong member boundary or byte anywhere
       // breaks the hash.
-      graft.llm.Multimodal.documentZipStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentZipStats(s, tk(s, dir, "documents"))
     }),
 
     "events_quantiles" -> ((s, dir) => {
@@ -1856,12 +1887,12 @@ object SparkEntry {
       // hybrid retrieval: dense cosine top-20 for item 0 fused with the
       // sparse BM25 top-20 by reciprocal-rank fusion (integer
       // micro-points, score-free) — doc_id and vec_id share one id space
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val dense = graft.llm.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") === 0), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 20)
         .select(col("neighbor_id").as("item_id"), col("rank"))
-      val sparse = graft.llm.InvertedIndex.bm25TopK(t(s, dir, "documents"),
+      val sparse = graft.llm.InvertedIndex.bm25TopK(tk(s, dir, "documents"),
         "doc_id", "text", Seq("hash", "merge", "window", "scan"), k = 20)
         .select(col("doc_id").as("item_id"), col("rank"))
       graft.llm.Similarity.rrfFuse(Seq(dense, sparse), "item_id", "rank", k = 10)
@@ -2057,7 +2088,7 @@ object SparkEntry {
       // Running max via RunningExtremum: range-partitioned two-phase, no
       // per-type single-task sort even when one type is the whole stream
       val rm = graft.operators.RunningExtremum.withRunningMax(
-        events(s, dir).select("event_type", "event_id", "ts_ns"),
+        eventsK(s, dir).select("event_type", "event_id", "ts_ns"),
         Seq("event_type"), Seq(col("event_id")), "ts_ns", "rmax")
       rm.withColumn("late_ns", col("rmax") - col("ts_ns"))
         .groupBy("event_type")
@@ -2166,7 +2197,7 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
         StreamOps.latenessUpdates(
-          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          StreamOps.eventsStream(s, eventsPathK(s, dir)),
           "event_type", "event_id", "ts_ns"),
         "graft_stream_late", outputMode = "update")
       out.groupBy("event_type")
@@ -2527,7 +2558,7 @@ object SparkEntry {
       // 31-token vocabulary would make every pair a candidate), rational
       // threshold 1/2 so every boundary comparison is integer arithmetic
       graft.llm.Dedup.exactJaccardJoin(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         tNum = 1, tDen = 2, ngram = 3)
     }),
 
@@ -2548,7 +2579,7 @@ object SparkEntry {
       // duplication; probe-prefix × full-postings candidates, integer
       // thresholds, linear-merge verify
       graft.llm.Dedup.exactContainmentJoin(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         tNum = 2, tDen = 3, ngram = 3)
     }),
 
@@ -2733,12 +2764,29 @@ object SparkEntry {
         LDiversity(Seq("o_custkey"), "o_orderstatus", 2)))
     }),
 
+    "key_contract_audit" -> ((s, dir) => {
+      // the PRODUCTION face of the primary-key contract: a 100-TB
+      // pipeline audits its ids ONCE at ingest — NotNull + Unique folded
+      // into each table's shared constraint pass — then runs the operator
+      // surface unchecked; six report rows, zeros on a healthy corpus,
+      // exact violation counts on a bad ingest (the strict-mode gate
+      // [[graft.sources.KeyContract]] is the fuzz-harness face of the
+      // same contract, so this query is key-corruption-DEFINED by design
+      // and stays oracle-matched on the bad-key fuzz family)
+      import graft.sources.Constraints.Constraint._
+      pkOf.toSeq.sortBy(_._1).map { case (tab, key) =>
+        graft.sources.Constraints.check(t(s, dir, tab),
+          Seq(NotNull(key), Unique(Seq(key))))
+          .withColumn("table_name", lit(tab))
+      }.reduce(_ unionAll _)
+    }),
+
     "decontaminate_fuzzy" -> ((s, dir) => {
       // whole-document fuzzy decontamination: train docs ≥ 1/2 3-gram
       // Jaccard similar to ANY benchmark doc (every 50th doc plays the
       // benchmark), via the exact R-S prefix join — the policy the
       // shared-gram decontaminate family can't express
-      val docs = t(s, dir, "documents")
+      val docs = tk(s, dir, "documents")
       graft.llm.Dedup.exactJaccardJoinBetween(
         docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
@@ -2820,7 +2868,7 @@ object SparkEntry {
       // into 8 contiguous shards of near-equal token mass (distributed
       // prefix sum, no global window), then report the per-shard balance
       // NULL-text docs have no token count → not shardable (oracle-pinned)
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val docs = tk(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
           graft.llm.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.llm.SequencePack.shardByTokens(docs, "doc_id", "n_tokens", nShards = 8)
@@ -2834,7 +2882,7 @@ object SparkEntry {
       // deletes as the latest op for every 7th doc, and early inserts for
       // every 13th — the bounded per-key argmax must pick u2 over u1,
       // the delete over both, and pass untouched base docs through
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val docs = tk(s, dir, "documents").select("doc_id", "text")
       val base = docs.filter(col("doc_id") % 17 =!= 0)
       def slice(m: Int, suffix: String, o: String, seqOff: Int) =
         docs.filter(col("doc_id") % m === 0).select(
@@ -2885,7 +2933,7 @@ object SparkEntry {
       // per source × map task through the exchange), not a rank-everything
       // window or GroupedRank pass
       graft.llm.Sampling.capPerGroup(
-        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        tk(s, dir, "documents").select("doc_id", "source", "lang"),
         "doc_id", "source", k = 15)
     }),
 
@@ -2918,7 +2966,7 @@ object SparkEntry {
       // formulation this replaces does both); 3 smallest (value, event_id)
       // per event_type, ties total-ordered by event_id
       graft.operators.GroupedTopK.topKPerGroup(
-        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        tk(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
         Seq("event_type"), Seq(col("value"), col("event_id")), k = 3)
     }),
 
@@ -3085,7 +3133,7 @@ object SparkEntry {
       // count via one reverse cumsum over the ≤13-row band grid
       import org.apache.spark.sql.expressions.Window
       val pairs = graft.llm.Dedup.exactJaccardJoin(
-        t(s, dir, "documents"), "doc_id", "text",
+        tk(s, dir, "documents"), "doc_id", "text",
         tNum = 2, tDen = 5, ngram = 3)
       val hist = pairs
         .withColumn("band", expr("(n_intersect * 20L) div n_union"))
@@ -3103,7 +3151,7 @@ object SparkEntry {
       // cluster at any distance") and a plain join ("direct neighbor")
       graft.operators.SeedDistance.seedDistances(
         neardupPairs(s, dir), "id_a", "id_b",
-        t(s, dir, "documents").filter(col("doc_id") % 15 === 0),
+        tk(s, dir, "documents").filter(col("doc_id") % 15 === 0),
         "doc_id", maxHops = 3)
     }),
 
@@ -3112,7 +3160,7 @@ object SparkEntry {
       // 24-bit BMP with its own generating formula, decoded back through
       // the same format-agnostic ImageIO path — the third lossless codec
       // beside PNG and TIFF, shrinking the opaque stand-in surface further
-      graft.llm.Multimodal.documentBmpStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentBmpStats(s, tk(s, dir, "documents"))
     }),
 
     "events_seasonality" -> ((s, dir) => {
@@ -3463,7 +3511,7 @@ object SparkEntry {
       // to parquet (partitioned by cell — probes are partition-pruned
       // scans), fresh batch probed against it without re-touching
       // historical vectors; the embedding twin of dedup_index_probe
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val hist = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
       val fresh = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
       val path = scratchPath("ann_index_probe")
@@ -3483,7 +3531,7 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
         StreamOps.throttleUpdates(
-          StreamOps.eventsStream(s, s"$dir/events.parquet"),
+          StreamOps.eventsStream(s, eventsPathK(s, dir)),
           keyCol = concat_ws(":", col("user_id"), col("event_type")),
           ts = expr("ts_ns div 1000"), tie = col("event_id"),
           cooldown = 10L * 60 * 1000 * 1000),
@@ -3556,7 +3604,7 @@ object SparkEntry {
       // REAL zero-codec image decode: ASCII PGM parsed by the repo's OWN
       // reader (comments, header, exact sample census — no ImageIO) —
       // the one image path whose whole decode stack lives in this repo
-      graft.llm.Multimodal.documentPgmStats(s, t(s, dir, "documents"))
+      graft.llm.Multimodal.documentPgmStats(s, tk(s, dir, "documents"))
     }),
 
     "sample_apportionment" -> ((s, dir) => {
@@ -3576,7 +3624,7 @@ object SparkEntry {
       val pairs = neardupPairs(s, dir)
       val members = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
-      t(s, dir, "documents")
+      tk(s, dir, "documents")
         .select(col("doc_id"),
           graft.llm.TextStats.hashedLinearScoreMicro(
             col("text"), OracleSql.qualityModelWeights).as("__m"))
@@ -3654,7 +3702,7 @@ object SparkEntry {
       // coefficient of the mutual k-NN graph (exact integer ppm) — high
       // = coherent neighborhoods, low = hub noise; same degree-ordered
       // O(√m) wedge scheme as triangle_count, apex-credited
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       val edges = graft.llm.Similarity.mutualKnnGraph(
         emb, "vec_id", "embedding", k = 3,
         mode = graft.llm.Similarity.KnnMode.Exact)

@@ -104,9 +104,18 @@ object GraftFunctions {
     // r16 (VERDICT task 6): sketch-TABLE merge aggregates — pure-SQL
     // re-aggregation of persisted sketches (kmv_merge over array<long>
     // sketches, cms_merge over serialized CMS blobs). k is a literal for
-    // the same buffer-sizing reason as kmv_kmins.
-    "kmv_merge" -> two("kmv_merge") { (child, kExpr) =>
-      KmvMergeAgg(child, intLit("kmv_merge", "k", kExpr))
+    // the same buffer-sizing reason as kmv_kmins. The 3-arg form (r17)
+    // threads the persisted build-k column for the per-row compatibility
+    // check: kmv_merge(sketch, kmv_k, k).
+    "kmv_merge" -> { exprs =>
+      exprs match {
+        case Seq(child, kExpr) =>
+          KmvMergeAgg(child, intLit("kmv_merge", "k", kExpr))
+        case Seq(child, buildK, kExpr) =>
+          KmvMergeAgg(child, intLit("kmv_merge", "k", kExpr), Some(buildK))
+        case _ => throw new IllegalArgumentException(
+          s"kmv_merge expects 2 or 3 arguments, got ${exprs.length}")
+      }
     },
     "cms_merge" -> one("cms_merge")(CmsMergeAgg(_)))
 

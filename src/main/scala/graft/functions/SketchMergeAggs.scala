@@ -32,15 +32,26 @@ import org.apache.spark.util.sketch.CountMinSketch
   * the merged sketch is IDENTICAL to sketching the raw union — the
   * property the SketchSqlSpec rollup specs pin against the direct path.
   *
-  * SAME-PARAMETER CONTRACT. `cms_merge` enforces shape compatibility for
-  * free (the blobs carry depth/width/seed; mergeInPlace throws on a
-  * mismatch). `kmv_merge`'s compatibility is NOT verifiable from the
-  * arrays alone: merging sketches built with a SMALLER k than the merge
-  * k yields a well-shaped but WRONG sketch (positions beyond the input k
-  * are not the true k-mins of the union — an input array shorter than k
-  * is indistinguishable from a legitimately small group). Callers must
-  * merge with k ≤ the build-time k; persist k beside the sketch column
-  * (the approx_distinct_rollup convention) so the reader can check.
+  * SAME-PARAMETER CONTRACT — MACHINE-CHECKED (r17). `cms_merge` enforces
+  * shape compatibility for free (the blobs carry depth/width/seed;
+  * mergeInPlace throws on a mismatch). `kmv_merge`'s compatibility is NOT
+  * verifiable from the arrays alone: merging sketches built with a
+  * SMALLER k than the merge k yields a well-shaped but WRONG sketch
+  * (positions beyond the input k are not the true k-mins of the union —
+  * an input array shorter than k is indistinguishable from a
+  * legitimately small group). The check therefore rides the DATA:
+  * [[graft.sketch.KmvOps.kmvSketch]] persists the build k beside every
+  * sketch as `kmv_k`, and the CHECKED merge forms validate it per-row
+  * with a loud build-k-mismatch error —
+  *
+  * {{{
+  *   SELECT source, kmv_merge(kmv_sketch, kmv_k, 16)   -- 3-arg checked
+  *   FROM kmv_daily GROUP BY source
+  * }}}
+  *
+  * (the Scala face `KmvOps.kmvMergeDistinct` auto-validates whenever the
+  * input carries `kmv_k`). The 2-arg form stays for tables that predate
+  * the convention — unchecked, the documented caller contract.
   * (HLL needs no new function: this library's HLL form is the row-grain
   * `(bucket, reg)` register table, whose merge is plain
   * `max(reg) GROUP BY bucket` SQL; corr moment tables re-aggregate with
@@ -49,6 +60,7 @@ import org.apache.spark.util.sketch.CountMinSketch
 case class KmvMergeAgg(
     child: Expression,
     k: Int,
+    buildK: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KMinSet] {
@@ -58,6 +70,13 @@ case class KmvMergeAgg(
   override def createAggregationBuffer(): KMinSet = new KMinSet(k)
 
   override def update(buffer: KMinSet, input: InternalRow): KMinSet = {
+    buildK.foreach { bk =>
+      val b = bk.eval(input)
+      require(b != null && b.asInstanceOf[Number].longValue() >= k,
+        s"kmv_merge build-k mismatch: merge k=$k exceeds build k=" +
+          s"${if (b == null) "NULL" else b} — positions beyond the build k" +
+          " are not the true k-mins of the union; merge at k <= build k")
+    }
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
@@ -84,12 +103,13 @@ case class KmvMergeAgg(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child) ++ buildK
   override def prettyName: String = "kmv_merge"
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      buildK = if (newChildren.length > 1) Some(newChildren(1)) else None)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -105,6 +125,14 @@ object KmvMergeAgg {
   def kmvMerge(sketch: Column, k: Int): Column =
     Bridge.column(
       KmvMergeAgg(Bridge.expression(sketch), k).toAggregateExpression())
+
+  /** The CHECKED form: `buildK` is the persisted build-k column riding
+    * beside the sketch ([[graft.sketch.KmvOps.kmvSketch]]'s `kmv_k`);
+    * every row must satisfy build k ≥ merge k or the merge fails loudly. */
+  def kmvMergeChecked(sketch: Column, buildK: Column, k: Int): Column =
+    Bridge.column(
+      KmvMergeAgg(Bridge.expression(sketch), k,
+        Some(Bridge.expression(buildK))).toAggregateExpression())
 }
 
 /** Mutable CMS merge buffer: empty until the first sketch arrives (the

@@ -40,10 +40,15 @@ object KmvOps {
     require(k <= 32768, s"(k-1)*M must stay inside int64: k=$k exceeds 32768")
   }
 
-  /** Raw per-group sketches: `(groupCols..., kmv_sketch)` where the sketch
-    * is the ascending array of the group's k smallest distinct hashes —
-    * the persistable/mergeable form ([[kmvMergeDistinct]] re-aggregates
-    * stored sketches to coarser groups without touching the raw data). */
+  /** Raw per-group sketches: `(groupCols..., kmv_sketch, kmv_k)` where the
+    * sketch is the ascending array of the group's k smallest distinct
+    * hashes — the persistable/mergeable form ([[kmvMergeDistinct]]
+    * re-aggregates stored sketches to coarser groups without touching the
+    * raw data). `kmv_k` persists the BUILD k beside every sketch (r17):
+    * merging with a k larger than the build k yields a well-shaped but
+    * WRONG sketch (an input array shorter than k is indistinguishable
+    * from a legitimately small group), so the k column rides the table
+    * and the merge paths validate it per-row with a loud error. */
   def kmvSketch(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 16): DataFrame = {
@@ -57,6 +62,7 @@ object KmvOps {
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)
         .as("kmv_sketch"))
+      .withColumn("kmv_k", lit(k))
   }
 
   private def estimateFrom(
@@ -167,12 +173,28 @@ object KmvOps {
     * IDENTICAL to sketching the raw union directly — the re-aggregatable
     * sketch-table pattern: persist per-(source, day) sketches once (k
     * longs each), answer any coarser distinct-count query from the
-    * sketch table, never rescanning the corpus. */
+    * sketch table, never rescanning the corpus.
+    *
+    * BUILD-K VALIDATION (r17): when the input carries the `kmv_k` column
+    * ([[kmvSketch]]'s persist convention), every row's build k is checked
+    * against the merge `k` inline — merging at k > build k would sit
+    * beyond the persisted k-mins and silently under-sketch the union, so
+    * a mismatch raises with both ks named instead. Tables without the
+    * column merge unchecked (documented caller contract). */
   def kmvMergeDistinct(
       df: DataFrame, groupCols: Seq[String], sketchCol: String,
       k: Int = 16): DataFrame = {
     requireK(k)
-    val merged = df
+    val checked =
+      if (!df.columns.contains("kmv_k")) df
+      else df.withColumn(sketchCol,
+        when(col("kmv_k") >= k, col(sketchCol))
+          .otherwise(raise_error(concat(
+            lit(s"kmv_merge build-k mismatch: merge k=$k exceeds build k="),
+            col("kmv_k").cast("string"),
+            lit(" — positions beyond the build k are not the true k-mins" +
+              " of the union; merge at k <= build k")))))
+    val merged = checked
       .select(groupCols.map(col) :+ explode(col(sketchCol)).as("__graft_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.KmvSketchAgg.kmvKMins(col("__graft_h"), k)

@@ -32,4 +32,24 @@ object Bridge {
     * safe and idle-cheap. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+  /** TEST-ONLY: synthesize a task-end event carrying shuffle read/write
+    * and spill bytes, so a spec can replay multi-attempt retry event
+    * sequences through the bench IO accounting (`graft.QueryIoListener`)
+    * — real fetch-failure retries can't be forced deterministically on a
+    * healthy local cluster, and every `TaskMetrics` mutator is
+    * `private[spark]`, which is why this lives in the shim. */
+  def taskEndEvent(stageId: Int, stageAttempt: Int, shuffleRead: Long,
+      shuffleWrite: Long, spill: Long)
+      : org.apache.spark.scheduler.SparkListenerTaskEnd = {
+    val tm = org.apache.spark.executor.TaskMetrics.empty
+    val sr = tm.createTempShuffleReadMetrics()
+    sr.incLocalBytesRead(shuffleRead)
+    tm.mergeShuffleReadMetrics()
+    tm.shuffleWriteMetrics.incBytesWritten(shuffleWrite)
+    tm.incMemoryBytesSpilled(spill)
+    org.apache.spark.scheduler.SparkListenerTaskEnd(
+      stageId, stageAttempt, "ResultTask", org.apache.spark.Success,
+      null, null, tm)
+  }
 }

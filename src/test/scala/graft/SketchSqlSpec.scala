@@ -147,4 +147,46 @@ class SketchSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r2Sql == direct,
       s"sharded-moment SQL r2 ($r2Sql) != corrMatrixExact ($direct)")
   }
+
+  // ——— build-k compatibility is MACHINE-CHECKED (r17, VERDICT task 3):
+  // kmvSketch persists `kmv_k` beside every sketch; merging at k > build k
+  // must fail LOUDLY on every checked path, and the checked paths must be
+  // transparent (identical results) when the ks are compatible.
+
+  test("kmvMergeDistinct rejects a merge k larger than the persisted build k") {
+    val daily8 = graft.sketch.KmvOps.kmvSketch(
+      events, Seq("event_type", "day"), "user_id", k = 8)
+    val e = intercept[Exception] {
+      graft.sketch.KmvOps.kmvMergeDistinct(
+        daily8, Seq("event_type"), "kmv_sketch", k = 16).collect()
+    }
+    assert(e.getMessage.contains("build-k mismatch"),
+      s"expected the build-k mismatch error, got: ${e.getMessage}")
+  }
+
+  test("3-arg kmv_merge(sketch, kmv_k, k) rejects k > build k and equals the 2-arg form when compatible") {
+    graft.functions.GraftFunctions.register(spark)
+    val daily = graft.sketch.KmvOps.kmvSketch(
+      events, Seq("event_type", "day"), "user_id", k = 16)
+    daily.createOrReplaceTempView("t_kmv_daily_k")
+    // compatible: checked 3-arg ≡ unchecked 2-arg, row for row
+    val checked = spark.sql(
+      """SELECT event_type, kmv_merge(kmv_sketch, kmv_k, 16) AS m
+        |FROM t_kmv_daily_k GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val unchecked = spark.sql(
+      """SELECT event_type, kmv_merge(kmv_sketch, 16) AS m
+        |FROM t_kmv_daily_k GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(checked == unchecked)
+    // incompatible: merge k 32 > build k 16 — loud per-row failure
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT event_type, kmv_merge(kmv_sketch, kmv_k, 32) AS m
+          |FROM t_kmv_daily_k GROUP BY event_type""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("build-k mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("build-k mismatch")),
+      s"expected the build-k mismatch error, got: ${e.getMessage}")
+  }
 }
