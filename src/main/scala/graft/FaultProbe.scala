@@ -218,7 +218,7 @@ object FaultProbe {
     * `sink/batch_<id>` (overwrite = recovery-idempotent). Returns when the
     * source is drained or the query dies; (completed, note). */
   private def runLatenessQuery(spark: SparkSession, srcDir: String,
-      ckpt: String, sink: String): (Boolean, String) = {
+      ckpt: String, sink: String, batchSleepMs: Long = 0L): (Boolean, String) = {
     val stream = spark.readStream
       .schema("g STRING, arr BIGINT, ts BIGINT")
       .option("maxFilesPerTrigger", "1")
@@ -229,6 +229,9 @@ object FaultProbe {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         df.write.mode("overwrite").parquet(s"$sink/batch_$id")
+        // driver-kill staging: widen the mid-stream window so the parent's
+        // SIGKILL reliably lands between batch commits, not after drain
+        if (batchSleepMs > 0) Thread.sleep(batchSleepMs)
       }
       .start()
     try { q.processAllAvailable(); (true, "drained") }
@@ -308,8 +311,132 @@ object FaultProbe {
     } finally spark.stop()
   }
 
+  // ———————————————————— driver-kill mode (r17, task 7) ————————————————————
+  // The executor-kill legs above lose a WORKER; the recovery production
+  // users actually exercise is whole-application restart: the driver JVM
+  // dies mid-stream (deploy, OOM-kill, preemption) and a fresh submission
+  // resumes from the same checkpoint. This stages it for real: a CHILD JVM
+  // runs the lateness fold, the parent SIGKILLs the child after a few
+  // batches have committed (it polls the sink for batch_N — no timing
+  // race), a SECOND child restarts the query from the same checkpoint, and
+  // the converged per-group state must equal an undisturbed run exactly.
+  // The foreachBatch sink overwrites by batchId, so the recovery re-run of
+  // the batch that died uncommitted is idempotent — the exactly-once story
+  // under driver loss, not just executor loss.
+
+  /** Marker the child writes ONLY after its query fully drained — its
+    * absence after the kill proves the first leg really died mid-stream. */
+  private def drainedMarker(sink: String) = new java.io.File(s"$sink/__drained")
+
+  /** Child-JVM entry (`driver-child <src> <ckpt> <sink> <batchSleepMs>`):
+    * plain local[4] session, the lateness fold, then the drained marker. */
+  private def driverChild(src: String, ckpt: String, sink: String,
+      sleepMs: Long): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-faultprobe-driver-child")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val (ok, note) = runLatenessQuery(spark, src, ckpt, sink, sleepMs)
+      require(ok, s"driver-child query failed: $note")
+      java.nio.file.Files.writeString(drainedMarker(sink).toPath, "drained\n")
+    } finally spark.stop()
+  }
+
+  private def spawnChild(src: String, ckpt: String, sink: String,
+      sleepMs: Long): Process = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(java) ++ addOpens.split(" ").toSeq ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.FaultProbe", "driver-child", src, ckpt, sink, sleepMs.toString)
+    new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+  }
+
+  private def driverProbe(base: String): Boolean = {
+    val src = s"$base/stream_src"
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-faultprobe-driver-orchestrator")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      writeSlicedStream(spark, src, 40000, 20)
+      val (ok, note) = runLatenessQuery(spark, src, s"$base/ckpt_clean",
+        s"$base/sink_clean")
+      require(ok, s"clean streaming run failed: $note")
+      val clean = convergedState(spark, s"$base/sink_clean")
+      System.err.println(s"[faultprobe] driver clean state: ${clean.take(120)}...")
+
+      val sink = s"$base/sink_kill"
+      val ckpt = s"$base/ckpt_kill"
+      // leg 1: child runs slowed (600 ms/batch over 20 batches); kill the
+      // DRIVER JVM once batch_4 is committed — deterministically mid-stream
+      val child1 = spawnChild(src, ckpt, sink, sleepMs = 600)
+      val deadline = System.currentTimeMillis() + 180000
+      var staged = false
+      while (!staged && System.currentTimeMillis() < deadline &&
+          child1.isAlive) {
+        if (new java.io.File(s"$sink/batch_4").exists()) staged = true
+        else Thread.sleep(200)
+      }
+      if (!staged) {
+        System.err.println("[faultprobe] driver: child drained or timed out " +
+          "before batch_4 — stage again")
+        child1.destroyForcibly(); child1.waitFor()
+        return false
+      }
+      child1.destroyForcibly() // SIGKILL: no shutdown hooks, no commit
+      child1.waitFor()
+      val diedMidStream = !drainedMarker(sink).exists()
+      System.err.println(s"[faultprobe] driver: child killed " +
+        s"(exit=${child1.exitValue()}), died mid-stream=$diedMidStream")
+      if (!diedMidStream) return false
+
+      // leg 2: whole-app restart — a FRESH JVM resumes from the checkpoint
+      val child2 = spawnChild(src, ckpt, sink, sleepMs = 0)
+      val finished = child2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished || child2.exitValue() != 0 || !drainedMarker(sink).exists()) {
+        System.err.println(s"[faultprobe] driver: restart leg failed " +
+          s"(finished=$finished exit=${if (finished) child2.exitValue() else -1})")
+        if (!finished) { child2.destroyForcibly(); child2.waitFor() }
+        return false
+      }
+      val resumed = convergedState(spark, sink)
+      val matches = resumed == clean
+      System.err.println(s"[faultprobe] driver resume matches clean: $matches")
+      matches
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
+
+    if (mode == "driver-child") {
+      driverChild(args(1), args(2), args(3), args(4).toLong)
+      return
+    }
+
+    if (mode == "driver") {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_faultprobe_driver_${ProcessHandle.current.pid}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      var ok = false
+      var attempt = 0
+      while (!ok && attempt < 3) {
+        attempt += 1
+        try ok = driverProbe(s"$base/attempt_$attempt")
+        catch { case e: Throwable =>
+          System.err.println(s"[faultprobe] driver attempt $attempt error: ${e.getMessage}")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      println(s"""{"probe":"streaming_driver_kill","attempts":$attempt,"ok":$ok}""")
+      if (!ok) sys.exit(1)
+      return
+    }
     val n = sys.env.getOrElse("GRAFT_FAULT_N", "3000000").toLong
     val killAfterMs = sys.env.getOrElse("GRAFT_FAULT_KILL_MS", "12000").toLong
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_faultprobe_${ProcessHandle.current.pid}"
