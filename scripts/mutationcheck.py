@@ -40,15 +40,30 @@ WORK = "/tmp/graft_mutation"
 # expose it when the fixture can't (17 = hostile values; -2 = degenerate
 # cardinality with engineered k-anonymity boundary groups).
 MUTANTS = [
-    {"id": "M1", "desc": "AllPairs prefix length off-by-one (drop the +1)",
+    # The first probe run (r17) surfaced three EQUIVALENT/near-equivalent
+    # mutants — replaced below with the analysis recorded, because an
+    # uncatchable mutant measures nothing:
+    #  - prefix-length "+1" drop: for threshold t, a miss at prefix p-1
+    #    needs (1+t)*ceil_bump >= t*|set|*(1-t), i.e. |set| <= ~6 tokens at
+    #    every threshold the surface runs, AND an adversarial global df
+    #    order — unreachable from text-derived shingle sets here; the
+    #    candidate stage is also self-healing (any superset verifies away).
+    #    Replaced by a VERIFY-stage arithmetic mutation, which every pair
+    #    must catch.
+    #  - "[^a-z0-9 ]" -> "[^a-z0-9]": space maps to space either way —
+    #    provably equivalent. Replaced by dropping trim().
+    #  - final CC agg min->max: belt-and-braces over already-unique values
+    #    (min == max at the fixpoint) — equivalent. Replaced by the
+    #    load-bearing smallStar election min.
+    {"id": "M1", "desc": "exact-Jaccard verify stage drops |a|+|b|-|intersect| union term",
      "file": "src/main/scala/graft/llm/Dedup.scala",
-     "old": "floor((col(\"__sz\") * tNum + (tDen - 1)) / tDen).cast(\"int\") + 1",
-     "new": "floor((col(\"__sz\") * tNum + (tDen - 1)) / tDen).cast(\"int\")",
+     "old": "size(col(\"__la\")) + size(col(\"__lb\")) - col(\"n_intersect\")",
+     "new": "size(col(\"__la\")) + size(col(\"__lb\"))",
      "queries": ["dedup_jaccard_exact", "dedup_ngram", "dedup_threshold_sweep"]},
-    {"id": "M2", "desc": "normalizeText drops spaces from the keep-class (tokens merge)",
+    {"id": "M2", "desc": "normalizeText drops the trim (edge whitespace survives)",
      "file": "src/main/scala/graft/llm/TextStats.scala",
-     "old": "regexp_replace(regexp_replace(lower(text), \"[^a-z0-9 ]\", \" \")",
-     "new": "regexp_replace(regexp_replace(lower(text), \"[^a-z0-9]\", \" \")",
+     "old": "trim(regexp_replace(regexp_replace(lower(text), \"[^a-z0-9 ]\", \" \"), \" +\", \" \"))",
+     "new": "regexp_replace(regexp_replace(lower(text), \"[^a-z0-9 ]\", \" \"), \" +\", \" \")",
      "queries": ["dedup_exact", "quality_model_score", "char_diversity"]},
     {"id": "M3", "desc": "hashed-linear-model weight index modulus d -> d-1",
      "file": "src/main/scala/graft/llm/TextStats.scala",
@@ -65,10 +80,10 @@ MUTANTS = [
      "old": ".withColumn(SaltR, explode(sequence(lit(0), col(RepR) - 1)))",
      "new": ".withColumn(SaltR, explode(sequence(lit(1), col(RepR) - 1)))",
      "queries": ["skewjoin_inner", "skewjoin_left"]},
-    {"id": "M6", "desc": "connected-components representative min -> max",
+    {"id": "M6", "desc": "connected-components smallStar election min -> max",
      "file": "src/main/scala/graft/operators/ConnectedComponents.scala",
-     "old": ".agg(min(\"component\").as(\"component\"))",
-     "new": ".agg(max(\"component\").as(\"component\"))",
+     "old": "val m = d.groupBy(\"x\").agg(min(\"y\").as(\"m\"))",
+     "new": "val m = d.groupBy(\"x\").agg(max(\"y\").as(\"m\"))",
      "queries": ["dedup_groups", "dedup_cluster_sizes"]},
     {"id": "M7", "desc": "KMV estimator uses k instead of k-1",
      "file": "src/main/scala/graft/sketch/KmvOps.scala",
@@ -149,11 +164,18 @@ def main():
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
 
-    dirty = run(["git", "status", "--porcelain"]).stdout.strip()
+    # untracked non-source files (e.g. a previous MUTATIONCHECK.json) can't
+    # confound the compiled state; anything tracked-and-modified, or an
+    # untracked file under src/, can — refuse those
+    def dirty_lines():
+        return [l for l in
+                run(["git", "status", "--porcelain"]).stdout.splitlines()
+                if not (l.startswith("??") and "src/" not in l)]
+    dirty = dirty_lines()
     if dirty:
         sys.exit("working tree is dirty — mutationcheck refuses to run "
                  "(it byte-restores mutated files and must be able to "
-                 "verify a clean final state):\n" + dirty)
+                 "verify a clean final state):\n" + "\n".join(dirty))
 
     mutants = [m for m in MUTANTS if only is None or m["id"] in only]
     # pre-generate every fuzz corpus with UNMUTATED code (the per-mutant
@@ -223,7 +245,7 @@ def main():
 
     # the tree must be byte-identical to where we started
     run(["sbt", "-batch", "compile"])  # leave compiled state clean too
-    dirty = run(["git", "status", "--porcelain"]).stdout.strip()
+    dirty = "\n".join(dirty_lines())
     summary = {
         "mutants": results,
         "n": len(results),
