@@ -80,10 +80,20 @@ MUTANTS = [
      "old": ".withColumn(SaltR, explode(sequence(lit(0), col(RepR) - 1)))",
      "new": ".withColumn(SaltR, explode(sequence(lit(1), col(RepR) - 1)))",
      "queries": ["skewjoin_inner", "skewjoin_left"]},
-    {"id": "M6", "desc": "connected-components smallStar election min -> max",
+    # M6 history: the final-agg min->max was equivalent (unique values at
+    # the fixpoint); the smallStar ELECTION min->max also survived the full
+    # surface — star rewiring only moves edges WITHIN a component, and
+    # largeStar's least(x, mn) still pulls every root to the component
+    # minimum, so a converged run is output-identical (CC is robust to the
+    # election by construction — a finding, not a hole). The semantic
+    # failure class for iterative graph ops is NODE LOSS: drop smallStar's
+    # self-link and an isolated near-dup pair's only edge vanishes
+    # mid-iteration (linked = (m,m) filtered out, no self edge), splitting
+    # real components.
+    {"id": "M6", "desc": "connected-components smallStar drops the self-link (node loss)",
      "file": "src/main/scala/graft/operators/ConnectedComponents.scala",
-     "old": "val m = d.groupBy(\"x\").agg(min(\"y\").as(\"m\"))",
-     "new": "val m = d.groupBy(\"x\").agg(max(\"y\").as(\"m\"))",
+     "old": "linked.union(self).distinct()",
+     "new": "linked.distinct()",
      "queries": ["dedup_groups", "dedup_cluster_sizes"]},
     {"id": "M7", "desc": "KMV estimator uses k instead of k-1",
      "file": "src/main/scala/graft/sketch/KmvOps.scala",
