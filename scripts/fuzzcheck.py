@@ -76,7 +76,8 @@ BADKEY_REJECT = {
     "dedup_groups_incremental": KEY_MSG, "dedup_index_probe": KEY_MSG, "dedup_jaccard_exact": KEY_MSG,
     "dedup_minhash": KEY_MSG, "dedup_ngram": KEY_MSG, "dedup_paragraphs": KEY_MSG,
     "dedup_quality_bias": KEY_MSG, "dedup_substring_apply": KEY_MSG, "dedup_threshold_sweep": KEY_MSG,
-    "dup_rate_by_source": KEY_MSG, "eval_ann_recall": KEY_MSG, "eval_rouge": KEY_MSG,
+    "dup_rate_by_source": KEY_MSG, "eval_ann_recall": KEY_MSG, "eval_mrr": KEY_MSG,
+    "eval_rouge": KEY_MSG, "events_throttle": KEY_MSG,
     "events_attribution": KEY_MSG, "events_grouped_topk": KEY_MSG, "graph_assortativity": KEY_MSG,
     "graph_clustering_coeff": KEY_MSG, "graph_degree_dist": KEY_MSG, "graph_seed_distance": KEY_MSG,
     "hybrid_rrf": KEY_MSG, "image_dedup_apply": KEY_MSG, "image_neardup": KEY_MSG,

@@ -544,7 +544,7 @@ object SparkEntry {
       // policy. NOT sessionization: the anchor is the last kept row, so a
       // steady sub-cooldown drizzle still yields one kept row per window
       graft.operators.Sessionize.throttle(
-        events(s, dir).select(col("user_id"), col("event_type"),
+        eventsK(s, dir).select(col("user_id"), col("event_type"),
           col("event_id"), expr("ts_ns DIV 1000").as("ts_us")),
         Seq("user_id", "event_type"), "ts_us", "event_id",
         cooldown = 10L * 60 * 1000 * 1000)
@@ -1547,7 +1547,7 @@ object SparkEntry {
       // in the full cosine ordering per query, reciprocal in exact ppm —
       // computed by argmax + ahead-count aggregates, never a corpus-scale
       // ranking window
-      val emb = t(s, dir, "embeddings")
+      val emb = tk(s, dir, "embeddings")
       graft.llm.Similarity.meanReciprocalRank(
         emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
         emb, "vec_id", "embedding", "label")
