@@ -55,9 +55,14 @@ object SparkEntry {
   /** Strict-mode key gate for the STREAMING events source: a streaming
     * frame can't be aggregated at plan time, so the contract check runs
     * eagerly on a batch read of the same files, then hands the path to
-    * the stream reader. No-op (and no batch job) outside strict mode. */
+    * the stream reader. Outside strict mode the batch read is never even
+    * CONSTRUCTED — `spark.read.parquet` runs a schema-inference job, and
+    * an unconditional read added one job/stage to the stream_lateness and
+    * stream_throttle bench fingerprints (caught by the r17 closing
+    * benchdiff; the gate must be invisible when off). */
   private def eventsPathK(spark: SparkSession, dir: String): String = {
-    graft.sources.KeyContract.checked(t(spark, dir, "events"), "event_id")
+    if (graft.sources.KeyContract.strict(spark))
+      graft.sources.KeyContract.checked(t(spark, dir, "events"), "event_id")
     s"$dir/events.parquet"
   }
 

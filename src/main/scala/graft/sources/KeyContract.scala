@@ -37,8 +37,10 @@ object KeyContract {
     * matches on — change one, change both. */
   val MSG = "primary-key contract violated"
 
-  def strict(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption("graft.keycheck").contains("strict")
+  def strict(df: DataFrame): Boolean = strict(df.sparkSession)
+
+  def strict(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.keycheck").contains("strict")
 
   /** Pass-through by default; in strict mode eagerly require `key`
     * non-null and unique in `df`, else throw `IllegalArgumentException`
