@@ -76,16 +76,32 @@ object Dedup {
     * repartition so they travel inside the exchange: the three consumers of
     * this frame (signature pipeline + both verification joins) then reuse
     * one computed payload instead of re-shingling per branch — trading one
-    * shuffle of the sets for two recomputation passes. The inner projection
-    * keeps normalization evaluated once per doc (the multiple `__norm`
-    * references block CollapseProject from inlining it into the per-shingle
-    * lambda). */
+    * shuffle of the sets for two recomputation passes. Computing the sets
+    * ABOVE the exchange was tried (r18) and REGRESSED ~2×: without the
+    * exchange materialization below it, CollapseProject inlines the
+    * shingle expression into the per-candidate-PAIR verification
+    * projection, re-shingling per pair instead of per doc — the same trap
+    * the r4/r10 notes pin for filters over HOF projections. The inner
+    * projection keeps normalization evaluated once per doc (the multiple
+    * `__norm` references block CollapseProject from inlining it into the
+    * per-shingle lambda).
+    *
+    * [[graft.sources.Spread.spread]] BELOW the shingle projection (r18):
+    * the shingle+normalize compute otherwise inherits the SCAN's
+    * parallelism, and a single-row-group parquet corpus (the bench
+    * fixtures) runs the whole ~2.5 s shingling stage as ONE task on a
+    * 32-core session. Spread round-robins the narrow (id, text) rows only
+    * when the scan is under-parallel — a no-op on a many-split 100-TB
+    * corpus — so the sets are computed at session parallelism and still
+    * materialize once in the id exchange. */
   private[graft] def shingleDocs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    df.filter(col(idCol).isNotNull) // align branches for ReusedExchange:
-      // downstream verify joins infer isnotnull(id), the signature branch
-      // doesn't, and the asymmetry would fork this frame's exchange
-      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
+    graft.sources.Spread.spread(
+      df.filter(col(idCol).isNotNull) // align branches for ReusedExchange:
+        // downstream verify joins infer isnotnull(id), the signature branch
+        // doesn't, and the asymmetry would fork this frame's exchange
+        .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), normalizeText(col("__text")).as("__norm"))
       // sorted so pair verification can use the linear-merge SortedJaccard;
       // one codegen'd pass (CharShingleSet) — bit-identical to
       // array_sort(array_distinct(transform(...))) per its equivalence spec
@@ -177,7 +193,13 @@ object Dedup {
     */
   private def lshVerifiedPairs(docs: DataFrame, setCol: String,
       numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int,
-      rescue: Boolean = true): DataFrame = {
+      rescue: Boolean = true,
+      // exact long-packed verification (r18): valid ONLY when every set
+      // element is ≤ 8 NUL-free bytes (char shingles of normalized text at
+      // shingleSize ≤ 8 — the caller asserts it); word-n-gram callers pass
+      // false and keep the string merge. Bit-identical either way
+      // (PackedSetsSpec); pack_shingle_set fails LOUDLY off-contract.
+      packedVerify: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val minAgree = math.max(rowsPerBand, (numHashes * threshold * 0.3).floor.toInt)
@@ -208,19 +230,34 @@ object Dedup {
       cand
         .join(sigArr.select(col("id").as("id_a"), col("sigv").as("sig_a")), Seq("id_a"))
         .join(sigArr.select(col("id").as("id_b"), col("sigv").as("sig_b")), Seq("id_b"))
+        // codegen'd tight loop ([[graft.functions.SigAgree]]); bit-identical
+        // to size(filter(zip_with(sig_a, sig_b, (x,y) => x === y), b => b))
+        // per SigAgreeSpec — the HOF chain allocated two arrays + two boxed
+        // lambdas per CANDIDATE PAIR and dominated the verify stage (r18)
         .withColumn("__agree",
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+          graft.functions.SigAgree.sigAgree(col("sig_a"), col("sig_b")))
         .filter(col("__agree") >= minAgree)
         .select("id_a", "id_b")
     }
+    // custom linear-merge expressions: the generic array_intersect/union
+    // form builds two hash sets per pair and dominated the profile. The
+    // packed path merges primitive longs instead of per-element
+    // UTF8String allocations — same |∩|/|∪|, bit-identical division
+    // (pack is an order-preserving bijection; PackedSetsSpec) — and the
+    // pack runs once per DOC on the join build sides (below, reading the
+    // reused set exchange), never per pair.
+    val setSide = if (packedVerify)
+      docs.select(col("id"),
+        graft.functions.PackedSets.packShingleSet(col(setCol)).as("__set"))
+    else docs.select(col("id"), col(setCol).as("__set"))
+    def verifyJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (packedVerify) graft.functions.PackedSets.sortedJaccardLong(a, b)
+      else graft.functions.SetSimilarity.sortedJaccard(a, b)
     prefiltered
-      .join(docs.select(col("id").as("id_a"), col(setCol).as("set_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col(setCol).as("set_b")), Seq("id_b"))
+      .join(setSide.select(col("id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
+      .join(setSide.select(col("id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        // custom linear-merge expression: the generic array_intersect/union
-        // form builds two hash sets per pair and dominated the profile
-        graft.functions.SetSimilarity.sortedJaccard(col("set_a"), col("set_b"))
-          .as("jaccard"))
+        verifyJaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -260,8 +297,10 @@ object Dedup {
       // at extreme duplicate density)
       rescue: Boolean = true): DataFrame = {
     val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    // char shingles of normalized text are 1-byte chars, NUL-free — the
+    // packed long verification applies whenever they fit a long
     lshVerifiedPairs(docs, "sh", numHashes, bands, threshold, maxBucketSize,
-      rescue)
+      rescue, packedVerify = shingleSize <= 8)
   }
 
   /** Near-deduplicated corpus: drops every document that has a near-dup
@@ -618,12 +657,22 @@ object Dedup {
     // keeps the verifier fed at ≤ 2×(rows in ≤8×-cap buckets).
     val cand = candidatePairs(fpRows, Seq("fp_val"), maxBucketSize,
       rescueLimit = 8 * maxBucketSize)
+    // packed long verification when shingles fit a long (see
+    // lshVerifiedPairs) — this path has NO signature prefilter, so every
+    // candidate pays the merge; the long merge is the r18 fast path
+    val packed = shingleSize <= 8
+    val setSide = if (packed)
+      docs.select(col("id"),
+        graft.functions.PackedSets.packShingleSet(col("sh")).as("__set"))
+    else docs.select(col("id"), col("sh").as("__set"))
+    def verifyJaccard(a: Column, b: Column) =
+      if (packed) graft.functions.PackedSets.sortedJaccardLong(a, b)
+      else graft.functions.SetSimilarity.sortedJaccard(a, b)
     cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("set_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("set_b")), Seq("id_b"))
+      .join(setSide.select(col("id").as("id_a"), col("__set").as("set_a")), Seq("id_a"))
+      .join(setSide.select(col("id").as("id_b"), col("__set").as("set_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.SetSimilarity.sortedJaccard(col("set_a"), col("set_b"))
-          .as("jaccard"))
+        verifyJaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -832,15 +881,23 @@ object Dedup {
     val cand = fb.join(ib, Seq("band_idx", "band_key"))
       .select("fresh_id", "hist_id")
       .distinct()
+    // packed long verification when shingles fit a long (see
+    // lshVerifiedPairs); the index stores string sets, both sides pack at
+    // read time — once per doc, bit-identical jaccard (PackedSetsSpec)
+    val packed = shingleSize <= 8
+    def packIf(c: Column): Column =
+      if (packed) graft.functions.PackedSets.packShingleSet(c) else c
+    def verifyJaccard(a: Column, b: Column) =
+      if (packed) graft.functions.PackedSets.sortedJaccardLong(a, b)
+      else graft.functions.SetSimilarity.sortedJaccard(a, b)
     val hist = spark.read.parquet(s"$path/docs")
-      .select(col("id").as("hist_id"), col("sh").as("hist_sh"))
+      .select(col("id").as("hist_id"), packIf(col("sh")).as("hist_sh"))
     cand
-      .join(freshDocs.select(col("id").as("fresh_id"), col("sh").as("fresh_sh")),
+      .join(freshDocs.select(col("id").as("fresh_id"), packIf(col("sh")).as("fresh_sh")),
         Seq("fresh_id"))
       .join(hist, Seq("hist_id"))
       .select(col("fresh_id"), col("hist_id"),
-        graft.functions.SetSimilarity.sortedJaccard(
-          col("fresh_sh"), col("hist_sh")).as("jaccard"))
+        verifyJaccard(col("fresh_sh"), col("hist_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

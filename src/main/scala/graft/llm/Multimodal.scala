@@ -176,7 +176,8 @@ object Multimodal {
     * `mapPartitions` stages — the whole query is shuffle-free. */
   def documentImageStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ImageRecord(id, synthesizePng(id)))
     }
@@ -225,7 +226,8 @@ object Multimodal {
     * dispatches on magic bytes). Narrow `mapPartitions`, shuffle-free. */
   def documentBmpStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ImageRecord(id, synthesizeBmp(id)))
     }
@@ -305,7 +307,8 @@ object Multimodal {
     * parser. */
   def documentPgmStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     decodePgmStats(ids.mapPartitions(_.map(id =>
       ImageRecord(id, synthesizePgm(id))))).toDF()
   }
@@ -341,7 +344,8 @@ object Multimodal {
     * Narrow `mapPartitions` stages end to end, shuffle-free. */
   def documentTiffStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ImageRecord(id, synthesizeTiff(id)))
     }
@@ -404,7 +408,8 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0,3] (4 bands tolerate at most 3 flips " +
         s"by pigeonhole): got $maxHamming")
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ImageRecord(id, synthesizePng(id)))
     }
@@ -525,7 +530,8 @@ object Multimodal {
     * query is shuffle-free. */
   def documentJpegStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ImageRecord(id, synthesizeJpeg(id)))
     }
@@ -628,7 +634,8 @@ object Multimodal {
     * maps end to end. */
   def documentAudioStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => AudioRecord(id, synthesizeWav(id)))
     }
@@ -748,7 +755,8 @@ object Multimodal {
     * narrow maps end to end. */
   def documentVideoStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => VideoRecord(id, synthesizeGif(id)))
     }
@@ -826,7 +834,8 @@ object Multimodal {
     * Shuffle-free narrow maps end to end. */
   def documentGzipStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => GzipRecord(id, synthesizeGzip(id)))
     }
@@ -909,7 +918,8 @@ object Multimodal {
     * inflate every member back out. Shuffle-free narrow flatMap. */
   def documentZipStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id").cast("long").as("media_id")).as[Long]
+    val ids = graft.sources.Spread.spread(
+      docs.select(col("doc_id").cast("long").as("media_id")).as[Long])
     val records = ids.mapPartitions { it =>
       it.map(id => ZipRecord(id, synthesizeZip(id)))
     }
@@ -969,7 +979,7 @@ object Multimodal {
   def documentMediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val packed = pack(docs, "doc_id", "text", "text/plain")
-    val records = packed.as[MediaRecord]
+    val records = graft.sources.Spread.spread(packed.as[MediaRecord])
     extractFeatures(records).toDF()
   }
 }

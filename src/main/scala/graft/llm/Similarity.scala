@@ -54,8 +54,13 @@ object Similarity {
     // stay bit-identical to the naive form and to the DuckDB oracle
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       l2Norm(col(qVecCol)).as("__qn"))
-    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
-      l2Norm(col(cVecCol)).as("__cn"))
+    // the |corpus|×|queries| scoring stage sits directly above the corpus
+    // scan; spread repairs its parallelism when the scan is a single split
+    // (r18: the whole knn_graph cross-scoring ran as ONE task) and is a
+    // no-op on well-partitioned corpora
+    val c = graft.sources.Spread.spread(
+        corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv")))
+      .withColumn("__cn", l2Norm(col("cv")))
     val denom = col("__qn") * col("__cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -97,9 +102,12 @@ object Similarity {
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qLabelCol).as("label"), col(qVecCol).as("qv"),
       l2Norm(col(qVecCol)).as("__qn"))
-    val c = corpus.select(col(cIdCol).as("__nid"),
-      col(cLabelCol).as("__nlabel"), col(cVecCol).as("cv"),
-      l2Norm(col(cVecCol)).as("__cn"))
+    // spread: see bruteForceTopK — the two scored-frame passes inherit the
+    // corpus scan's parallelism otherwise
+    val c = graft.sources.Spread.spread(
+        corpus.select(col(cIdCol).as("__nid"),
+          col(cLabelCol).as("__nlabel"), col(cVecCol).as("cv")))
+      .withColumn("__cn", l2Norm(col("cv")))
     val denom = col("__qn") * col("__cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("__nid") =!= col("query_id"))
@@ -167,8 +175,11 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       col(qLabelCol).as("__ql"), l2Norm(col(qVecCol)).as("__qn"))
-    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
-      col(cLabelCol).as("__cl"), l2Norm(col(cVecCol)).as("__cn"))
+    // spread: see bruteForceTopK
+    val c = graft.sources.Spread.spread(
+        corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
+          col(cLabelCol).as("__cl")))
+      .withColumn("__cn", l2Norm(col("cv")))
     val denom = col("__qn") * col("__cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -69,10 +69,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // EMPTY whenever no bucket exceeds the cap (all sf scales) and its
     // bucket repartition/size-agg subtrees reuse at runtime; the recall
     // payoff at 100×-density is full_clique 46% → (see BENCH_NOTES r14)
-    ("dedup_minhash", 29, 1),
+    // r18: budgets below include the adaptive Spread repartition (guide
+    // §2.5 — read-side parallelism repair on single-split scans): it is
+    // ONE runtime exchange of narrow (id/text) rows, reused across every
+    // consumer branch, but the static plan string counts it once per
+    // branch; it vanishes entirely on many-split (production-scale)
+    // inputs.
+    ("dedup_minhash", 39, 1),
     ("dedup_groups", 1, 0),
     ("winnow_neardup", 25, 1), // r14 rescue, same rationale as dedup_minhash
-    ("dedup_index_probe", 8, 0),
+    ("dedup_index_probe", 11, 0),
     ("split_leakage_safe", 3, 0),
     ("dedup_groups_incremental", 6, 0),
     ("dedup_apply_cc", 3, 0),
@@ -116,7 +122,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("watermark_audit", 7, 2),
     // dHash is a narrow decode map; the band self-join + distinct are the
     // only exchanges
-    ("image_neardup", 2, 0),
+    ("image_neardup", 4, 0), // +2 r18 Spread (see dedup_minhash note)
     // CC runs pre-materialized (localCheckpoint loop); this pins the
     // survivor-stitch plan
     ("image_dedup_apply", 3, 0),
@@ -150,7 +156,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-source fold on the materialized ids
     ("dup_rate_by_source", 5, 0),
     // single pairs lineage + two source lookups + source-pair fold
-    ("dedup_cross_source", 32, 1), // r14 rescue, same rationale as dedup_minhash
+    ("dedup_cross_source", 42, 1), // r14 rescue + r18 Spread, same rationale as dedup_minhash
     // (day,user) frame checkpointed; DAU fold + 7-day range join + WAU
     // fold all run on it, never on raw events
     ("events_stickiness", 6, 0),
@@ -159,11 +165,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("events_theilsen", 2, 2),
     // two aggregate passes over broadcast(queries) × corpus — no corpus
     // window/sort; exchanges are the per-query folds + broadcasts
-    ("eval_mrr", 5, 0),
+    ("eval_mrr", 7, 0), // +2 r18 Spread (see dedup_minhash note)
     // one corpus explode+groupBy to (source, token), one #vocab-grain fold
     ("text_ttr", 2, 0),
-    // synthesize + decode are narrow mapPartitions — shuffle-free
-    ("multimodal_tiff", 0, 0),
+    // synthesize + decode are narrow mapPartitions; the one exchange is
+    // the r18 Spread of the 8-byte id rows (see dedup_minhash note)
+    ("multimodal_tiff", 1, 0),
     // per-x grid groupBy + grid window + broadcast semi back to corpus
     ("pareto_density", 3, 1),
     // CC runs pre-materialized; this pins the election + stitch plan
@@ -226,8 +233,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // GroupedRank-internal (partition-bounded local rank + the
     // #partitions-grain offsets)
     ("events_rfm", 9, 2),
-    // synthesize + decode are narrow mapPartitions — shuffle-free
-    ("multimodal_bmp", 0, 0),
+    // synthesize + decode are narrow mapPartitions + the r18 Spread
+    ("multimodal_bmp", 1, 0),
     // the BFS loop materializes per round during construction (same
     // contract as the CC family); this pins the settled-set union stitch
     ("graph_seed_distance", 0, 0),
@@ -279,8 +286,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q6_forecast", 1, 0),
     // broadcast dims + TakeOrdered top-20
     ("q10_returns", 3, 0),
-    // synthesize + hand-rolled parse are narrow mapPartitions
-    ("multimodal_pgm", 0, 0),
+    // synthesize + hand-rolled parse are narrow mapPartitions + r18 Spread
+    ("multimodal_pgm", 1, 0),
     // group-grain count + two 1-row broadcasts + the remainder rank on
     // the #groups frame
     ("sample_apportionment", 11, 1),
