@@ -13,6 +13,13 @@ object Bench {
       // testdata tables are single parquet files; without this the scan side
       // of every query runs in 1-2 tasks regardless of core count.
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // AQE coalescing targets BYTES; CPU-heavy verify stages (similarity
+      // merges over candidate pairs) carry kilobytes per thousand
+      // CPU-milliseconds and were coalesced to 1-2 tasks on a 32-core
+      // session (r18: dedup_jaccard_exact halved with this). A small floor
+      // only affects near-empty partitions — shuffle-bound stages are still
+      // governed by advisoryPartitionSizeInBytes at any scale.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixed (sorted) order so per-query numbers are comparable across rounds;

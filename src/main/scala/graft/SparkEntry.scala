@@ -1452,8 +1452,12 @@ object SparkEntry {
       // threshold-free classifier acceptance: one-vs-rest AUC per label of
       // the JL p0 sketch score, exact rank-sum in integer ppm — global
       // rank via range-partitioned GroupedRank, no single-task sort
+      // spread (r18): GroupedRank's range-sampling + exchange passes each
+      // re-run the scoring lineage; on a single-split scan that was 4×
+      // ~1.5 s of single-task quantize+project work — parallelize it once
       val scored = graft.llm.Quantize.signProject(
-        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 1,
+        graft.sources.Spread.spread(t(s, dir, "embeddings")),
+        "vec_id", "embedding", outDim = 1,
         dim = 64, keepCols = Seq("label"))
         .select(col("vec_id"), col("label"), col("p0").as("score"))
       graft.llm.EvalMetrics.aucByLabel(scored, "label", "score", "vec_id")
@@ -4002,8 +4006,10 @@ object SparkEntry {
       // N× its share of positives"); global deciles via range-partitioned
       // GroupedRank (never ntile over an unpartitioned corpus window), the
       // cumulative pass runs on the 10-row decile grid
+      // spread (r18): same rationale as model_auc
       val scored = graft.llm.Quantize.signProject(
-        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 1,
+        graft.sources.Spread.spread(t(s, dir, "embeddings")),
+        "vec_id", "embedding", outDim = 1,
         dim = 64, keepCols = Seq("label"))
         .select(col("vec_id"), col("label"), col("p0").as("score"))
       graft.llm.EvalMetrics.liftTable(

@@ -625,9 +625,10 @@ object Dedup {
     // and the fingerprint branch doesn't — aligning the base subtrees lets
     // ReusedExchange compute the normalization exchange once (the
     // exactJaccardJoinSets lesson); null ids can never join anyway
-    val base = df
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__norm"))
+    val base = graft.sources.Spread.spread(df
+        .filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), normalizeText(col("__text")).as("__norm"))
       .repartition(col("id"))
     val docs = base.select(col("id"),
       graft.functions.CharShingleSet.charShingleSet(col("__norm"), shingleSize).as("sh"))
@@ -697,8 +698,12 @@ object Dedup {
     * + groupBy (map-side partial aggregation; no per-row nested loops). */
   def simHash(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = xxhash64(_), numBits: Int = 64): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextStats.tokens(normalizeText(col(textCol)))).as("tok"))
+    // spread BEFORE the tokenize+explode+partial-agg pipeline: it all runs
+    // inside the scan stage otherwise (single-split input = one task)
+    val toks = graft.sources.Spread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        explode(TextStats.tokens(normalizeText(col("__text")))).as("tok"))
       .withColumn("h", hashFn(col("tok")))
     // per-bit contribution: +1 if bit set else -1; numBits parallel sums
     val bitSums = (0 until numBits).map { i =>
@@ -938,9 +943,10 @@ object Dedup {
     * [[stripBoilerplateBlocks]]) so their oracles replay ONE slicing rule. */
   private def tokenBlocks(
       df: DataFrame, idCol: String, textCol: String, blockTokens: Int): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+    val toks = graft.sources.Spread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextStats.tokens(normalizeText(col("__text"))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
     val nBlocks = expr(s"(size(__toks) + ${blockTokens - 1}) DIV $blockTokens")
@@ -1029,9 +1035,10 @@ object Dedup {
     // which re-normalizes and re-tokenizes the text once per ngram
     // position (~20 s of the query at sf0.1). Non-empty tokens ⇒ ≥1 ngram,
     // so the predicates are equivalent.
-    val docs = df
-      .select(col(idCol).as("id"),
-        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+    val docs = graft.sources.Spread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextStats.tokens(normalizeText(col("__text"))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
       .select(col("id"), array_sort(wordNgrams(col("__toks"), n)).as("gr"))
@@ -1084,9 +1091,10 @@ object Dedup {
     // empty-token filter BEFORE the barrier, grams AFTER it — the
     // ngramJaccardPairs inlining caveat (a pushed-down size(grams) filter
     // re-tokenizes per gram position)
-    val base = df
-      .select(col(idCol).as("id"),
-        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+    val base = graft.sources.Spread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextStats.tokens(normalizeText(col("__text"))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .repartition(col("id"))
     // NB: element cardinality decides whether the prefix filter can prune.
@@ -1209,9 +1217,10 @@ object Dedup {
       right: DataFrame, rIdCol: String, rTextCol: String,
       tNum: Int, tDen: Int, ngram: Int = 1): DataFrame = {
     def sets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-      val base = df
-        .select(col(idCol).as("id"),
-          TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+      val base = graft.sources.Spread.spread(
+          df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"),
+          TextStats.tokens(normalizeText(col("__text"))).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .repartition(col("id"))
       val s = if (ngram <= 1) array_distinct(col("__toks"))
@@ -1320,10 +1329,11 @@ object Dedup {
       s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
     // two-stage materialization — the exactJaccardJoinSets measured
     // re-evaluation note applies verbatim
-    val raw = df
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"),
-        TextStats.tokens(normalizeText(col(textCol))).as("__toks"))
+    val raw = graft.sources.Spread.spread(df
+        .filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextStats.tokens(normalizeText(col("__text"))).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("id"),
         (if (ngram <= 1) array_distinct(col("__toks"))
@@ -1575,9 +1585,10 @@ object Dedup {
     // one materialization of (id, normalized text, length); six consumers
     // (index, probe, two short legs, two verify attaches) — the
     // exactJaccardJoinSets house rule
-    val base = docs
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__t"))
+    val base = graft.sources.Spread.spread(docs
+        .filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), normalizeText(col("__text")).as("__t"))
       .withColumn("__len", length(col("__t")))
       .repartition(col("id"))
       .localCheckpoint()

@@ -126,8 +126,12 @@ object TextStats {
     * corpus pass. */
   def lexicalRichness(
       df: DataFrame, groupCol: String, textCol: String): DataFrame =
-    df.select(col(groupCol),
-      explode(tokens(normalizeText(col(textCol)))).as("__tok"))
+    // spread: tokenize+explode+partial-agg otherwise runs in the scan
+    // stage — one task on a single-split input
+    graft.sources.Spread.spread(
+        df.select(col(groupCol), col(textCol).as("__text")))
+      .select(col(groupCol),
+        explode(tokens(normalizeText(col("__text")))).as("__tok"))
       .groupBy(col(groupCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(groupCol))
@@ -235,9 +239,14 @@ object TextStats {
     */
   def ngramDiversity(
       df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val g = df
-      .filter(col(textCol).isNotNull)
-      .select(col(groupCol).as("__g"), normalizeText(col(textCol)).as("__norm"))
+    // spread: the normalize+shingle+explode pipeline otherwise runs inside
+    // the scan stage — one task on a single-split input (r18: 7.3 of this
+    // query's 7.6 s); both consumers (totals, distincts) recompute above
+    // the one spread exchange, in parallel
+    val g = graft.sources.Spread.spread(df
+        .filter(col(textCol).isNotNull)
+        .select(col(groupCol).as("__g"), col(textCol).as("__text")))
+      .select(col("__g"), normalizeText(col("__text")).as("__norm"))
       .select(col("__g"),
         greatest(length(col("__norm")) - (n - 1), lit(1)).cast("long").as("__tot"),
         graft.functions.CharShingleSet.charShingleSet(col("__norm"), n).as("__gr"))

@@ -77,7 +77,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // inputs.
     ("dedup_minhash", 39, 1),
     ("dedup_groups", 1, 0),
-    ("winnow_neardup", 25, 1), // r14 rescue, same rationale as dedup_minhash
+    ("winnow_neardup", 33, 1), // r14 rescue + r18 Spread, same rationale as dedup_minhash
     ("dedup_index_probe", 11, 0),
     ("split_leakage_safe", 3, 0),
     ("dedup_groups_incremental", 6, 0),
@@ -107,7 +107,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // GroupedRank global rank (range exchange shared by counts+join) +
     // #labels-grain fold; both windows are GroupedRank-internal
     // (partition-bounded local rank, #partitions-grain offsets)
-    ("model_auc", 14, 2),
+    ("model_auc", 18, 2), // +4 r18 Spread (see dedup_minhash note)
     // one codegen'd Aho–Corasick pass + explode: zero exchanges — the
     // whole point vs K contains scans or a K-row explode join
     ("canary_scan", 0, 0),
@@ -167,7 +167,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // window/sort; exchanges are the per-query folds + broadcasts
     ("eval_mrr", 7, 0), // +2 r18 Spread (see dedup_minhash note)
     // one corpus explode+groupBy to (source, token), one #vocab-grain fold
-    ("text_ttr", 2, 0),
+    ("text_ttr", 3, 0), // +1 r18 Spread
     // synthesize + decode are narrow mapPartitions; the one exchange is
     // the r18 Spread of the 8-byte id rows (see dedup_minhash note)
     ("multimodal_tiff", 1, 0),
