@@ -27,28 +27,31 @@ import org.apache.spark.sql.functions._
   * partitions, making offsets ambiguous) — same requirement a
   * deterministic `ntile` has anyway.
   *
-  * The two consumers of the ranked frame (counts and the final join) share
-  * one range exchange via Spark's ReusedExchange, so the data is ranged
-  * and ranked once. That sharing is also a CORRECTNESS dependency, not
-  * just a cost one: range boundaries are sampled per exchange instance,
-  * so two independent executions could place a row in different physical
-  * partitions and the offsets would disagree with the local ranks.
-  * `spark.sql.exchange.reuse` (default on) guarantees one instance; the
-  * equivalence specs pin the end-to-end result under that default, and a
-  * dedicated spec pins it under `spark.sql.adaptive.enabled=true` with
-  * partition coalescing engaged (AQE's stage-level reuse keeps the shared
-  * range exchange a single materialized instance when it re-plans).
+  * The two consumers of the ranked frame (counts and the final join) MUST
+  * observe ONE physical instance of the range exchange. That is a
+  * CORRECTNESS dependency, not just a cost one: range boundaries are
+  * sampled per exchange instance (seeded by the sampled RDD's id), so two
+  * independent materializations place boundary rows in different physical
+  * partitions and the offsets disagree with the local ranks.
   *
-  * MAINTENANCE CONTRACT: reuse matching is exchange-SUBTREE identity. Both
-  * consumers below are built from the single `ranged` val with no
-  * projection between the range exchange and the fork, so the subtrees are
-  * identical by construction. Any future edit that differentiates the two
-  * branches BELOW the exchange (e.g. a `.select` on one branch before the
-  * window/counts split) silently breaks reuse and desyncs offsets from
-  * local ranks — the alternative (localCheckpoint of the ranged frame)
-  * buys robustness at the cost of materializing the FULL dataset, which is
-  * the wrong trade at 100 TB. The GroupedRankSpec reuse/AQE pins are
-  * therefore mandatory for any change to this file.
+  * Through r18 this relied on `ReusedExchange`, whose matching is
+  * exchange-SUBTREE identity — and the optimizer silently breaks that
+  * identity by COLUMN-PRUNING the counts branch (it needs only the group
+  * columns; the rank branch carries the payload), after which each branch
+  * materializes its own independently-sampled exchange. The r18
+  * `spearman_qty_price` oracle failure was exactly this desync surfacing
+  * under a changed AQE layout. r19 removes the reliance entirely: the
+  * ranged plan is materialized ONCE to an `RDD[InternalRow]` handle
+  * (`queryExecution.toRdd`) and wrapped back as a DataFrame
+  * ([[org.apache.spark.sql.graftshim.Bridge.ofInternalRdd]]); every
+  * consumer reads that one handle, the shuffle's map output is computed
+  * once and reused across their jobs (no extra copy vs the ReusedExchange
+  * plan), and no optimizer rewrite can fork it. The explicit partition
+  * count additionally keeps `spark_partition_id()` = range bucket id under
+  * any AQE coalescing config (REPARTITION_BY_NUM is coalesce-exempt). The
+  * GroupedRankSpec hostile-AQE pins (including the stacked-rank spearman
+  * shape that reproduced the r18 failure) are mandatory for any change to
+  * this file.
   */
 object GroupedRank {
 
@@ -65,12 +68,24 @@ object GroupedRank {
       rankCol: String = "rank"): DataFrame = {
     // correctness dependency, not just cost (see class doc): the counts
     // branch and the join branch MUST read one physical range exchange
-    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "GroupedRank requires spark.sql.exchange.reuse=true (range boundaries " +
-        "are sampled per exchange instance; without reuse the offset table " +
-        "and the local ranks could disagree on partition ids)")
-    val ranged = df
-      .repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+    // EXPLICIT partition count: a count-less `repartitionByRange` plans a
+    // REPARTITION_BY_COL shuffle, which AQE's partition coalescing may
+    // legally rewrite per consumer stage, desyncing `spark_partition_id()`
+    // between branches. REPARTITION_BY_NUM is coalesce-exempt, so pid =
+    // range bucket id under ANY AQE configuration. The count is
+    // conf-derived (spark.sql.shuffle.partitions), not a constant.
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged0 =
+      df.repartitionByRange(numParts, (groupCols.map(col) ++ orderCols): _*)
+    // ONE physical instance of the range exchange, by construction (see the
+    // class doc): materialize the ranged plan to a single RDD handle and
+    // wrap it back. Both consumers below read THIS handle — the optimizer
+    // cannot column-prune its way into a second, independently-sampled
+    // exchange (the r18 spearman_qty_price desync). The map output is
+    // computed once; each consumer job re-reads shuffle files only, same
+    // I/O profile as the ReusedExchange plan this replaces.
+    val ranged = org.apache.spark.sql.graftshim.Bridge
+      .ofInternalRdd(df.sparkSession, ranged0.queryExecution.toRdd, ranged0.schema)
       .withColumn("__graft_pid", spark_partition_id())
     val wLocal = Window
       .partitionBy(("__graft_pid" +: groupCols).map(col): _*)

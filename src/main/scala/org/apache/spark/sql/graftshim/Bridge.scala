@@ -22,6 +22,23 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 
+  /** Wrap an `RDD[InternalRow]` (e.g. `df.queryExecution.toRdd`) back as a
+    * DataFrame (`SparkSession.internalCreateDataFrame`, `private[sql]`).
+    *
+    * The one SQL-visible way to pin a SINGLE physical instance of a
+    * nondeterministically-partitioned exchange under multiple consumers:
+    * `ReusedExchange` requires exchange-subtree identity, which the
+    * optimizer silently breaks by column-pruning one consumer's branch —
+    * after which each branch materializes its OWN exchange with its own
+    * sampled range boundaries (seeded per RDD id). Consumers of the wrapped
+    * RDD all read the one handle; the shuffle's map output is computed once
+    * and reused across their jobs (r19 GroupedRank fix). */
+  def ofInternalRdd(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Unload every loaded streaming state-store provider and stop the
     * maintenance task (`StateStore.stop()`, `private[sql]`). Hygiene for a
     * long single-JVM suite running hundreds of short-lived streaming

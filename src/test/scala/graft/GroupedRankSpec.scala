@@ -74,16 +74,74 @@ class GroupedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile AQE coalescing configs cannot desync offsets from local ranks") {
+    // r18 regression pin: `minPartitionSize=16k` (set session-wide by that
+    // round's bench/verify mains) changed how AQE coalesced the reads of the
+    // shared range exchange, and the two consumer stages evaluated
+    // spark_partition_id() over DIFFERENT coalesced layouts — ranks desynced
+    // and spearman_qty_price failed the oracle hash. The fix pins the range
+    // exchange's partition count (REPARTITION_BY_NUM is exempt from
+    // coalescing). This case sweeps several coalescing-hostile configs,
+    // including the exact r18 one, over the spearman shape (two STACKED
+    // global ranks — the amplifier) and a grouped rank.
+    import spark.implicits._
+    val hostile = Seq(
+      Seq( // the exact r18 bench/verify session config
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k"),
+      Seq( // maximally aggressive coalescing: everything into one partition
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1g",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1g"),
+      Seq( // keep every near-empty partition alive
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k"))
+    val df = (1 to 4000)
+      .map(i => (i.toLong, (i * 7919 % 401).toLong, (i * 104729 % 613).toLong))
+      .toDF("id", "x", "y").repartition(16)
+    val w = Window.orderBy(col("x"), col("id"))
+    val w2 = Window.orderBy(col("y"), col("id"))
+    val want = df
+      .withColumn("rx", row_number().over(w).cast("long"))
+      .withColumn("ry", row_number().over(w2).cast("long"))
+    val wg = Window.partitionBy(col("x")).orderBy(col("y"), col("id"))
+    val wantG = df.withColumn("r", row_number().over(wg).cast("long"))
+    hostile.foreach { confs =>
+      val keys = ("spark.sql.adaptive.enabled" -> "true") +: confs
+      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        withClue(s"configs=$confs: ") {
+          // the spearman shape: two stacked global ranks
+          val r1 = GroupedRank.withGroupRank(
+            df, Nil, Seq(col("x"), col("id")), "rx")
+          val r2 = GroupedRank.withGroupRank(
+            r1, Nil, Seq(col("y"), col("id")), "ry")
+          r2.ensureDatasetEquals(want)
+          // and a grouped rank (the model_auc/vocab_topk consumers' shape)
+          GroupedRank.withGroupRank(df, Seq("x"), Seq(col("y"), col("id")), "r")
+            .ensureDatasetEquals(wantG)
+        }
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("no per-group single-task sort: every window partitions on the physical pid") {
     val got = GroupedRank.withGroupNtile(
       skewed, Seq("g"), Seq(col("v"), col("id")), 4, "q")
     val plan = got.queryExecution.executedPlan.toString
-    // the data-sized exchange is the RANGE repartition; the only
-    // hashpartitioning over bare group columns may carry aggregates
-    // (tiny), never Window sorts — i.e. no "Window ... partitionBy(g)"
-    // without the pid column
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$plan")
+    // the data-sized range exchange is pre-materialized to a single RDD
+    // handle (see GroupedRank's class doc) — the consumer plan reads it as
+    // an ExistingRDD scan; the only hashpartitioning over bare group
+    // columns may carry aggregates (tiny), never Window sorts — i.e. no
+    // "Window ... partitionBy(g)" without the pid column
+    assert(plan.contains("ExistingRDD"),
+      s"expected a scan of the pre-materialized range exchange in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"the range exchange must be materialized ONCE, not re-planned, in:\n$plan")
     val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(windowLines.nonEmpty)
     windowLines.foreach { l =>
