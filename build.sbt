@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract requires the final JSON metric line to be the
+// last, UNDECORATED bytes on stdout (a bounded tail capture parses it). With
+// the default LoggedOutput strategy sbt re-logs every forked-process line
+// under an "[info] " prefix and then appends its own "[success] Total time"
+// line after the app exits — both of which break a strict JSON parse of the
+// tail. StdoutOutput passes the forked process's stdout through verbatim,
+// and showSuccess drops the trailing banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
