@@ -13,13 +13,13 @@ object Bench {
       // testdata tables are single parquet files; without this the scan side
       // of every query runs in 1-2 tasks regardless of core count.
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      // AQE coalescing targets BYTES; CPU-heavy verify stages (similarity
-      // merges over candidate pairs) carry kilobytes per thousand
-      // CPU-milliseconds and were coalesced to 1-2 tasks on a 32-core
-      // session (r18: dedup_jaccard_exact halved with this). A small floor
-      // only affects near-empty partitions — shuffle-bound stages are still
-      // governed by advisoryPartitionSizeInBytes at any scale.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // r19: the r18 `coalescePartitions.minPartitionSize=16k` session floor
+      // is GONE — it helped the CPU-dense LSH verify stages but taxed every
+      // iterative loop (graph/stream families regressed 1.3-1.7× in the r18
+      // driver bench) and perturbed AQE layouts under GroupedRank. The
+      // verify-stage parallelism now lives in the operator itself
+      // (Dedup.lshVerifiedPairs pins the candidate-pair exchange's partition
+      // count), so the bench session runs stock AQE.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixed (sorted) order so per-query numbers are comparable across rounds;

@@ -55,8 +55,6 @@ object Verify {
       // this legacy conf (as nanos-since-epoch longs — see SparkEntry.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      // keep CPU-heavy low-byte verify stages parallel (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

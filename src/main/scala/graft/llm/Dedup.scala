@@ -493,7 +493,13 @@ object Dedup {
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
         col("id_a") < col("id_b"))
-    full.unionByName(rescue).distinct()
+    // every caller feeds this frame into CPU-dense per-pair verification
+    // (signature agreement and/or exact set merges): pin its parallelism
+    // here so the verify stage cannot be byte-coalesced serial (see
+    // [[graft.sources.Spread.pinParallel]]; replaces the r18 session-wide
+    // minPartitionSize floor)
+    graft.sources.Spread.pinParallel(
+      full.unionByName(rescue).distinct(), col("id_a"))
   }
 
   /** Embedding-cosine near-dup pairs (idA < idB) with cosine ≥ `threshold`.
@@ -897,7 +903,8 @@ object Dedup {
       else graft.functions.SetSimilarity.sortedJaccard(a, b)
     val hist = spark.read.parquet(s"$path/docs")
       .select(col("id").as("hist_id"), packIf(col("sh")).as("hist_sh"))
-    cand
+    // pin the verify stage's parallelism (same rationale as candidatePairs)
+    graft.sources.Spread.pinParallel(cand, col("fresh_id"))
       .join(freshDocs.select(col("id").as("fresh_id"), packIf(col("sh")).as("fresh_sh")),
         Seq("fresh_id"))
       .join(hist, Seq("hist_id"))
@@ -1185,7 +1192,8 @@ object Dedup {
       // two exact joins may share one query plan.
       .observe(s"graft_exact_jaccard_${candSeq.incrementAndGet()}",
         count(lit(1)).as("n_candidates"))
-    cand
+    // pin the verify stage's parallelism (same rationale as candidatePairs)
+    graft.sources.Spread.pinParallel(cand, col("id_a"))
       .join(docs.select(col("id").as("id_a"), col("__lex").as("__la")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("__lex").as("__lb")), Seq("id_b"))
       // linear merge on pre-sorted arrays (pairs outnumber docs; the
@@ -1278,7 +1286,8 @@ object Dedup {
       .filter(least(col("__sl"), col("__sr")) * tDen >=
         greatest(col("__sl"), col("__sr")) * tNum)
       .select("id_l", "id_r").distinct()
-    cand
+    // pin the verify stage's parallelism (same rationale as candidatePairs)
+    graft.sources.Spread.pinParallel(cand, col("id_l"))
       .join(docs.filter(col("__side") === 0)
         .select(col("id").as("id_l"), col("__lex").as("__ll")), Seq("id_l"))
       .join(docs.filter(col("__side") === 1)
@@ -1370,7 +1379,8 @@ object Dedup {
       // b must hold at least ⌈t·|Gₐ|⌉ tokens to contain t of a
       .filter(col("__sz_b") * tDen >= col("__sa") * tNum)
       .select("id_a", "id_b").distinct()
-    cand
+    // pin the verify stage's parallelism (same rationale as candidatePairs)
+    graft.sources.Spread.pinParallel(cand, col("id_a"))
       .join(docs.select(col("id").as("id_a"), col("__lex").as("__la")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("__lex").as("__lb")), Seq("id_b"))
       .withColumn("n_intersect",
@@ -1650,7 +1660,9 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
 
-    cands
+    // pin the verify stage's parallelism (same rationale as candidatePairs;
+    // the banded levenshtein is the CPU-dense per-pair merge here)
+    graft.sources.Spread.pinParallel(cands, col("id_a"))
       .join(base.select(col("id").as("id_a"), col("__t").as("__ta")), "id_a")
       .join(base.select(col("id").as("id_b"), col("__t").as("__tb")), "id_b")
       .withColumn("dist", levenshtein(col("__ta"), col("__tb"), d))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, Dataset}
 
 /** Adaptive read-side parallelism repair (optimization guide §2.5, "input
   * skew: one huge unsplittable file … repartition immediately after the
@@ -32,5 +32,27 @@ object Spread {
     // count for read-rooted frames — exactly the parallelism the stage
     // above would inherit
     if (ds.rdd.getNumPartitions * 2 <= target) ds.repartition(target) else ds
+  }
+
+  /** Pin the parallelism of a CPU-dense, low-byte frame (optimization guide
+    * §2.1/§2.5 — AQE's partition coalescing targets BYTES and is blind to
+    * downstream CPU cost).
+    *
+    * The candidate-pair frames of the similarity-verification joins carry
+    * ~16 bytes/row but feed per-row set-merge work thousands of times more
+    * expensive than the shuffle itself, so byte-targeted coalescing
+    * legally collapses the verify stage to 1-2 tasks on a 32-core session
+    * (measured r18; a session-wide `minPartitionSize` floor fixed it but
+    * taxed every iterative loop in the suite — r19 moves the fix here).
+    * An EXPLICIT partition count plans a REPARTITION_BY_NUM shuffle, which
+    * `CoalesceShufflePartitions` never touches, so the verify stage runs
+    * at cluster parallelism under any AQE config. The count is
+    * `defaultParallelism` (total cluster cores) — scale-adaptive by
+    * construction, never a local constant. Keyed (hash) when `keys` are
+    * given so the exchange doubles as the join-side distribution and
+    * avoids round-robin's sort-before-repartition pass. */
+  def pinParallel[T](ds: Dataset[T], keys: Column*): Dataset[T] = {
+    val n = ds.sparkSession.sparkContext.defaultParallelism
+    if (keys.isEmpty) ds.repartition(n) else ds.repartition(n, keys: _*)
   }
 }

@@ -75,17 +75,22 @@ class PlanBudgetSpec extends AnyFunSuite {
     // consumer branch, but the static plan string counts it once per
     // branch; it vanishes entirely on many-split (production-scale)
     // inputs.
-    ("dedup_minhash", 39, 1),
+    // r19: +1 planned exchange on the verify-join queries — the operator-
+    // local `Spread.pinParallel` REPARTITION_BY_NUM of the candidate-pair
+    // frame (~16 B/row), replacing r18's session-wide AQE
+    // minPartitionSize floor; AQE byte-coalescing is blind to the verify
+    // stage's per-row CPU cost and legally collapses it to 1-2 tasks
+    ("dedup_minhash", 40, 1),
     ("dedup_groups", 1, 0),
-    ("winnow_neardup", 33, 1), // r14 rescue + r18 Spread, same rationale as dedup_minhash
-    ("dedup_index_probe", 11, 0),
+    ("winnow_neardup", 34, 1), // r14 rescue + r18 Spread + r19 pinParallel, same rationale as dedup_minhash
+    ("dedup_index_probe", 12, 0), // +1 r19 pinParallel (see dedup_minhash note)
     ("split_leakage_safe", 3, 0),
     ("dedup_groups_incremental", 6, 0),
     ("dedup_apply_cc", 3, 0),
     ("dedup_cluster_sizes", 3, 0),
-    ("dedup_containment", 9, 0),
+    ("dedup_containment", 10, 0), // +1 r19 pinParallel (see dedup_minhash note)
     ("dedup_incremental", 3, 0),
-    ("dedup_edit", 5, 0),
+    ("dedup_edit", 6, 0), // +1 r19 pinParallel (see dedup_minhash note)
     // one full-outer gram join (exchange-free: both legs arrive
     // partitioned on (pair, gram)) + one per-pair aggregate
     ("eval_rouge", 4, 0),
@@ -156,7 +161,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // per-source fold on the materialized ids
     ("dup_rate_by_source", 5, 0),
     // single pairs lineage + two source lookups + source-pair fold
-    ("dedup_cross_source", 42, 1), // r14 rescue + r18 Spread, same rationale as dedup_minhash
+    ("dedup_cross_source", 43, 1), // r14 rescue + r18 Spread + r19 pinParallel, same rationale as dedup_minhash
     // (day,user) frame checkpointed; DAU fold + 7-day range join + WAU
     // fold all run on it, never on raw events
     ("events_stickiness", 6, 0),
@@ -246,7 +251,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the prefix-filtered AllPairs pipeline (same family as
     // dedup_jaccard_exact) + band histogram; the one partitionless
     // window is the reverse cumsum on the ≤13-row band grid
-    ("dedup_threshold_sweep", 14, 1),
+    ("dedup_threshold_sweep", 15, 1), // +1 r19 pinParallel (see dedup_minhash note)
     // r14 late additions — budgets are measured current counts
     // one tokenize pass; unigram frame joined twice by the pair frame,
     // top-k is TakeOrdered
