@@ -53,6 +53,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to DISK-backed caches
+  // (`getUseCache()==true`): every `ImageIO.read`/`write` over an in-memory
+  // byte array creates, fills and deletes a temp FILE. Per record that is
+  // two temp files (encode + decode); at corpus scale, with every core
+  // running a codec task, the tasks serialize on temp-directory churn
+  // instead of decoding (measured r19: the ImageIO-backed decode queries ran
+  // 2-4× slower than the hand-rolled-codec ones on identical volumes, and
+  // got WORSE with more cores — the file churn is the shared bottleneck).
+  // Payloads here are always complete in-memory arrays, so the memory-backed
+  // stream is strictly better. Static, JVM-global, and idempotent: it rides
+  // this object's initializer, which runs on every executor before any
+  // mapPartitions below uses ImageIO.
+  ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to the opaque payload. */
   case class MediaMeta(kind: String, width: Int, height: Int, sampleRateHz: Int)
 
