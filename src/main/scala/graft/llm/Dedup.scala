@@ -1600,7 +1600,16 @@ object Dedup {
         .select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), normalizeText(col("__text")).as("__t"))
       .withColumn("__len", length(col("__t")))
-      .repartition(col("id"))
+      // PINNED materialization (explicit-count keyed repartition): this
+      // checkpointed frame's partitioning caps the parallelism of every
+      // consumer — notably the probe-side broadcast BUILD, whose child
+      // explodes (d+1)²(2d+1) combo rows per doc; AQE byte-coalescing of a
+      // count-less repartition collapsed it to ONE task (measured r19:
+      // 2.3 s single-task collect inside a 4.5 s query; pinned: 3.0 s
+      // total). The sibling set-based families measurably do NOT want this
+      // pin (their consumers are byte-proportional, and pinning them
+      // regressed the LSH family ~30% — measured, reverted).
+      .transform(graft.sources.Spread.pinned(col("id")))
       .localCheckpoint()
 
     // segment i of a length-La string: start i*q + min(i, r), width
