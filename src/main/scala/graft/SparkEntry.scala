@@ -2409,7 +2409,13 @@ object SparkEntry {
         purch, clicks, Seq("user_id"), "0 SECOND", "1 HOUR")
       StreamOps.runToMemory(s,
         joined.select("p_event_id", "user_id", "c_event_id"),
-        "graft_stream_ivj", outputMode = "append")
+        "graft_stream_ivj", outputMode = "append",
+        // inner stream-stream join: the eviction-only no-data batch emits
+        // nothing — skip it, and size the state partitions from the source
+        // bytes (see StreamOps.runToMemory/boundedReplayPartitions)
+        noDataBatches = false,
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
         .groupBy("p_event_id", "user_id")
         .agg(count(lit(1)).as("n_clicks"))
     }),
@@ -2432,7 +2438,13 @@ object SparkEntry {
         conf = graft.skew.SkewJoinConf(CMSeps = 1e-4, replicationFactor = 0.05))
       StreamOps.runToMemory(s,
         joined.select("p_event_id", "user_id", "v_event_id"),
-        "graft_stream_skivj", outputMode = "append")
+        "graft_stream_skivj", outputMode = "append",
+        // inner stream-stream join: the eviction-only no-data batch emits
+        // nothing — skip it, and size the state partitions from the source
+        // bytes (see StreamOps.runToMemory/boundedReplayPartitions)
+        noDataBatches = false,
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
         .groupBy("p_event_id", "user_id")
         .agg(count(lit(1)).as("n_views"))
     }),
@@ -2465,7 +2477,13 @@ object SparkEntry {
         purch, views, Seq("user_id"), "0 SECOND", "30 MINUTE", hot)
       StreamOps.runToMemory(s,
         joined.select("p_event_id", "user_id", "v_event_id"),
-        "graft_stream_adskivj", outputMode = "append")
+        "graft_stream_adskivj", outputMode = "append",
+        // inner stream-stream join: the eviction-only no-data batch emits
+        // nothing — skip it, and size the state partitions from the source
+        // bytes (see StreamOps.runToMemory/boundedReplayPartitions)
+        noDataBatches = false,
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
         .groupBy("p_event_id", "user_id")
         .agg(count(lit(1)).as("n_views"))
     }),
