@@ -567,7 +567,9 @@ object SparkEntry {
           "event_type",
           x = expr("ts_ns div 86400000000000"),
           y = expr("cast(floor(value * 1000000.0) as long)")),
-        "graft_stream_ewma", outputMode = "update")
+        "graft_stream_ewma", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("x"), col("y"), col("ewma")))
           .as("__f"))
@@ -2142,7 +2144,9 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
         StreamOps.windowedCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
-        "graft_stream_hourly")
+        "graft_stream_hourly",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.select(
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("min_v"), col("max_v"))
@@ -2159,7 +2163,9 @@ object SparkEntry {
         .groupBy("dow", "hod")
         .agg(count(lit(1)).as("n"),
           sum(expr("cast(floor(value * 1000000.0) as long)")).as("value_micro"))
-      StreamOps.runToMemory(s, agg, "graft_stream_heatmap")
+      StreamOps.runToMemory(s, agg, "graft_stream_heatmap",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
         .select("dow", "hod", "n", "value_micro")
     }),
 
@@ -2171,7 +2177,9 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
         StreamOps.windowedCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
-        "graft_stream_topk")
+        "graft_stream_topk",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("window").orderBy(col("n").desc, col("event_type"))
       out.withColumn("rank", row_number().over(w))
@@ -2190,7 +2198,9 @@ object SparkEntry {
         StreamOps.kmvDistinctUpdates(
           StreamOps.eventsStream(s, s"$dir/events.parquet"),
           "event_type", "user_id", k = 16),
-        "graft_stream_kmv", outputMode = "update")
+        "graft_stream_kmv", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("n_sample"),
           col("kth_hash"), col("est_distinct"))).as("__f"))
@@ -2208,7 +2218,9 @@ object SparkEntry {
         StreamOps.latenessUpdates(
           StreamOps.eventsStream(s, eventsPathK(s, dir)),
           "event_type", "event_id", "ts_ns"),
-        "graft_stream_late", outputMode = "update")
+        "graft_stream_late", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("n"), col("n_ooo"),
           col("n_late_1m"), col("n_late_5m"), col("n_late_1h"),
@@ -2230,7 +2242,9 @@ object SparkEntry {
         StreamOps.hllDistinctUpdates(
           StreamOps.eventsStream(s, s"$dir/events.parquet"),
           "event_type", "user_id", p = 6),
-        "graft_stream_hll", outputMode = "update")
+        "graft_stream_hll", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("used_buckets"),
           col("denom_q"), col("est_distinct"))).as("__f"))
@@ -2253,7 +2267,9 @@ object SparkEntry {
           "event_type",
           x = expr("ts_ns div 1000000000 - 1704067200"),
           y = expr("cast(floor(value * 1000000.0) as long)")),
-        "graft_stream_trend", outputMode = "update")
+        "graft_stream_trend", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("n"), col("slope_ppm"))).as("__f"))
         .select(col("event_type"), col("__f.n").as("n"),
@@ -2264,7 +2280,9 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val out = StreamOps.runToMemory(s,
         StreamOps.sessionCounts(StreamOps.eventsStream(s, s"$dir/events.parquet")),
-        "graft_stream_sessions")
+        "graft_stream_sessions",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("user_id").agg(
         count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"))
@@ -2278,7 +2296,9 @@ object SparkEntry {
         StreamOps.dedupKeys(
           StreamOps.eventsStream(s, s"$dir/events.parquet"),
           Seq("user_id", "event_type")),
-        "graft_stream_dedup", outputMode = "append")
+        "graft_stream_dedup", outputMode = "append",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type").agg(count(lit(1)).as("n_users"))
     }),
 
@@ -2391,7 +2411,9 @@ object SparkEntry {
       val out = StreamOps.runToMemory(s,
         StreamOps.runningUserCounts(
           StreamOps.eventsStream(s, s"$dir/events.parquet")),
-        "graft_stream_running", outputMode = "update")
+        "graft_stream_running", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("user_id").agg(max("n_events").as("n_events"))
     }),
 
@@ -2495,7 +2517,9 @@ object SparkEntry {
         StreamOps.eventsStream(s, s"$dir/events.parquet"), cust, Seq("user_id"))
       val agg = joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
-      StreamOps.runToMemory(s, agg, "graft_stream_skewjoin")
+      StreamOps.runToMemory(s, agg, "graft_stream_skewjoin",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
     }),
 
     "events_transitions" -> ((s, dir) => {
@@ -2944,7 +2968,9 @@ object SparkEntry {
         .unionAll(slice(7, "", "D", 3))
       val mem = StreamOps.runToMemory(s,
         StreamOps.cdcLastWriterUpdates(changelog, "doc_id", "text"),
-        "graft_stream_cdc", outputMode = "update")
+        "graft_stream_cdc", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/documents.parquet")))
       val last = graft.operators.GroupedTopK.topKPerGroup(
         mem, Seq("doc_id"), Seq(col("seq")), 1, "__r", ascending = false)
         .drop("__r")
@@ -3353,7 +3379,9 @@ object SparkEntry {
           "event_type",
           x = expr("ts_ns div 86400000000000"),
           y = expr("cast(floor(value * 1000000.0) as long)")),
-        "graft_stream_changepoint", outputMode = "update")
+        "graft_stream_changepoint", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("event_type")
         .agg(max(struct(col("update_seq"), col("n_grid"), col("split_x"),
           col("shift_ppm"))).as("__f"))
@@ -3562,7 +3590,9 @@ object SparkEntry {
           keyCol = concat_ws(":", col("user_id"), col("event_type")),
           ts = expr("ts_ns div 1000"), tie = col("event_id"),
           cooldown = 10L * 60 * 1000 * 1000),
-        "graft_stream_throttle", outputMode = "update")
+        "graft_stream_throttle", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       out.groupBy("key")
         .agg(max(struct(col("update_seq"), col("n_events"), col("n_kept"),
           col("last_kept_ts"))).as("__f"))
@@ -4103,7 +4133,9 @@ object SparkEntry {
         StreamOps.rollupMaintainUpdates(checked,
           concat(col("event_type"), lit("|"), col("day")),
           col("v_micros"), col("op")),
-        "graft_stream_rollup", outputMode = "update")
+        "graft_stream_rollup", outputMode = "update",
+        statePartitions = Some(
+          StreamOps.boundedReplayPartitions(s, s"$dir/events.parquet")))
       val last = graft.operators.GroupedTopK.topKPerGroup(
         mem, Seq("key"), Seq(col("update_seq")), 1, "__r", ascending = false)
         .drop("__r")
