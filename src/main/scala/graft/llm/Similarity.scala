@@ -281,10 +281,16 @@ object Similarity {
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val scoreStructs = centroidScoreStructs(cents) _
-    corpus.select(
-      col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv"),
-      l2Norm(col(cVecCol)).as("__cn"),
-      (-array_max(scoreStructs(col(cVecCol))).getField("ncid")).as("cell"))
+    // the nCells-way argmax per vector is the CPU-dense corpus map; spread
+    // the narrow (id, vec) frame when the scan is under-parallel (guide
+    // §2.5 — measured r19: the whole assignment ran as ONE task over the
+    // single-split bench corpus, 1.5 s of a 3.5 s query)
+    val c = graft.sources.Spread.spread(
+      corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("cv")))
+    c.select(
+      col("neighbor_id"), col("cv"),
+      l2Norm(col("cv")).as("__cn"),
+      (-array_max(scoreStructs(col("cv"))).getField("ncid")).as("cell"))
   }
 
   /** Probe half of [[ivfTopK]]: route each query to its `nProbe` best
@@ -335,6 +341,12 @@ object Similarity {
     val cents = centroids.getOrElse(
       seedCentroids(corpus, cIdCol, cVecCol, nCells))
     assignIvfCells(corpus, cIdCol, cVecCol, cents)
+      // one writer per cell: assignIvfCells spreads the CPU-dense argmax
+      // map across the cluster, and partitionBy-writing THAT directly
+      // fans out writers×cells small files (measured r19: 512 files,
+      // probe read 497 tasks / 4 s — guide §6's small-files trap); the
+      // cell exchange collapses it back to one file per cell
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents
   }
@@ -426,6 +438,11 @@ object Similarity {
     // the lowest code, same rule as a struct array_min — but no per-row
     // struct/array allocation, so encoding stays in whole-stage codegen;
     // measured 9.2 → 1.5 s on the sf0.1 encode+scan)
+    // measured r19: spreading the corpus here LOSES (1.3 -> 1.8 s) — the
+    // contrib grid over flat doubles is cheap enough per row that the
+    // round-robin exchange of full vectors costs more than the extra
+    // parallelism recovers; the IVF paths (16-way cosine argmax per row)
+    // are the ones that win from a spread (see assignIvfCells/ivfPqTopK)
     val withD = withSubs(corpus, cIdCol, "neighbor_id", cVecCol).select(
       col("neighbor_id") +:
         (for (j <- 0 until numSubspaces; code <- 0 until codebookSize)
@@ -504,11 +521,15 @@ object Similarity {
     def contrib(sub: Column, j: Int, code: Int): Column =
       lit(cn2(j)(code)) - lit(2.0) * dot(sub, typedLit(cbs(j)(code)._2))
     // ONE pass over the corpus computes cell + subvector slices (the pqTopK
-    // materialize-once motif keeps contrib's 16 references off a re-slice)
-    val corpusSub = corpus.select(
-      col(cIdCol).as("neighbor_id") +:
-        (-array_max(scoreStructs(col(cVecCol))).getField("ncid")).as("cell") +:
-        (0 until numSubspaces).map(j => subv(col(cVecCol), j).as(s"__s$j")): _*)
+    // materialize-once motif keeps contrib's 16 references off a re-slice);
+    // spread the narrow (id, vec) frame first — the cell argmax + contrib
+    // grid is the CPU-dense corpus map (guide §2.5; see assignIvfCells)
+    val corpusN = graft.sources.Spread.spread(
+      corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv")))
+    val corpusSub = corpusN.select(
+      col("neighbor_id") +:
+        (-array_max(scoreStructs(col("__cv"))).getField("ncid")).as("cell") +:
+        (0 until numSubspaces).map(j => subv(col("__cv"), j).as(s"__s$j")): _*)
     val withD = corpusSub.select(col("neighbor_id") +: col("cell") +:
       (for (j <- 0 until numSubspaces; code <- 0 until codebookSize)
         yield contrib(col(s"__s$j"), j, code).as(s"__d_${j}_$code")): _*)
